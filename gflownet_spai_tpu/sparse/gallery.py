@@ -1,0 +1,106 @@
+"""Test-matrix gallery.
+
+The reference depends on SuiteSparse files (LF10 18×18, bcsstk03 ~100×100,
+olm500 500×500 — reference GFlowNet100.py:23-25) that are *not* shipped in
+its repo.  This module generates structurally comparable matrices on the
+host (NumPy) so every config in BASELINE.json is runnable hermetically:
+
+* ``poisson2d(k)``      — 2D 5-point Laplacian, k×k grid (SPD, banded)
+* ``conv_diffusion(n)`` — 1D convection-diffusion, olm*-style nonsymmetric
+                          tridiagonal-ish spectrum
+* ``random_spd(n)``     — diagonally dominant random sparse SPD
+* ``lf10_like()``       — 18×18 banded SPD stand-in for LF10
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from .types import COO
+from .convert import coo_sort_dedup
+
+
+def _coo(row, col, data, shape) -> COO:
+    return coo_sort_dedup(
+        COO(
+            row=jnp.asarray(np.asarray(row), jnp.int32),
+            col=jnp.asarray(np.asarray(col), jnp.int32),
+            data=jnp.asarray(np.asarray(data)),
+            shape=shape,
+        )
+    )
+
+
+def poisson2d(k: int, dtype=np.float64) -> COO:
+    """5-point 2D Laplacian on a k×k grid → (k², k²) SPD matrix."""
+    n = k * k
+    rows, cols, vals = [], [], []
+    for i in range(k):
+        for j in range(k):
+            p = i * k + j
+            rows.append(p); cols.append(p); vals.append(4.0)
+            for di, dj in ((-1, 0), (1, 0), (0, -1), (0, 1)):
+                ii, jj = i + di, j + dj
+                if 0 <= ii < k and 0 <= jj < k:
+                    rows.append(p); cols.append(ii * k + jj); vals.append(-1.0)
+    return _coo(rows, cols, np.asarray(vals, dtype), (n, n))
+
+
+def conv_diffusion(n: int, beta: float = 0.5, dtype=np.float64) -> COO:
+    """1D convection-diffusion (central differences): nonsymmetric
+    tridiagonal, olm500-style."""
+    rows, cols, vals = [], [], []
+    for i in range(n):
+        rows.append(i); cols.append(i); vals.append(2.0)
+        if i > 0:
+            rows.append(i); cols.append(i - 1); vals.append(-1.0 - beta)
+        if i < n - 1:
+            rows.append(i); cols.append(i + 1); vals.append(-1.0 + beta)
+    return _coo(rows, cols, np.asarray(vals, dtype), (n, n))
+
+
+def random_spd(n: int, density: float = 0.02, seed: int = 0, dtype=np.float64) -> COO:
+    """Diagonally dominant random sparse SPD matrix."""
+    rng = np.random.default_rng(seed)
+    nnz_off = max(1, int(density * n * n / 2))
+    r = rng.integers(0, n, nnz_off)
+    c = rng.integers(0, n, nnz_off)
+    keep = r != c
+    r, c = r[keep], c[keep]
+    v = rng.standard_normal(len(r)) * 0.5
+    rows = np.concatenate([r, c, np.arange(n)])
+    cols = np.concatenate([c, r, np.arange(n)])
+    dense_rowsum = np.zeros(n)
+    np.add.at(dense_rowsum, r, np.abs(v))
+    np.add.at(dense_rowsum, c, np.abs(v))
+    diag = dense_rowsum + 1.0
+    vals = np.concatenate([v, v, diag]).astype(dtype)
+    return _coo(rows, cols, vals, (n, n))
+
+
+def lf10_like(dtype=np.float64) -> COO:
+    """18×18 banded SPD matrix, same scale as the LF10 test matrix that the
+    reference's only recorded run used (SURVEY.md §6)."""
+    n = 18
+    rows, cols, vals = [], [], []
+    for i in range(n):
+        rows.append(i); cols.append(i); vals.append(4.0 + 0.1 * i)
+        for d in (1, 2):
+            if i + d < n:
+                rows.append(i); cols.append(i + d); vals.append(-1.0 / d)
+                rows.append(i + d); cols.append(i); vals.append(-1.0 / d)
+    return _coo(rows, cols, np.asarray(vals, dtype), (n, n))
+
+
+#: Named matrices mirroring the reference's selection (GFlowNet100.py:23-25).
+GALLERY = {
+    "LF10": lambda: lf10_like(),
+    "bcsstk03": lambda: random_spd(112, density=0.05, seed=3),
+    "olm500": lambda: conv_diffusion(500),
+    "poisson32": lambda: poisson2d(32),
+}
+
+
+def get(name: str) -> COO:
+    return GALLERY[name]()

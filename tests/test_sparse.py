@@ -1,0 +1,148 @@
+"""Sparse containers, conversions, IO, and reference ops vs scipy/NumPy oracles."""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+import jax.numpy as jnp
+
+from gflownet_spai_tpu import sparse
+from gflownet_spai_tpu.sparse import gallery
+from gflownet_spai_tpu.sparse.convert import coo_to_csr, csr_to_bsr, csr_to_ell, coo_to_scipy
+from gflownet_spai_tpu.sparse.ops import SpGEMMPlan, spgemm, spmm, spmv, frobenius_sq_minus_identity
+
+
+def _rand_coo(m, n, density=0.1, seed=0):
+    rng = np.random.default_rng(seed)
+    a = sp.random(m, n, density=density, random_state=rng, format="coo")
+    return sparse.scipy_to_coo(a), a.tocsr()
+
+
+@pytest.fixture(params=["LF10", "olm500", "poisson32"])
+def mat(request):
+    coo = gallery.get(request.param)
+    return coo, coo_to_scipy(coo)
+
+
+def test_coo_dense_roundtrip():
+    coo, a = _rand_coo(37, 53, seed=1)
+    np.testing.assert_allclose(np.asarray(coo.todense()), a.toarray())
+    back = sparse.COO.fromdense(a.toarray())
+    np.testing.assert_allclose(np.asarray(back.todense()), a.toarray())
+
+
+def test_conversions_match_dense(mat):
+    coo, a = mat
+    dense = a.toarray()
+    csr = coo_to_csr(coo, canonical=True)
+    np.testing.assert_allclose(np.asarray(csr.todense()), dense)
+    ell = csr_to_ell(csr)
+    np.testing.assert_allclose(np.asarray(ell.todense()), dense)
+    ell128 = csr_to_ell(csr, pad_multiple=128)
+    assert ell128.width % 128 == 0
+    np.testing.assert_allclose(np.asarray(ell128.todense()), dense)
+
+
+def test_bsr_conversion():
+    coo, a = _rand_coo(64, 256, density=0.05, seed=2)
+    csr = coo_to_csr(coo, canonical=True)
+    bsr = csr_to_bsr(csr, blockshape=(8, 128))
+    np.testing.assert_allclose(np.asarray(bsr.todense()), a.toarray())
+
+
+def test_spmv_all_formats(mat):
+    coo, a = mat
+    n = coo.shape[1]
+    x = np.random.default_rng(0).standard_normal(n)
+    want = a @ x
+    csr = coo_to_csr(coo, canonical=True)
+    np.testing.assert_allclose(np.asarray(spmv(coo, jnp.asarray(x))), want, rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(spmv(csr, jnp.asarray(x))), want, rtol=1e-10)
+    np.testing.assert_allclose(
+        np.asarray(spmv(csr_to_ell(csr), jnp.asarray(x))), want, rtol=1e-10
+    )
+
+
+def test_spmv_bsr():
+    coo, a = _rand_coo(64, 128, density=0.05, seed=3)
+    x = np.random.default_rng(1).standard_normal(128)
+    bsr = csr_to_bsr(coo_to_csr(coo, canonical=True), blockshape=(8, 128))
+    np.testing.assert_allclose(np.asarray(spmv(bsr, jnp.asarray(x))), a @ x, rtol=1e-10)
+
+
+def test_spmm(mat):
+    coo, a = mat
+    b = np.random.default_rng(2).standard_normal((coo.shape[1], 7))
+    want = a @ b
+    csr = coo_to_csr(coo, canonical=True)
+    np.testing.assert_allclose(np.asarray(spmm(coo, jnp.asarray(b))), want, rtol=1e-10)
+    np.testing.assert_allclose(
+        np.asarray(spmm(csr_to_ell(csr), jnp.asarray(b))), want, rtol=1e-10
+    )
+
+
+def test_spgemm_fixed_pattern(mat):
+    coo, a = mat
+    want = (a @ a).toarray()
+    got = spgemm(coo, coo)
+    np.testing.assert_allclose(np.asarray(got.todense()), want, rtol=1e-9, atol=1e-12)
+    # numeric re-run with scaled values on the same plan
+    plan = SpGEMMPlan(coo, coo)
+    vals2 = plan.numeric(coo.data * 2.0, coo.data)
+    np.testing.assert_allclose(
+        np.asarray(plan.out_coo(vals2).todense()), 2.0 * want, rtol=1e-9, atol=1e-12
+    )
+
+
+def test_spgemm_rectangular():
+    x, xs = _rand_coo(23, 41, density=0.15, seed=5)
+    y, ys = _rand_coo(41, 17, density=0.2, seed=6)
+    got = spgemm(x, y)
+    np.testing.assert_allclose(
+        np.asarray(got.todense()), (xs @ ys).toarray(), rtol=1e-9, atol=1e-12
+    )
+
+
+def test_frobenius_minus_identity(mat):
+    coo, a = mat
+    n = coo.shape[0]
+    c = spgemm(coo, coo)
+    want = np.linalg.norm((a @ a).toarray() - np.eye(n), "fro") ** 2
+    got = frobenius_sq_minus_identity(c.row, c.col, c.data, n)
+    np.testing.assert_allclose(float(got), want, rtol=1e-8)
+
+
+def test_mtx_roundtrip(tmp_path, mat):
+    coo, a = mat
+    path = tmp_path / "m.mtx"
+    sparse.write_mtx(path, coo)
+    back = sparse.read_mtx(path)
+    np.testing.assert_allclose(np.asarray(back.todense()), a.toarray(), rtol=1e-12)
+    # scipy agrees with our parser
+    import scipy.io
+    sci = scipy.io.mmread(str(path)).toarray()
+    np.testing.assert_allclose(np.asarray(back.todense()), sci, rtol=1e-12)
+
+
+def test_mtx_symmetric(tmp_path):
+    path = tmp_path / "s.mtx"
+    with open(path, "w") as f:
+        f.write("%%MatrixMarket matrix coordinate real symmetric\n")
+        f.write("3 3 4\n1 1 2.0\n2 1 -1.0\n3 2 -1.0\n3 3 2.0\n")
+    got = np.asarray(sparse.read_mtx(path).todense())
+    import scipy.io
+    want = scipy.io.mmread(str(path)).toarray()
+    np.testing.assert_allclose(got, want)
+
+
+def test_gallery_spd():
+    for name in ("LF10", "bcsstk03", "poisson32"):
+        a = coo_to_scipy(gallery.get(name)).toarray()
+        np.testing.assert_allclose(a, a.T, err_msg=name)
+        w = np.linalg.eigvalsh(a)
+        assert w.min() > 0, f"{name} not SPD"
+
+
+def test_gallery_olm_nonsymmetric():
+    a = coo_to_scipy(gallery.get("olm500")).toarray()
+    assert not np.allclose(a, a.T)
