@@ -1,0 +1,170 @@
+"""SPAI preconditioner environment — pure functions over static patterns.
+
+Re-implements the semantics of the reference ``PreconditionerEnv``
+(reference preconditioner.py:11-165) in a TPU-native shape:
+
+* A *state* is a boolean keep-mask over the seed pattern's nnz edge set
+  (the reference's states-never-evolve rollout semantics, SURVEY.md §3.1),
+  not a mutable sparse tensor.
+* The reward path ``‖M·A − I‖_F`` reuses a precomputed fixed-pattern
+  SpGEMM plan (symbolic product computed once at env construction), so a
+  batched reward is one vmapped gather/FMA/segment-sum — no per-sample
+  Python loop (contrast reference preconditioner.py:37-52).
+
+Bug-ledger resolutions baked in (SURVEY.md §2):
+* B5  — α is the value threaded in from the policy (sigmoid of a learned
+        scalar), passed explicitly; no hidden ``self.alpha``.
+* B9  — flops(M) = 2·nnz(M)·ncols exactly as the reference's sparse branch
+        (preconditioner.py:72); the ratio vs baseline makes the convention
+        cancel.
+* B11 — the residual baseline defaults to the true system matrix A
+        (``original``), while ``reference_baseline=True`` reproduces the
+        reference driver's ``original_matrix=initial_matrix`` wiring
+        (GFlowNet100.py:173) for parity testing.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..sparse.types import COO
+from ..sparse.ops import SpGEMMPlan, frobenius_sq_minus_identity
+
+
+@dataclasses.dataclass(frozen=True)
+class SpaiEnv:
+    """Static environment description (host-built once per matrix).
+
+    Pytree leaves are the value arrays; pattern/plan metadata is static.
+    """
+
+    # seed pattern M0 (the ILU LU-product): edge set = action space
+    seed: COO
+    # the matrix the preconditioner is scored against ("original_matrix")
+    original: COO
+    # symbolic plan for pattern(M0 · original)
+    plan: SpGEMMPlan = dataclasses.field(metadata={"pytree": False})
+    # baseline scalars (reference preconditioner.py:28-29)
+    baseline_residual: jax.Array = None
+    baseline_flops: float = 0.0
+
+    @property
+    def n(self) -> int:
+        return self.seed.shape[0]
+
+    @property
+    def num_edges(self) -> int:
+        return self.seed.nnz
+
+    @property
+    def num_actions(self) -> int:
+        """nnz + 1: one delete-action per edge plus the terminal action
+        (reference preconditioner.py:16)."""
+        return self.seed.nnz + 1
+
+    @property
+    def terminal_action(self) -> int:
+        return self.seed.nnz
+
+
+jax.tree_util.register_dataclass(
+    SpaiEnv,
+    data_fields=["seed", "original", "baseline_residual"],
+    meta_fields=["plan", "baseline_flops"],
+)
+
+
+def make_env(seed: COO, original: Optional[COO] = None) -> SpaiEnv:
+    """Build the environment.  ``original`` defaults to ``seed`` which
+    reproduces the reference driver's (questionable) baseline wiring
+    (GFlowNet100.py:173); pass the true A for the corrected objective."""
+    if original is None:
+        original = seed
+    plan = SpGEMMPlan(seed, original)
+    # ‖original·original − I‖_F  (reference preconditioner.py:28 computes
+    # calculate_residual(original, original))
+    base_plan = plan if original is seed else SpGEMMPlan(original, original)
+    base_vals = base_plan.numeric(original.data, original.data)
+    base_res = jnp.sqrt(
+        frobenius_sq_minus_identity(
+            base_plan.out_row, base_plan.out_col, base_vals, original.shape[0]
+        )
+    )
+    base_flops = 2.0 * original.nnz * original.shape[1]  # preconditioner.py:72
+    return SpaiEnv(
+        seed=seed,
+        original=original,
+        plan=plan,
+        baseline_residual=base_res,
+        baseline_flops=base_flops,
+    )
+
+
+# ---------------------------------------------------------------------------
+# State transitions
+# ---------------------------------------------------------------------------
+
+def keep_mask_from_actions(actions: jax.Array, num_edges: int) -> jax.Array:
+    """Action list (``-1``-padded, may contain the terminal index) → keep
+    mask over edges.  Parity: the reference filters ``-1`` then deletes the
+    listed edge positions (preconditioner.py:38-43, utils.py:323).
+
+    Works on a single trajectory ``[T]`` (vmap for a batch).
+    """
+    valid = (actions >= 0) & (actions < num_edges)
+    idx = jnp.where(valid, actions, num_edges)  # dump invalid into a slot we drop
+    keep = jnp.ones(num_edges + 1, dtype=bool).at[idx].set(False)
+    return keep[:num_edges]
+
+
+def masked_values(env: SpaiEnv, keep: jax.Array) -> jax.Array:
+    """Values of the thinned preconditioner M on the (static) seed pattern."""
+    return env.seed.data * keep.astype(env.seed.data.dtype)
+
+
+def residual_norm(env: SpaiEnv, keep: jax.Array) -> jax.Array:
+    """``‖M·original − I‖_F`` with M = seed values masked by ``keep``.
+    Parity: reference ``calculate_residual`` (preconditioner.py:79-93)."""
+    m_vals = masked_values(env, keep)
+    c_vals = env.plan.numeric(m_vals, env.original.data)
+    return jnp.sqrt(
+        frobenius_sq_minus_identity(
+            env.plan.out_row, env.plan.out_col, c_vals, env.n
+        )
+    )
+
+
+def matrix_flops(env: SpaiEnv, keep: jax.Array) -> jax.Array:
+    """2·nnz(M)·ncols (reference preconditioner.py:68-72 sparse branch)."""
+    nnz = jnp.sum(keep.astype(env.seed.data.dtype))
+    return 2.0 * nnz * env.seed.shape[1]
+
+
+def evaluate_preconditioner(env: SpaiEnv, keep: jax.Array, alpha: jax.Array) -> jax.Array:
+    """α(1−res_ratio) + (1−α)(1−flop_ratio) — reference
+    preconditioner.py:137-165 with B5 resolved (α passed in)."""
+    res_ratio = residual_norm(env, keep) / env.baseline_residual
+    comp_ratio = matrix_flops(env, keep) / env.baseline_flops
+    return alpha * (1.0 - res_ratio) + (1.0 - alpha) * (1.0 - comp_ratio)
+
+
+def reward(env: SpaiEnv, keep: jax.Array, alpha: jax.Array) -> jax.Array:
+    """Terminal reward = metric × 1000 (reference preconditioner.py:64)."""
+    return evaluate_preconditioner(env, keep, alpha) * 1000.0
+
+
+def reward_from_actions(env: SpaiEnv, actions: jax.Array, alpha: jax.Array) -> jax.Array:
+    """Full replay path of reference ``env.update`` (preconditioner.py:32-52)
+    for one trajectory; vmap over a batch of action lists."""
+    keep = keep_mask_from_actions(actions, env.num_edges)
+    return reward(env, keep, alpha)
+
+
+def batched_rewards(env: SpaiEnv, actions: jax.Array, alpha: jax.Array) -> jax.Array:
+    """``actions``: int32[B, T] (-1 padded) → rewards float[B]."""
+    return jax.vmap(lambda a: reward_from_actions(env, a, alpha))(actions)
