@@ -1,0 +1,116 @@
+"""Trajectory samplers.
+
+``gumbel_topk_rollout`` — the TPU-native sampler for static-logit
+environments (the SPAI env).  Key observation (SURVEY.md §3.1): the
+reference's rollout state never evolves — the policy sees the same static
+graph every step and only the taken-action mask changes
+(gflownet/gflownet.py:164-172 commented-out env update; policy.py:65-69).
+Sequentially sampling a masked categorical without replacement from *fixed*
+logits is exactly the Plackett–Luce order distribution, which the Gumbel
+top-k trick samples in one shot: perturb logits with Gumbel noise, sort
+descending; the prefix up to (and including) the terminal action *is* the
+trajectory.  One sort + one cumulative logsumexp replaces the reference's
+O(steps × GAT-forward) loop (1,147 sequential steps observed in its only
+recorded run, SURVEY.md §6) with identical sampling distribution and
+identical per-step forward probabilities.
+
+``scan_rollout`` — the general per-step sampler (lax.scan of masked
+categoricals) for envs whose mask/state evolves, e.g. the grid toy env.
+Also serves as the oracle the Gumbel path is tested against.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class Rollout(NamedTuple):
+    """Batched trajectory record — the functional analogue of the reference's
+    mutable ``Log`` (gflownet/log.py:10-22): ``-1``-padded actions and
+    per-step chosen-action forward log-probs (padding contributes 0)."""
+    actions: jax.Array       # int32[B, T]
+    fwd_logprobs: jax.Array  # float[B, T]
+    lengths: jax.Array       # int32[B]  (includes the terminal step)
+
+
+def _suffix_logsumexp(x: jax.Array) -> jax.Array:
+    """s[t] = logsumexp(x[t:]) along the last axis."""
+    axis = x.ndim - 1
+    return jnp.flip(jax.lax.cumlogsumexp(jnp.flip(x, axis), axis=axis), axis)
+
+
+def gumbel_topk_rollout(logits: jax.Array, key, terminal_action: int) -> Rollout:
+    """Sample a batch of delete-until-terminal trajectories from static logits.
+
+    ``logits``: float[B, A] (A = num_actions, terminal included).
+    Returns trajectories padded to T = A.
+    """
+    B, A = logits.shape
+    g = jax.random.gumbel(key, (B, A), logits.dtype)
+    order = jnp.argsort(-(logits + g), axis=-1)            # [B, A] descending
+    sorted_logits = jnp.take_along_axis(logits, order, axis=-1)
+    denom = _suffix_logsumexp(sorted_logits)               # lse over remaining set
+    step_lp = sorted_logits - denom                        # log P(pick order[t] | remaining)
+
+    k = jnp.argmax(order == terminal_action, axis=-1)      # terminal's position
+    t_ids = jnp.arange(A)[None, :]
+    on_traj = t_ids <= k[:, None]
+    actions = jnp.where(on_traj, order, -1).astype(jnp.int32)
+    fwd_lp = jnp.where(on_traj, step_lp, 0.0)
+    return Rollout(actions=actions, fwd_logprobs=fwd_lp, lengths=(k + 1).astype(jnp.int32))
+
+
+def sequential_logprobs(logits: jax.Array, actions: jax.Array) -> jax.Array:
+    """Oracle: per-step log-probs of a given ``-1``-padded trajectory under
+    sequential masked-categorical semantics (the reference's sampler,
+    gflownet/gflownet.py:135-179 + policy.py:65-69 masking).  [A]→[T]."""
+    A = logits.shape[0]
+
+    def step(taken, a):
+        masked = jnp.where(taken, -jnp.inf, logits)
+        lp = masked[a] - jax.nn.logsumexp(masked)
+        lp = jnp.where(a < 0, 0.0, lp)
+        taken = jnp.where(a >= 0, taken.at[jnp.maximum(a, 0)].set(True), taken)
+        return taken, lp
+
+    _, lps = jax.lax.scan(step, jnp.zeros((A,), bool), actions)
+    return lps
+
+
+def scan_rollout(
+    policy_logits_fn: Callable,   # (state, step) -> [A] logits (already masked)
+    update_fn: Callable,          # (state, action) -> state
+    init_state,
+    key,
+    terminal_action: int,
+    max_steps: int,
+):
+    """Generic per-step rollout for envs with evolving state/mask.
+
+    Returns (final_state, Rollout) with T = max_steps.  Samples that hit
+    ``terminal_action`` stop; their remaining slots are ``-1`` / 0.
+    """
+
+    def step(carry, key_t):
+        state, done, t = carry
+        logits = policy_logits_fn(state, t)
+        a = jax.random.categorical(key_t, logits)
+        lp = jax.nn.log_softmax(logits)[a]
+        a_out = jnp.where(done, -1, a).astype(jnp.int32)
+        lp_out = jnp.where(done, 0.0, lp)
+        new_state = update_fn(state, a)
+        state = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(done, old, new), new_state, state
+        )
+        done = done | (a_out == terminal_action)
+        return (state, done, t + 1), (a_out, lp_out)
+
+    keys = jax.random.split(key, max_steps)
+    (state, done, _), (actions, lps) = jax.lax.scan(
+        step, (init_state, jnp.asarray(False), 0), keys
+    )
+    lengths = jnp.sum((actions >= 0).astype(jnp.int32))
+    return state, Rollout(actions=actions, fwd_logprobs=lps, lengths=lengths)

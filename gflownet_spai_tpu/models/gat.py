@@ -1,0 +1,95 @@
+"""GATv2 graph attention layers in pure JAX (plain-pytree params).
+
+Behavioral parity with the reference forward policy's torch_geometric
+``GATv2Conv`` stack (reference policy.py:21,29): edge features
+(``edge_dim=1``), multi-head with concatenation, LeakyReLU(0.2) attention
+(Brody et al. 2022 GATv2 form: ``score = aᵀ · LeakyReLU(W_s x_j + W_t x_i +
+W_e e_ij)``), self-loops added with mean-filled edge features, bias on the
+output.
+
+TPU notes: the edge set is static per environment, so attention is a
+segment-softmax over edges grouped by target node — `segment_max/sum` with
+static ``num_segments`` — which XLA lowers to sorted-scatter kernels.  The
+hot large-nnz path is later replaced by the Pallas segment kernels in
+``gflownet_spai_tpu.ops`` with identical semantics.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _glorot(key, shape, dtype=jnp.float32):
+    fan_in, fan_out = shape[0], shape[-1]
+    lim = jnp.sqrt(6.0 / (fan_in + fan_out))
+    return jax.random.uniform(key, shape, dtype, -lim, lim)
+
+
+class GATv2Params(NamedTuple):
+    w_src: jax.Array   # [in, H*out]   source transform (PyG lin_l)
+    w_dst: jax.Array   # [in, H*out]   target transform (PyG lin_r)
+    w_edge: jax.Array  # [edge_dim, H*out]
+    b_src: jax.Array   # [H*out]
+    att: jax.Array     # [H, out]
+    bias: jax.Array    # [H*out] if concat else [out]
+
+
+def gatv2_init(key, in_dim: int, out_dim: int, heads: int, edge_dim: int = 1,
+               concat: bool = True, dtype=jnp.float32) -> GATv2Params:
+    ks = jax.random.split(key, 4)
+    return GATv2Params(
+        w_src=_glorot(ks[0], (in_dim, heads * out_dim), dtype),
+        w_dst=_glorot(ks[1], (in_dim, heads * out_dim), dtype),
+        w_edge=_glorot(ks[2], (edge_dim, heads * out_dim), dtype),
+        b_src=jnp.zeros((heads * out_dim,), dtype),
+        att=_glorot(ks[3], (heads, out_dim), dtype),
+        bias=jnp.zeros((heads * out_dim if concat else out_dim,), dtype),
+    )
+
+
+def segment_softmax(scores: jax.Array, segment_ids: jax.Array, num_segments: int) -> jax.Array:
+    """Numerically-stable softmax over variable-size segments.
+
+    ``scores``: [E, H]; ``segment_ids``: int32[E] (target node per edge).
+    """
+    seg_max = jax.ops.segment_max(scores, segment_ids, num_segments=num_segments)
+    seg_max = jnp.where(jnp.isfinite(seg_max), seg_max, 0.0)
+    ex = jnp.exp(scores - seg_max[segment_ids])
+    denom = jax.ops.segment_sum(ex, segment_ids, num_segments=num_segments)
+    return ex / jnp.maximum(denom[segment_ids], 1e-38)
+
+
+def gatv2_apply(p: GATv2Params, x: jax.Array, edge_src: jax.Array,
+                edge_dst: jax.Array, edge_attr: jax.Array,
+                num_nodes: int, heads: int, out_dim: int,
+                concat: bool = True, negative_slope: float = 0.2,
+                add_self_loops: bool = True) -> jax.Array:
+    """One GATv2 layer.  ``x``: [N, in]; edges are COO (src → dst);
+    ``edge_attr``: [E, edge_dim].  Returns [N, H*out] (concat) or [N, out]."""
+    H, D = heads, out_dim
+    xs = x @ p.w_src + p.b_src           # [N, H*D] source-transformed
+    xd = x @ p.w_dst                     # [N, H*D]
+    ea = edge_attr @ p.w_edge            # [E, H*D]
+
+    if add_self_loops:
+        loop_idx = jnp.arange(num_nodes, dtype=edge_src.dtype)
+        edge_src = jnp.concatenate([edge_src, loop_idx])
+        edge_dst = jnp.concatenate([edge_dst, loop_idx])
+        # fill_value='mean' of edge features (PyG default for GATv2Conv)
+        mean_ea = jnp.mean(ea, axis=0, keepdims=True)
+        ea = jnp.concatenate([ea, jnp.broadcast_to(mean_ea, (num_nodes, H * D))])
+
+    msg = xs[edge_src] + xd[edge_dst] + ea               # [E', H*D]
+    msg = msg.reshape(-1, H, D)
+    act = jax.nn.leaky_relu(msg, negative_slope)
+    scores = jnp.einsum("ehd,hd->eh", act, p.att)        # [E', H]
+    alpha = segment_softmax(scores, edge_dst, num_nodes)  # [E', H]
+
+    src_feat = xs[edge_src].reshape(-1, H, D)
+    weighted = src_feat * alpha[..., None]
+    out = jax.ops.segment_sum(weighted, edge_dst, num_segments=num_nodes)  # [N,H,D]
+    out = out.reshape(num_nodes, H * D) if concat else out.mean(axis=1)
+    return out + p.bias

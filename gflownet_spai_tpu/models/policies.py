@@ -1,0 +1,177 @@
+"""Forward (GATv2) and backward (LSTM) policies for the SPAI GFlowNet.
+
+Forward policy — parity with reference policy.py:25-73:
+  GATv2(1 → hidden, 4 heads, edge_dim=1) → ReLU → GATv2(4·hidden → hidden,
+  1 head) → ReLU → global mean pool over the 2n node set → Linear(hidden →
+  max_num_actions) → slice to the live nnz+1 actions → mask already-taken
+  actions to −inf.  Also owns the learned reward-mixing scalar ``alpha``
+  (reported as sigmoid; reference policy.py:32,71).
+
+  Deviation from the reference (deliberate, B8): the policy returns *logits*,
+  not softmax probabilities — all downstream math stays in log space.
+
+Backward policy — parity with reference policy.py:75-129: an LSTM over the
+``-1``-padded action-index sequence; the last valid hidden state feeds a
+linear head of size max_num_actions whose first ``n_valid`` entries are
+softmaxed into per-step backward probabilities, padded with 1.0 (so padding
+contributes log 0 to the trajectory sum).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .gat import GATv2Params, gatv2_apply, gatv2_init
+
+
+# ---------------------------------------------------------------------------
+# Forward policy
+# ---------------------------------------------------------------------------
+
+class ForwardPolicyParams(NamedTuple):
+    gat1: GATv2Params
+    gat2: GATv2Params
+    fc_w: jax.Array     # [hidden, max_num_actions]
+    fc_b: jax.Array     # [max_num_actions]
+    alpha: jax.Array    # learned scalar, init 0.0 (reference policy.py:32)
+
+
+class GraphInputs(NamedTuple):
+    """Static graph of the seed pattern (reference ``state_to_data``,
+    gflownet/gflownet.py:223-257): node features all-ones over 2n nodes,
+    edges = seed nonzeros, edge features = seed values."""
+    x: jax.Array         # [2n, 1]
+    edge_src: jax.Array  # int32[nnz]
+    edge_dst: jax.Array  # int32[nnz]
+    edge_attr: jax.Array # [nnz, 1]
+
+
+def graph_from_seed(seed) -> GraphInputs:
+    n2 = 2 * seed.shape[0]
+    return GraphInputs(
+        x=jnp.ones((n2, 1), seed.data.dtype),
+        edge_src=seed.row,
+        edge_dst=seed.col,
+        edge_attr=seed.data[:, None],
+    )
+
+
+def forward_policy_init(key, hidden_dim: int, max_num_actions: int,
+                        node_features: int = 1, heads: int = 4,
+                        dtype=jnp.float32) -> ForwardPolicyParams:
+    k1, k2, k3 = jax.random.split(key, 3)
+    lim = jnp.sqrt(1.0 / hidden_dim)
+    return ForwardPolicyParams(
+        gat1=gatv2_init(k1, node_features, hidden_dim, heads, dtype=dtype),
+        gat2=gatv2_init(k2, heads * hidden_dim, hidden_dim, 1, dtype=dtype),
+        fc_w=jax.random.uniform(k3, (hidden_dim, max_num_actions), dtype, -lim, lim),
+        fc_b=jnp.zeros((max_num_actions,), dtype),
+        alpha=jnp.zeros((), dtype),
+    )
+
+
+def forward_policy_logits(p: ForwardPolicyParams, g: GraphInputs,
+                          num_actions: int, hidden_dim: int,
+                          heads: int = 4) -> jax.Array:
+    """Action logits [num_actions] for the static seed graph.
+
+    Because the rollout state never mutates the graph (SURVEY.md §3.1), this
+    is called ONCE per rollout and the taken-action mask is applied outside —
+    the reference recomputes this identical forward every step
+    (gflownet/gflownet.py:145).
+    """
+    n_nodes = g.x.shape[0]
+    h = gatv2_apply(p.gat1, g.x, g.edge_src, g.edge_dst, g.edge_attr,
+                    n_nodes, heads, hidden_dim)
+    h = jax.nn.relu(h)
+    h = gatv2_apply(p.gat2, h, g.edge_src, g.edge_dst, g.edge_attr,
+                    n_nodes, 1, hidden_dim)
+    h = jax.nn.relu(h)
+    pooled = h.mean(axis=0)                       # global_mean_pool, batch=1
+    logits = pooled @ p.fc_w + p.fc_b             # [max_num_actions]
+    return logits[:num_actions]                   # slice to live nnz+1
+
+
+def forward_policy_alpha(p: ForwardPolicyParams) -> jax.Array:
+    return jax.nn.sigmoid(p.alpha)
+
+
+# ---------------------------------------------------------------------------
+# Backward policy
+# ---------------------------------------------------------------------------
+
+class BackwardPolicyParams(NamedTuple):
+    w_ih: jax.Array   # [input_dim, 4*hidden]
+    w_hh: jax.Array   # [hidden, 4*hidden]
+    b: jax.Array      # [4*hidden]
+    fc_w: jax.Array   # [hidden, max_num_actions]
+    fc_b: jax.Array   # [max_num_actions]
+
+
+def backward_policy_init(key, hidden_dim: int, max_num_actions: int,
+                         input_dim: int = 1, dtype=jnp.float32) -> BackwardPolicyParams:
+    k1, k2, k3 = jax.random.split(key, 3)
+    lim = jnp.sqrt(1.0 / hidden_dim)
+    u = lambda k, s: jax.random.uniform(k, s, dtype, -lim, lim)
+    return BackwardPolicyParams(
+        w_ih=u(k1, (input_dim, 4 * hidden_dim)),
+        w_hh=u(k2, (hidden_dim, 4 * hidden_dim)),
+        b=jnp.zeros((4 * hidden_dim,), dtype),
+        fc_w=u(k3, (hidden_dim, max_num_actions)),
+        fc_b=jnp.zeros((max_num_actions,), dtype),
+    )
+
+
+def _lstm_cell(p: BackwardPolicyParams, carry, x_t):
+    h, c = carry
+    gates = x_t @ p.w_ih + h @ p.w_hh + p.b
+    i, f, g, o = jnp.split(gates, 4, axis=-1)
+    c = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+    h = jax.nn.sigmoid(o) * jnp.tanh(c)
+    return (h, c), h
+
+
+def backward_policy_logprobs(p: BackwardPolicyParams, actions: jax.Array,
+                             hidden_dim: int) -> jax.Array:
+    """Per-step backward log-probabilities for one trajectory.
+
+    ``actions``: int32[T], ``-1``-padded.  Returns float[T] where entry t is
+    ``log P_B(step t)``; padded steps contribute exactly 0 (the reference
+    pads probabilities with 1.0, policy.py:125).
+
+    The scan replaces the reference's per-sample Python loop + packed
+    sequences (policy.py:93-113): we run the LSTM over the full padded
+    sequence but freeze the carry on padded steps, which is equivalent to
+    stopping at the last valid step.
+    """
+    T = actions.shape[0]
+    valid = actions >= 0
+    n_valid = jnp.sum(valid.astype(jnp.int32))
+    xs = actions.astype(p.w_ih.dtype)[:, None]          # input_dim = 1
+
+    def step(carry, inp):
+        x_t, v = inp
+        new_carry, h = _lstm_cell(p, carry, x_t)
+        carry = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(v, new, old), new_carry, carry
+        )
+        return carry, None
+
+    h0 = jnp.zeros((hidden_dim,), p.w_ih.dtype)
+    (h_last, _), _ = jax.lax.scan(step, (h0, h0), (xs, valid))
+
+    logits = h_last @ p.fc_w + p.fc_b                   # [max_num_actions]
+    step_ids = jnp.arange(T)
+    # softmax over the first n_valid entries, evaluated at position t
+    masked = jnp.where(step_ids < n_valid, logits[:T], -jnp.inf)
+    logp = jax.nn.log_softmax(masked)
+    return jnp.where(step_ids < n_valid, logp, 0.0)
+
+
+def backward_policy_batch(p: BackwardPolicyParams, actions: jax.Array,
+                          hidden_dim: int) -> jax.Array:
+    """[B, T] action matrix → [B, T] backward log-probs (vmap of the above)."""
+    return jax.vmap(lambda a: backward_policy_logprobs(p, a, hidden_dim))(actions)

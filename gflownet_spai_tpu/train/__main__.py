@@ -1,0 +1,73 @@
+"""CLI driver: ``python -m gflownet_spai_tpu.train``.
+
+Function-shaped entry point with the reference's knobs as flags — the
+capability the reference spreads across hardcoded module constants
+(GFlowNet100.py:23-34) and the stale ``train(matrix_path, batch_size,
+num_epochs, lr)`` (train.py:10, API-broken per SURVEY.md B1/B2).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+
+import jax
+
+from .config import TrainConfig
+from .loop import train
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="gflownet_spai_tpu.train",
+        description="Train a GFlowNet to sample SPAI preconditioner patterns.",
+    )
+    d = TrainConfig()
+    p.add_argument("--matrix", default=d.matrix,
+                   help="gallery name (LF10|bcsstk03|olm500|poisson32) or .mtx path")
+    p.add_argument("--seed-method", default=d.seed_method,
+                   choices=["ilu0", "spilu", "pattern"])
+    p.add_argument("--reference-baseline", action="store_true",
+                   help="score against the seed matrix like the reference driver "
+                        "(GFlowNet100.py:173) instead of the true A")
+    p.add_argument("--hidden-dim", type=int, default=d.hidden_dim)
+    p.add_argument("--heads", type=int, default=d.heads)
+    p.add_argument("--batch-size", type=int, default=d.batch_size)
+    p.add_argument("--epochs", type=int, default=d.num_epochs, dest="num_epochs")
+    p.add_argument("--lr", type=float, default=d.lr)
+    p.add_argument("--prng-seed", type=int, default=d.prng_seed)
+    p.add_argument("--dtype", default=d.dtype)
+    p.add_argument("--platform", default=None, help="cpu to force CPU backend")
+    p.add_argument("--out-dir", default=d.out_dir)
+    p.add_argument("--log-every", type=int, default=d.log_every)
+    p.add_argument("--checkpoint-every", type=int, default=d.checkpoint_every)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--legacy", action="store_true",
+                   help="reference train.py hyperparams (batch 32, lr 1e-3, hidden 32)")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    base = TrainConfig.legacy() if args.legacy else TrainConfig()
+    overrides = {
+        k: v for k, v in vars(args).items()
+        if k != "legacy" and v != getattr(TrainConfig(), k, None)
+    }
+    if args.legacy:
+        for k in ("batch_size", "lr", "hidden_dim"):
+            defaults = TrainConfig()
+            if vars(args)[k] == getattr(defaults, k):
+                overrides.pop(k, None)
+    cfg = dataclasses.replace(base, **overrides)
+    if cfg.platform:
+        jax.config.update("jax_platforms", cfg.platform)
+    print(f"config: {cfg}")
+    print(f"devices: {jax.devices()}")
+    _, history = train(cfg)
+    print(f"final loss: {history[-1]:.4f}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

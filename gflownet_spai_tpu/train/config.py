@@ -1,0 +1,60 @@
+"""Training configuration.
+
+The reference has no config system — every knob is a hardcoded module
+constant (SURVEY.md §5 "Config / flag system").  This dataclass collects
+those exact knobs with the reference's current-driver defaults:
+
+* ``batch_size=2, num_epochs=1000, lr=5e-4``   (GFlowNet100.py:32-34)
+* ``hidden_dim=4``                              (GFlowNet100.py:180)
+* Adam + ReduceLROnPlateau(factor=0.2, patience=10)  (GFlowNet100.py:266-267)
+* reward scale 1000                             (preconditioner.py:64)
+* GMRES maxiter=10260                           (GFlowNet100.py:81)
+
+The ``train.py`` legacy variant (batch 32, lr 1e-3, hidden 32 —
+reference train.py:18,54-56) is available as ``TrainConfig.legacy()``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    # data
+    matrix: str = "LF10"            # gallery name or path to a .mtx file
+    seed_method: str = "ilu0"       # ilu0 | spilu | pattern
+    reference_baseline: bool = False  # True → original_matrix = seed (GFlowNet100.py:173)
+
+    # model (reference GFlowNet100.py:180, policy.py:19)
+    hidden_dim: int = 4
+    heads: int = 4
+
+    # optimization (reference GFlowNet100.py:32-34, 266-267)
+    batch_size: int = 2
+    num_epochs: int = 1000
+    lr: float = 5e-4
+    plateau_factor: float = 0.2
+    plateau_patience: int = 10
+
+    # runtime
+    prng_seed: int = 0
+    dtype: str = "float32"
+    platform: Optional[str] = None   # None → default backend; "cpu" forces CPU
+    dp_devices: int = 1              # data-parallel mesh size (1 = single chip)
+
+    # outputs (CSV schema parity with GFlowNet100.py:226-255)
+    out_dir: str = "runs/default"
+    log_every: int = 10
+    checkpoint_every: int = 0        # 0 = only at the end
+    resume: bool = False
+
+    # validation
+    gmres_maxiter: int = 10260       # reference GFlowNet100.py:81
+    gmres_restart: int = 30
+
+    @classmethod
+    def legacy(cls, **kw) -> "TrainConfig":
+        """The reference train.py variant (train.py:18,54-56)."""
+        return cls(batch_size=32, lr=1e-3, hidden_dim=32, **kw)

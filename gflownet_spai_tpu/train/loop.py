@@ -1,0 +1,223 @@
+"""Jit-compiled training loop for the SPAI GFlowNet.
+
+Mirrors the reference epoch loop (GFlowNet100.py:278-323): sample a batch
+of trajectories, TB loss, NaN/Inf guard, ReduceLROnPlateau, Adam step — but
+the whole step (rollout → reward → loss → grads → update) is one compiled
+XLA program.  Metrics land in the reference's CSV schema plus a JSONL
+stream; checkpoints go through orbax (capability absent in the reference —
+SURVEY.md §5 "Checkpoint / resume").
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import time
+from pathlib import Path
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..env import ilu, spai
+from ..gfn import gflownet as gfn
+from ..models import policies as pol
+from ..sparse import gallery, read_mtx
+from ..sparse.types import COO
+from .config import TrainConfig
+
+
+class TrainState(NamedTuple):
+    params: gfn.GFlowNetParams
+    opt_state: optax.OptState
+    key: jax.Array
+    epoch: jax.Array
+
+
+def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+    """Adam + plateau LR decay (reference GFlowNet100.py:266-267).
+
+    The reference steps ``ReduceLROnPlateau`` on the raw per-epoch stochastic
+    loss, which on a noisy TB objective collapses the LR to ~0 within tens of
+    epochs (measured: α/log Z freeze by epoch 40 on LF10).  We therefore
+    (a) average ``patience`` epochs before comparing (``accumulation_size``),
+    (b) add an equal cooldown, and (c) floor the decay at 5% of the base LR.
+    Set ``plateau_patience=0`` to disable the schedule entirely.
+    """
+    if cfg.plateau_patience <= 0:
+        return optax.adam(cfg.lr)
+    return optax.chain(
+        optax.adam(cfg.lr),
+        optax.contrib.reduce_on_plateau(
+            factor=cfg.plateau_factor,
+            patience=cfg.plateau_patience,
+            cooldown=cfg.plateau_patience,
+            accumulation_size=max(1, cfg.plateau_patience),
+            min_scale=0.05,
+        ),
+    )
+
+
+def load_matrix(cfg: TrainConfig) -> COO:
+    if cfg.matrix in gallery.GALLERY:
+        return gallery.get(cfg.matrix)
+    return read_mtx(cfg.matrix)
+
+
+def setup(cfg: TrainConfig):
+    """Host-side setup: matrix → seed pattern → env/graph/params/opt."""
+    dtype = jnp.dtype(cfg.dtype)
+    a = load_matrix(cfg)
+    a = COO(row=a.row, col=a.col, data=a.data.astype(dtype), shape=a.shape)
+    seed = ilu.seed_pattern(a, method=cfg.seed_method, dtype=dtype)
+    env = spai.make_env(seed, original=None if cfg.reference_baseline else a)
+    graph = pol.graph_from_seed(seed)
+    mcfg = gfn.GFlowNetConfig(
+        hidden_dim=cfg.hidden_dim, heads=cfg.heads, num_actions=env.num_actions
+    )
+    params = gfn.init_params(jax.random.PRNGKey(cfg.prng_seed), mcfg, dtype=dtype)
+    opt = make_optimizer(cfg)
+    state = TrainState(
+        params=params,
+        opt_state=opt.init(params),
+        key=jax.random.PRNGKey(cfg.prng_seed + 1),
+        epoch=jnp.zeros((), jnp.int32),
+    )
+    return a, seed, env, graph, mcfg, opt, state
+
+
+def make_train_step(cfg: TrainConfig, env, graph, mcfg, opt):
+    """One fully-jitted epoch: rollout + loss + guard + update."""
+
+    def step(state: TrainState):
+        key, sub = jax.random.split(state.key)
+        (loss, aux), grads = jax.value_and_grad(gfn.loss_fn, has_aux=True)(
+            state.params, env, graph, mcfg, sub, cfg.batch_size
+        )
+        # NaN/Inf guard — reference skips the epoch (GFlowNet100.py:307-309);
+        # here bad steps contribute a zero update but still advance LR state.
+        good = jnp.isfinite(loss)
+        grads = jax.tree_util.tree_map(
+            lambda g: jnp.where(good, g, jnp.zeros_like(g)), grads
+        )
+        updates, opt_state = opt.update(
+            grads, state.opt_state, state.params,
+            value=jnp.where(good, loss, jnp.inf),
+        )
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            params=params, opt_state=opt_state, key=key, epoch=state.epoch + 1
+        )
+        metrics = {
+            "loss": loss,
+            "reward_mean": jnp.mean(aux["rewards"]),
+            "reward_max": jnp.max(aux["rewards"]),
+            "alpha": aux["alpha"],
+            "log_z": params.log_z,
+            "mean_len": jnp.mean(aux["lengths"].astype(jnp.float32)),
+            "lengths": aux["lengths"],
+            "rewards": aux["rewards"],
+            "skipped": ~good,
+        }
+        return new_state, metrics
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+class MetricsWriter:
+    """CSV schema parity with the reference (GFlowNet100.py:226-255:
+    ``training_log.csv`` = epoch,num_actions,loss,reward and
+    ``detailed_training_log.csv`` adds per-sample rows) + a JSONL stream."""
+
+    def __init__(self, out_dir: str):
+        self.dir = Path(out_dir)
+        self.dir.mkdir(parents=True, exist_ok=True)
+        self.summary = open(self.dir / "training_log.csv", "w")
+        self.summary.write("epoch,num_actions,loss,reward\n")
+        self.detail = open(self.dir / "detailed_training_log.csv", "w")
+        self.detail.write("epoch,sample_number,num_actions,loss,reward\n")
+        self.jsonl = open(self.dir / "metrics.jsonl", "w")
+
+    def write(self, epoch: int, m: dict):
+        loss = float(m["loss"])
+        rewards = np.asarray(m["rewards"])
+        lengths = np.asarray(m["lengths"])
+        self.summary.write(
+            f"{epoch},{int(lengths.max())},{loss},{rewards.mean()}\n"
+        )
+        for i, (r, l) in enumerate(zip(rewards, lengths)):
+            self.detail.write(f"{epoch},{i + 1},{int(l)},{loss},{float(r)}\n")
+        rec = {
+            "epoch": epoch,
+            "loss": loss,
+            "reward_mean": float(m["reward_mean"]),
+            "reward_max": float(m["reward_max"]),
+            "alpha": float(m["alpha"]),
+            "log_z": float(m["log_z"]),
+            "mean_len": float(m["mean_len"]),
+            "skipped": bool(m["skipped"]),
+            "time": time.time(),
+        }
+        self.jsonl.write(json.dumps(rec) + "\n")
+
+    def flush(self):
+        for f in (self.summary, self.detail, self.jsonl):
+            f.flush()
+
+    def close(self):
+        for f in (self.summary, self.detail, self.jsonl):
+            f.close()
+
+
+def save_checkpoint(out_dir: str, state: TrainState):
+    import orbax.checkpoint as ocp
+
+    path = Path(out_dir).absolute() / "checkpoint"
+    with ocp.StandardCheckpointer() as ckpt:
+        ckpt.save(path / f"epoch_{int(state.epoch)}", state, force=True)
+
+
+def restore_checkpoint(out_dir: str, template: TrainState) -> Optional[TrainState]:
+    import orbax.checkpoint as ocp
+
+    base = Path(out_dir).absolute() / "checkpoint"
+    if not base.exists():
+        return None
+    steps = sorted(base.glob("epoch_*"), key=lambda p: int(p.name.split("_")[1]))
+    if not steps:
+        return None
+    with ocp.StandardCheckpointer() as ckpt:
+        return ckpt.restore(steps[-1], template)
+
+
+def train(cfg: TrainConfig, progress: bool = True):
+    """Full training run; returns (final TrainState, history list)."""
+    a, seed, env, graph, mcfg, opt, state = setup(cfg)
+    if cfg.resume:
+        restored = restore_checkpoint(cfg.out_dir, state)
+        if restored is not None:
+            state = restored
+    step = make_train_step(cfg, env, graph, mcfg, opt)
+    writer = MetricsWriter(cfg.out_dir)
+    history = []
+    start_epoch = int(state.epoch)
+    for epoch in range(start_epoch, cfg.num_epochs):
+        state, metrics = step(state)
+        writer.write(epoch, jax.device_get(metrics))
+        if progress and epoch % cfg.log_every == 0:
+            writer.flush()
+            print(
+                f"epoch {epoch} loss {float(metrics['loss']):.4f} "
+                f"reward {float(metrics['reward_mean']):.2f} "
+                f"alpha {float(metrics['alpha']):.3f} "
+                f"len {float(metrics['mean_len']):.1f}",
+                flush=True,
+            )
+        history.append(float(metrics["loss"]))
+        if cfg.checkpoint_every and (epoch + 1) % cfg.checkpoint_every == 0:
+            save_checkpoint(cfg.out_dir, state)
+    save_checkpoint(cfg.out_dir, state)
+    writer.close()
+    return state, history

@@ -1,0 +1,225 @@
+"""GFlowNet core: Gumbel-top-k rollout equivalence, policies, TB loss."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gflownet_spai_tpu.gfn.rollout import (
+    gumbel_topk_rollout,
+    sequential_logprobs,
+    scan_rollout,
+)
+from gflownet_spai_tpu.gfn.loss import log_reward, trajectory_balance_loss
+from gflownet_spai_tpu.models import (
+    backward_policy_batch,
+    backward_policy_init,
+    backward_policy_logprobs,
+    forward_policy_alpha,
+    forward_policy_init,
+    forward_policy_logits,
+    graph_from_seed,
+)
+from gflownet_spai_tpu.models.gat import gatv2_apply, gatv2_init, segment_softmax
+
+
+# ---------------------------------------------------------------------------
+# rollout
+# ---------------------------------------------------------------------------
+
+def test_gumbel_logprobs_match_sequential_oracle():
+    """Per-step fwd log-probs of a Gumbel-sampled trajectory must equal the
+    sequential masked-categorical evaluation of the same action sequence."""
+    key = jax.random.PRNGKey(0)
+    logits = jax.random.normal(jax.random.PRNGKey(1), (3, 12), jnp.float64)
+    roll = gumbel_topk_rollout(logits, key, terminal_action=11)
+    for b in range(3):
+        want = sequential_logprobs(logits[b], roll.actions[b])
+        np.testing.assert_allclose(
+            np.asarray(roll.fwd_logprobs[b]), np.asarray(want), rtol=1e-10
+        )
+
+
+def test_gumbel_trajectory_structure():
+    key = jax.random.PRNGKey(2)
+    logits = jnp.zeros((8, 6))
+    roll = gumbel_topk_rollout(logits, key, terminal_action=5)
+    acts = np.asarray(roll.actions)
+    lens = np.asarray(roll.lengths)
+    for b in range(8):
+        traj = acts[b][acts[b] >= 0]
+        assert len(traj) == lens[b]
+        assert traj[-1] == 5                      # ends with terminal
+        assert 5 not in traj[:-1]
+        assert len(set(traj.tolist())) == len(traj)  # no repeats (masking invariant)
+        assert (acts[b][lens[b]:] == -1).all()
+
+
+def test_gumbel_distribution_matches_sequential_sampler():
+    """Statistical check of the Plackett–Luce equivalence on 3 actions
+    (terminal = 2): full-trajectory frequencies vs exact probabilities."""
+    logits = jnp.asarray([0.3, -0.5, 0.1], jnp.float64)
+    N = 40000
+    roll = gumbel_topk_rollout(
+        jnp.broadcast_to(logits, (N, 3)), jax.random.PRNGKey(3), terminal_action=2
+    )
+    acts = np.asarray(roll.actions)
+    # enumerate all trajectories ending in 2: (2,), (0,2), (1,2), (0,1,2), (1,0,2)
+    seqs = [(2,), (0, 2), (1, 2), (0, 1, 2), (1, 0, 2)]
+    p = np.exp(np.asarray(logits) - np.logaddexp.reduce(np.asarray(logits)))
+
+    def exact_prob(seq):
+        remaining = [0, 1, 2]
+        prob = 1.0
+        for a in seq:
+            z = sum(p[r] for r in remaining)
+            prob *= p[a] / z
+            remaining.remove(a)
+        return prob
+
+    for seq in seqs:
+        want = exact_prob(seq)
+        got = np.mean([tuple(a[a >= 0]) == seq for a in acts])
+        assert abs(got - want) < 4 * np.sqrt(want * (1 - want) / N) + 1e-3, (seq, got, want)
+
+
+def test_scan_rollout_grid():
+    from gflownet_spai_tpu.env import grid as G
+
+    g = G.GridEnv(size=5)
+
+    def logits_fn(idx, t):
+        m = G.mask(g, idx)
+        return jnp.where(m, 0.0, -jnp.inf)
+
+    def update_fn(idx, a):
+        return G.update(g, idx, a)
+
+    keys = jax.random.split(jax.random.PRNGKey(4), 64)
+    finals, rolls = jax.vmap(
+        lambda k: scan_rollout(logits_fn, update_fn, jnp.asarray(0), k,
+                               G.TERMINATE, max_steps=12)
+    )(keys)
+    finals = np.asarray(finals)
+    assert (finals >= 0).all() and (finals < 25).all()
+    # positions must be reachable by down/right moves only
+    acts = np.asarray(rolls.actions)
+    for b in range(64):
+        traj = acts[b][acts[b] >= 0]
+        assert traj[-1] == G.TERMINATE
+        r, c = finals[b] // 5, finals[b] % 5
+        downs = (traj == G.DOWN).sum()
+        rights = (traj == G.RIGHT).sum()
+        assert (r, c) == (downs, rights)
+
+
+# ---------------------------------------------------------------------------
+# models
+# ---------------------------------------------------------------------------
+
+def test_segment_softmax_vs_dense():
+    key = jax.random.PRNGKey(0)
+    scores = jax.random.normal(key, (10, 4), jnp.float64)
+    seg = jnp.asarray([0, 0, 0, 1, 1, 2, 2, 2, 2, 3])
+    out = np.asarray(segment_softmax(scores, seg, 4))
+    s = np.asarray(scores)
+    for i in range(4):
+        m = np.asarray(seg) == i
+        want = np.exp(s[m]) / np.exp(s[m]).sum(0)
+        np.testing.assert_allclose(out[m], want, rtol=1e-10)
+
+
+def test_gatv2_permutation_equivariance():
+    """Relabeling edge order must not change node outputs."""
+    key = jax.random.PRNGKey(5)
+    p = gatv2_init(key, 3, 4, heads=2, dtype=jnp.float64)
+    N, E = 6, 10
+    rng = np.random.default_rng(0)
+    src = jnp.asarray(rng.integers(0, N, E), jnp.int32)
+    dst = jnp.asarray(rng.integers(0, N, E), jnp.int32)
+    x = jnp.asarray(rng.standard_normal((N, 3)))
+    ea = jnp.asarray(rng.standard_normal((E, 1)))
+    out1 = gatv2_apply(p, x, src, dst, ea, N, 2, 4)
+    perm = rng.permutation(E)
+    out2 = gatv2_apply(p, x, src[perm], dst[perm], ea[perm], N, 2, 4)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), rtol=1e-10)
+
+
+def test_gatv2_attention_normalized():
+    """With identical node features, an isolated node (self-loop only)
+    aggregates exactly its own transformed feature + bias."""
+    key = jax.random.PRNGKey(6)
+    p = gatv2_init(key, 2, 3, heads=1, dtype=jnp.float64)
+    N = 4
+    x = jnp.ones((N, 2), jnp.float64)
+    src = jnp.asarray([0, 1], jnp.int32)
+    dst = jnp.asarray([1, 0], jnp.int32)
+    ea = jnp.asarray([[0.5], [0.2]])
+    out = gatv2_apply(p, x, src, dst, ea, N, 1, 3)
+    want_isolated = (x[2] @ p.w_src + p.b_src) + p.bias
+    np.testing.assert_allclose(np.asarray(out[2]), np.asarray(want_isolated), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(out[3]), np.asarray(out[2]), rtol=1e-12)
+
+
+def test_forward_policy_shapes_and_alpha():
+    from gflownet_spai_tpu.sparse import gallery
+    from gflownet_spai_tpu.env import seed_pattern
+
+    seed = seed_pattern(gallery.get("LF10"), method="ilu0", dtype=jnp.float64)
+    g = graph_from_seed(seed)
+    A = seed.nnz + 1
+    p = forward_policy_init(jax.random.PRNGKey(7), 4, A, dtype=jnp.float64)
+    logits = forward_policy_logits(p, g, A, 4)
+    assert logits.shape == (A,)
+    assert np.isfinite(np.asarray(logits)).all()
+    assert float(forward_policy_alpha(p)) == pytest.approx(0.5)  # sigmoid(0)
+
+
+def test_backward_policy_padding_contributes_zero():
+    p = backward_policy_init(jax.random.PRNGKey(8), 4, 10, dtype=jnp.float64)
+    acts = jnp.asarray([3, 1, 9, -1, -1, -1], jnp.int32)
+    lp = np.asarray(backward_policy_logprobs(p, acts, 4))
+    assert (lp[3:] == 0.0).all()
+    np.testing.assert_allclose(np.exp(lp[:3]).sum(), 1.0, rtol=1e-10)
+    # batch version agrees
+    lp_b = np.asarray(backward_policy_batch(p, acts[None, :], 4))
+    np.testing.assert_allclose(lp_b[0], lp, rtol=1e-12)
+
+
+def test_backward_policy_ignores_trailing_padding():
+    """The LSTM carry freezes on padded steps: padding must not change the
+    distribution over valid steps."""
+    p = backward_policy_init(jax.random.PRNGKey(9), 4, 12, dtype=jnp.float64)
+    a1 = jnp.asarray([5, 2, 11, -1, -1], jnp.int32)
+    a2 = jnp.asarray([5, 2, 11, -1, -1, -1, -1, -1], jnp.int32)
+    lp1 = np.asarray(backward_policy_logprobs(p, a1, 4))
+    lp2 = np.asarray(backward_policy_logprobs(p, a2, 4))
+    np.testing.assert_allclose(lp1[:3], lp2[:3], rtol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# loss
+# ---------------------------------------------------------------------------
+
+def test_tb_loss_zero_at_balance():
+    lz = jnp.asarray(1.5)
+    lr = jnp.asarray([0.5, -0.2])
+    f = jnp.asarray([-2.0, -1.0])
+    b = lz + f - lr
+    assert float(trajectory_balance_loss(lz, lr, f, b)) == pytest.approx(0.0)
+
+
+def test_tb_loss_textbook_value():
+    lz = jnp.asarray(0.0)
+    lr = jnp.asarray([0.0])
+    f = jnp.asarray([-1.0])
+    b = jnp.asarray([0.0])
+    assert float(trajectory_balance_loss(lz, lr, f, b)) == pytest.approx(1.0)
+
+
+def test_log_reward_clamps_negative():
+    r = jnp.asarray([-5.0, 0.0, 2.0])
+    lr = np.asarray(log_reward(r))
+    assert np.isfinite(lr).all()
+    np.testing.assert_allclose(lr[2], np.log(2.0))

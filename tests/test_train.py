@@ -1,0 +1,137 @@
+"""Integration: the SPAI training loop learns on small matrices (loss ↓),
+grid toy env trains to the known target distribution, checkpoints roundtrip."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gflownet_spai_tpu.train import TrainConfig, make_train_step, setup, train
+
+
+@pytest.fixture(scope="module")
+def lf10_setup():
+    cfg = TrainConfig(matrix="LF10", batch_size=8, num_epochs=60, lr=5e-3,
+                      hidden_dim=4, dtype="float32")
+    return cfg, setup(cfg)
+
+
+def test_train_step_runs_and_is_finite(lf10_setup):
+    cfg, (a, seed, env, graph, mcfg, opt, state) = lf10_setup
+    step = make_train_step(cfg, env, graph, mcfg, opt)
+    state, m = step(state)
+    assert np.isfinite(float(m["loss"]))
+    assert not bool(m["skipped"])
+    assert np.asarray(m["lengths"]).min() >= 1
+
+
+def test_loss_decreases_on_lf10(tmp_path):
+    cfg = TrainConfig(matrix="LF10", batch_size=16, num_epochs=150, lr=5e-3,
+                      hidden_dim=4, out_dir=str(tmp_path / "run"))
+    _, history = train(cfg, progress=False)
+    early = np.mean(history[:20])
+    late = np.mean(history[-20:])
+    assert late < early, (early, late)
+    # reference-style summary CSV exists with the right header
+    header = (tmp_path / "run" / "training_log.csv").read_text().splitlines()[0]
+    assert header == "epoch,num_actions,loss,reward"
+
+
+def test_checkpoint_resume(tmp_path):
+    out = str(tmp_path / "ckpt_run")
+    cfg = TrainConfig(matrix="LF10", batch_size=4, num_epochs=5, lr=1e-3,
+                      out_dir=out)
+    state, _ = train(cfg, progress=False)
+    cfg2 = TrainConfig(matrix="LF10", batch_size=4, num_epochs=8, lr=1e-3,
+                       out_dir=out, resume=True)
+    state2, history2 = train(cfg2, progress=False)
+    assert int(state.epoch) == 5
+    assert int(state2.epoch) == 8
+    assert len(history2) == 3  # resumed from epoch 5, ran 3 more
+
+
+def test_grid_gflownet_learns_target_distribution():
+    """Train a tiny MLP GFlowNet on the 8×8 grid env with uniform backward
+    policy; the sampled distribution should concentrate on high-reward bands
+    (the de-facto upstream sanity check, SURVEY.md §4)."""
+    from gflownet_spai_tpu.env import grid as G
+    from gflownet_spai_tpu.gfn.rollout import scan_rollout
+    from gflownet_spai_tpu.gfn.loss import trajectory_balance_loss
+    import optax
+
+    g = G.GridEnv(size=8)
+    H = 32
+
+    def init(key):
+        k1, k2 = jax.random.split(key)
+        return {
+            "w1": jax.random.normal(k1, (g.state_dim, H)) * 0.1,
+            "b1": jnp.zeros(H),
+            "w2": jax.random.normal(k2, (H, 3)) * 0.1,
+            "b2": jnp.zeros(3),
+            "log_z": jnp.zeros(()),
+        }
+
+    def logits(params, idx):
+        x = jax.nn.one_hot(idx, g.state_dim)
+        h = jax.nn.relu(x @ params["w1"] + params["b1"])
+        out = h @ params["w2"] + params["b2"]
+        return jnp.where(G.mask(g, idx), out, -jnp.inf)
+
+    def rollout_batch(params, key, B=64):
+        keys = jax.random.split(key, B)
+        return jax.vmap(
+            lambda k: scan_rollout(
+                lambda s, t: logits(params, s),
+                lambda s, a: G.update(g, s, a),
+                jnp.asarray(0), k, G.TERMINATE, max_steps=15,
+            )
+        )(keys)
+
+    def loss_fn(params, key):
+        finals, rolls = rollout_batch(params, key)
+        rewards = G.reward(g, finals)
+        # uniform backward: each state has exactly one parent path choice set;
+        # P_B = 1/(#parents); on the grid #parents = moves made so far, but the
+        # standard upstream toy uses P_B = 1 product (tree-structured DAG is
+        # false here, yet TB still trains; we use 1/n_parents for correctness)
+        coord_r = finals // g.size
+        coord_c = finals % g.size
+        n_moves = rolls.lengths - 1
+        # number of distinct trajectories to (r,c) is binom(r+c, r); uniform
+        # backward over parents gives log P_B = -log binom(r+c, r)
+        logbinom = (
+            jax.scipy.special.gammaln(coord_r + coord_c + 1.0)
+            - jax.scipy.special.gammaln(coord_r + 1.0)
+            - jax.scipy.special.gammaln(coord_c + 1.0)
+        )
+        return trajectory_balance_loss(
+            params["log_z"],
+            jnp.log(rewards),
+            rolls.fwd_logprobs.sum(-1),
+            -logbinom,
+        )
+
+    params = init(jax.random.PRNGKey(0))
+    opt = optax.adam(5e-3)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state, key):
+        l, grads = jax.value_and_grad(loss_fn)(params, key)
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, l
+
+    key = jax.random.PRNGKey(1)
+    losses = []
+    for i in range(300):
+        key, sub = jax.random.split(key)
+        params, opt_state, l = step(params, opt_state, sub)
+        losses.append(float(l))
+    assert np.mean(losses[-30:]) < np.mean(losses[:30])
+
+    # sample and check mass concentrates on reward bands
+    finals, _ = rollout_batch(params, jax.random.PRNGKey(99), B=512)
+    r = np.asarray(G.reward(g, finals))
+    assert (r > 0.5).mean() > 0.35, f"only {(r > 0.5).mean():.2%} in high-reward bands"
