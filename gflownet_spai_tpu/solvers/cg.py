@@ -1,0 +1,88 @@
+"""Preconditioned conjugate gradients (SPD systems) with residual history.
+
+Companion to the GMRES harness for the SPD configs in BASELINE.json
+(Poisson / bcsstk-class matrices): same history/iteration-count semantics,
+same static-shape ``lax.while_loop`` structure.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+class CGResult(NamedTuple):
+    x: jax.Array
+    residuals: jax.Array   # [maxiter] ‖r_k‖ history, NaN-padded
+    iterations: jax.Array
+    converged: jax.Array
+
+
+def _identity(x):
+    return x
+
+
+@partial(jax.jit, static_argnames=("a_op", "m_op", "maxiter"))
+def cg(
+    a_op: Callable,
+    b: jax.Array,
+    x0: Optional[jax.Array] = None,
+    m_op: Optional[Callable] = None,
+    maxiter: int = 1000,
+    rtol: float = 1e-5,
+    atol: float = 0.0,
+) -> CGResult:
+    m_op = m_op or _identity
+    x0 = jnp.zeros_like(b) if x0 is None else x0
+    bnorm = jnp.linalg.norm(b)
+    tol = jnp.maximum(rtol * bnorm, atol)
+
+    r0 = b - a_op(x0)
+    z0 = m_op(r0)
+    p0 = z0
+
+    def body(state):
+        x, r, z, p, rz, it, hist, done = state
+        ap = a_op(p)
+        alpha = rz / jnp.dot(p, ap)
+        x = x + alpha * p
+        r = r - alpha * ap
+        z = m_op(r)
+        rz_new = jnp.dot(r, z)
+        beta = rz_new / rz
+        p = z + beta * p
+        rnorm = jnp.linalg.norm(r)
+        hist = hist.at[it].set(rnorm)
+        it = it + 1
+        done = rnorm <= tol
+        return x, r, z, p, rz_new, it, hist, done
+
+    def cond(state):
+        *_, it, _, done = state
+        return (~done) & (it < maxiter)
+
+    hist0 = jnp.full((maxiter,), jnp.nan, b.dtype)
+    x, r, *_, it, hist, done = jax.lax.while_loop(
+        cond, body,
+        (x0, r0, z0, p0, jnp.dot(r0, z0), jnp.asarray(0, jnp.int32), hist0,
+         jnp.linalg.norm(r0) <= tol),
+    )
+    return CGResult(x=x, residuals=hist, iterations=it, converged=done)
+
+
+def solve_with_cg(a, b, m=None, maxiter: int = 1000, rtol: float = 1e-5):
+    """Harness wrapper mirroring ``solve_with_gmres``."""
+    import time
+
+    from ..sparse.ops import spmv
+
+    a_op = a if callable(a) else partial(spmv, a)
+    m_op = None if m is None else (m if callable(m) else partial(spmv, m))
+    t0 = time.time()
+    res = cg(a_op, b, m_op=m_op, maxiter=maxiter, rtol=rtol)
+    jax.block_until_ready(res.x)
+    elapsed = time.time() - t0
+    return res.x, res.residuals[: int(res.iterations)], int(res.iterations), elapsed

@@ -1,0 +1,80 @@
+"""Validation harness: GMRES/CG iteration-count comparison.
+
+The reference's acceptance metric (SURVEY.md §3.4): solve ``A x = b`` with
+GMRES, unpreconditioned vs ILU vs the sampled SPAI pattern, and compare
+iteration counts, residual histories, and wall-clock (reference
+GFlowNet100.py:61-93,98-132).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..env import ilu as ilu_mod
+from ..env import spai as spai_mod
+from ..sparse.types import COO
+from .gmres import solve_with_gmres
+from .cg import solve_with_cg
+from .precond import ilu_solve_op, spai_op
+
+
+@dataclasses.dataclass
+class SolveReport:
+    iterations: int
+    elapsed: float
+    final_residual: float
+    converged: bool
+
+    def to_dict(self):
+        return dataclasses.asdict(self)
+
+
+def _report(x, residuals, iters, elapsed) -> SolveReport:
+    final = float(residuals[-1]) if len(residuals) else float("nan")
+    return SolveReport(
+        iterations=iters, elapsed=elapsed, final_residual=final,
+        converged=bool(np.isfinite(final)),
+    )
+
+
+def validate_preconditioners(
+    a: COO,
+    b: Optional[jnp.ndarray] = None,
+    sampled_m: Optional[COO] = None,
+    maxiter: int = 10260,
+    restart: int = 30,
+    method: str = "gmres",
+    seed_method: str = "ilu0",
+) -> Dict[str, SolveReport]:
+    """Run the reference comparison: none vs ILU vs (optionally) sampled SPAI."""
+    n = a.shape[0]
+    if b is None:
+        b = jnp.ones((n,), a.data.dtype)
+    solve = solve_with_gmres if method == "gmres" else solve_with_cg
+    kw = dict(maxiter=maxiter)
+    if method == "gmres":
+        kw["restart"] = restart
+
+    out: Dict[str, SolveReport] = {}
+    out["none"] = _report(*solve(a, b, None, **kw))
+
+    L, U = (ilu_mod.ilu0(a) if seed_method == "ilu0" else ilu_mod.spilu_lu(a))
+    out["ilu"] = _report(*solve(a, b, ilu_solve_op(L, U), **kw))
+
+    if sampled_m is not None:
+        out["spai"] = _report(*solve(a, b, spai_op(sampled_m), **kw))
+    return out
+
+
+def best_sampled_matrix(env: spai_mod.SpaiEnv, actions: jnp.ndarray,
+                        rewards: jnp.ndarray) -> COO:
+    """Extract the highest-reward sampled preconditioner from a batch of
+    trajectories as a COO matrix (for GMRES validation)."""
+    best = int(jnp.argmax(rewards))
+    keep = spai_mod.keep_mask_from_actions(actions[best], env.num_edges)
+    vals = spai_mod.masked_values(env, keep)
+    return COO(row=env.seed.row, col=env.seed.col, data=vals, shape=env.seed.shape)

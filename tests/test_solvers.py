@@ -1,0 +1,121 @@
+"""GMRES/CG vs scipy: solution accuracy and iteration-count parity."""
+
+import numpy as np
+import pytest
+import scipy.sparse.linalg as spla
+
+import jax
+import jax.numpy as jnp
+
+from gflownet_spai_tpu.sparse import gallery
+from gflownet_spai_tpu.sparse.convert import coo_to_scipy
+from gflownet_spai_tpu.solvers import (
+    cg,
+    gmres,
+    ilu_solve_op,
+    jacobi_op,
+    solve_with_cg,
+    solve_with_gmres,
+    validate_preconditioners,
+)
+from gflownet_spai_tpu.env import ilu0
+from gflownet_spai_tpu.sparse.ops import spmv
+from functools import partial
+
+
+def _scipy_gmres_iters(A, b, M=None, restart=30, maxiter=10260, rtol=1e-5):
+    residuals = []
+    x, code = spla.gmres(
+        A, b, x0=np.zeros_like(b), M=M, restart=restart, maxiter=maxiter,
+        rtol=rtol, callback=lambda rk: residuals.append(rk),
+        callback_type="legacy",
+    )
+    return x, len(residuals), code
+
+
+@pytest.mark.parametrize("name", ["LF10", "olm500", "poisson32"])
+def test_gmres_solves_system(name):
+    a = gallery.get(name)
+    A = coo_to_scipy(a)
+    n = a.shape[0]
+    b = jnp.ones((n,), jnp.float64)
+    res = gmres(partial(spmv, a), b, restart=30, maxiter=2000, rtol=1e-8)
+    x = np.asarray(res.x)
+    assert res.converged
+    np.testing.assert_allclose(A @ x, np.ones(n), atol=1e-5)
+    # residual history is monotone-ish and NaN-padded after iterations
+    hist = np.asarray(res.residuals)
+    it = int(res.iterations)
+    assert np.isfinite(hist[:it]).all()
+    assert np.isnan(hist[it:]).all()
+
+
+@pytest.mark.parametrize("name", ["LF10", "olm500"])
+def test_gmres_iteration_parity_with_scipy(name):
+    a = gallery.get(name)
+    A = coo_to_scipy(a)
+    n = a.shape[0]
+    b = np.ones(n)
+    _, scipy_iters, _ = _scipy_gmres_iters(A, b)
+    res = gmres(partial(spmv, a), jnp.asarray(b), restart=30, maxiter=10260,
+                rtol=1e-5)
+    ours = int(res.iterations)
+    assert abs(ours - scipy_iters) <= max(3, int(0.15 * scipy_iters)), (
+        ours, scipy_iters
+    )
+
+
+def test_gmres_with_ilu_preconditioner_cuts_iterations():
+    a = gallery.get("olm500")
+    n = a.shape[0]
+    b = jnp.ones((n,), jnp.float64)
+    plain = gmres(partial(spmv, a), b, restart=30, maxiter=5000, rtol=1e-6)
+    L, U = ilu0(a)
+    pre = gmres(partial(spmv, a), b, m_op=ilu_solve_op(L, U), restart=30,
+                maxiter=5000, rtol=1e-6)
+    assert pre.converged
+    # tridiagonal ⇒ ILU(0) is exact ⇒ one-ish iteration
+    assert int(pre.iterations) <= 3
+    assert int(pre.iterations) < int(plain.iterations)
+
+
+def test_cg_on_spd_matches_scipy():
+    a = gallery.get("poisson32")
+    A = coo_to_scipy(a)
+    n = a.shape[0]
+    b = np.ones(n)
+    res = cg(partial(spmv, a), jnp.asarray(b), maxiter=2000, rtol=1e-8)
+    assert res.converged
+    np.testing.assert_allclose(A @ np.asarray(res.x), b, atol=1e-5)
+    # iteration parity with scipy cg
+    count = [0]
+    spla.cg(A, b, rtol=1e-8, maxiter=2000,
+            callback=lambda xk: count.__setitem__(0, count[0] + 1))
+    assert abs(int(res.iterations) - count[0]) <= max(3, int(0.15 * count[0]))
+
+
+def test_cg_jacobi_preconditioner():
+    a = gallery.get("poisson32")
+    b = jnp.ones((a.shape[0],), jnp.float64)
+    plain = cg(partial(spmv, a), b, maxiter=2000, rtol=1e-8)
+    pre = cg(partial(spmv, a), b, m_op=jacobi_op(a), maxiter=2000, rtol=1e-8)
+    assert pre.converged and plain.converged
+    # constant-diagonal Poisson: Jacobi ≈ scaling, no harm
+    assert int(pre.iterations) <= int(plain.iterations) + 2
+
+
+def test_validate_harness_end_to_end():
+    a = gallery.get("olm500")
+    reports = validate_preconditioners(a, maxiter=3000, method="gmres")
+    assert reports["ilu"].iterations < reports["none"].iterations
+    assert reports["ilu"].converged
+
+
+def test_solve_with_gmres_wrapper_shapes():
+    a = gallery.get("LF10")
+    b = jnp.ones((18,), jnp.float64)
+    x, residuals, iters, elapsed = solve_with_gmres(a, b, maxiter=500)
+    assert len(residuals) == iters
+    assert elapsed > 0
+    A = coo_to_scipy(a)
+    np.testing.assert_allclose(A @ np.asarray(x), np.ones(18), atol=1e-3)
