@@ -1,0 +1,30 @@
+"""TPU execution kernels (Pallas) + format bridge utilities.
+
+Format selection guide (measured on TPU v5e, Poisson-1M, see BENCH):
+  * DIA  — stencil/banded matrices (after RCM if needed): ~145 Gnnz/s SpMV
+           (HBM roofline); ``ops.dia``.
+  * BELL — blockable matrices, dense RHS (SpMM): MXU block matmuls;
+           ``ops.bsr``.
+  * ELL/COO (jnp) — everything else; correct everywhere, gather-bound on
+           TPU (≈0.1 Gnnz/s) — convert before the hot path.
+"""
+
+from .dia import (
+    DIA,
+    coo_to_dia,
+    dia_pad_x,
+    dia_to_coo,
+    dia_transpose,
+    spmv_dia,
+    spmv_dia_jnp,
+    spmv_dia_padded,
+)
+from .rcm import bandwidth, n_diagonals, permute, rcm_permutation, rcm_reorder
+from .bsr import BELL, csr_to_bell, spmm_bell, spmm_bell_jnp
+
+__all__ = [
+    "DIA", "coo_to_dia", "dia_pad_x", "dia_to_coo", "dia_transpose",
+    "spmv_dia", "spmv_dia_jnp", "spmv_dia_padded",
+    "bandwidth", "n_diagonals", "permute", "rcm_permutation", "rcm_reorder",
+    "BELL", "csr_to_bell", "spmm_bell", "spmm_bell_jnp",
+]

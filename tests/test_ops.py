@@ -1,0 +1,148 @@
+"""DIA/BELL formats, RCM, and kernel jnp paths vs oracles (CPU).
+
+The Pallas TPU paths are exercised by ``tests/tpu/test_kernels_tpu.py``
+(run on the real chip) and by bench.py; on CPU the same public entry
+points dispatch to the jnp implementations tested here.
+"""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+import jax
+import jax.numpy as jnp
+
+from gflownet_spai_tpu.sparse import gallery
+from gflownet_spai_tpu.sparse.convert import coo_to_csr, coo_to_scipy
+from gflownet_spai_tpu.ops import (
+    BELL,
+    bandwidth,
+    coo_to_dia,
+    csr_to_bell,
+    dia_to_coo,
+    dia_transpose,
+    n_diagonals,
+    permute,
+    rcm_permutation,
+    rcm_reorder,
+    spmm_bell,
+    spmv_dia,
+)
+
+
+@pytest.fixture(params=["LF10", "olm500", "poisson32"])
+def mat(request):
+    coo = gallery.get(request.param)
+    return coo, coo_to_scipy(coo)
+
+
+def test_dia_roundtrip(mat):
+    coo, A = mat
+    d = coo_to_dia(coo)
+    np.testing.assert_allclose(np.asarray(d.todense()), A.toarray())
+    back = dia_to_coo(d)
+    np.testing.assert_allclose(np.asarray(back.todense()), A.toarray())
+
+
+def test_dia_spmv_matches_scipy(mat):
+    coo, A = mat
+    d = coo_to_dia(coo)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(coo.shape[1]))
+    y = spmv_dia(d, x)
+    np.testing.assert_allclose(np.asarray(y), A @ np.asarray(x), rtol=1e-10)
+
+
+def test_dia_transpose(mat):
+    coo, A = mat
+    d = coo_to_dia(coo)
+    dt = dia_transpose(d)
+    np.testing.assert_allclose(np.asarray(dt.todense()), A.T.toarray())
+
+
+def test_dia_spmv_grad():
+    coo = gallery.get("LF10")
+    d = coo_to_dia(coo)
+    x = jnp.asarray(np.random.default_rng(1).standard_normal(18))
+
+    def f(data, x):
+        import dataclasses
+        d2 = dataclasses.replace(d, data=data)
+        return jnp.sum(spmv_dia(d2, x) ** 2)
+
+    g_data, g_x = jax.grad(f, argnums=(0, 1))(d.data, x)
+    # finite-difference check on x
+    eps = 1e-6
+    f0 = float(f(d.data, x))
+    e0 = jnp.zeros_like(x).at[3].set(eps)
+    fd = (float(f(d.data, x + e0)) - f0) / eps
+    np.testing.assert_allclose(float(g_x[3]), fd, rtol=1e-3)
+    # and on data
+    ed = jnp.zeros_like(d.data).at[0, 5].set(eps)
+    fd2 = (float(f(d.data + ed, x)) - f0) / eps
+    np.testing.assert_allclose(float(g_data[0, 5]), fd2, rtol=1e-3, atol=1e-6)
+
+
+def test_dia_max_diags_guard():
+    rng = np.random.default_rng(2)
+    dense = rng.standard_normal((64, 64)) * (rng.random((64, 64)) < 0.3)
+    from gflownet_spai_tpu.sparse.types import COO
+    coo = COO.fromdense(dense)
+    with pytest.raises(ValueError, match="diagonals"):
+        coo_to_dia(coo, max_diags=10)
+
+
+# ---------------------------------------------------------------------------
+# RCM
+# ---------------------------------------------------------------------------
+
+def test_rcm_reduces_bandwidth():
+    rng = np.random.default_rng(3)
+    n = 200
+    # a banded matrix scrambled by a random permutation
+    base = coo_to_scipy(gallery.get("olm500")).toarray()[:n, :n]
+    p = rng.permutation(n)
+    scrambled = base[np.ix_(p, p)]
+    from gflownet_spai_tpu.sparse.types import COO
+    coo = COO.fromdense(scrambled)
+    bw0 = bandwidth(coo)
+    reordered, perm = rcm_reorder(coo)
+    bw1 = bandwidth(reordered)
+    assert bw1 < bw0
+    assert bw1 <= 5  # olm band is 1; RCM should nearly recover it
+    assert n_diagonals(reordered) < n_diagonals(coo)
+
+
+def test_rcm_vs_scipy():
+    from scipy.sparse.csgraph import reverse_cuthill_mckee
+    coo = gallery.get("poisson32")
+    ours = rcm_permutation(coo)
+    A = coo_to_scipy(coo)
+    sci = np.asarray(reverse_cuthill_mckee(A.tocsr(), symmetric_mode=True))
+    # permutations may differ; compare achieved bandwidth quality
+    bw_ours = bandwidth(permute(coo, ours))
+    bw_sci = bandwidth(permute(coo, sci.astype(np.int64)))
+    assert bw_ours <= bw_sci * 1.5 + 2
+
+
+def test_permute_preserves_spectrum():
+    coo = gallery.get("LF10")
+    reordered, perm = rcm_reorder(coo)
+    w0 = np.sort(np.linalg.eigvalsh(np.asarray(coo.todense())))
+    w1 = np.sort(np.linalg.eigvalsh(np.asarray(reordered.todense())))
+    np.testing.assert_allclose(w0, w1, rtol=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# BELL
+# ---------------------------------------------------------------------------
+
+def test_bell_roundtrip_and_spmm():
+    rng = np.random.default_rng(4)
+    A = sp.random(128, 256, density=0.05, random_state=rng, format="coo")
+    from gflownet_spai_tpu.sparse import scipy_to_coo
+    csr = coo_to_csr(scipy_to_cooA := scipy_to_coo(A), canonical=True)
+    bell = csr_to_bell(csr, blockshape=(8, 128))
+    np.testing.assert_allclose(np.asarray(bell.todense()), A.toarray(), rtol=1e-10)
+    x = rng.standard_normal((256, 16))
+    y = spmm_bell(bell, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(y), A @ x, rtol=1e-8)

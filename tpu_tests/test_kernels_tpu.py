@@ -1,0 +1,128 @@
+"""Pallas kernel correctness + throughput on the real TPU chip.
+
+Run manually (not part of the CPU suite): ``python -m pytest tpu_tests/ -q``.
+Timing note: on the axon tunnel ``block_until_ready`` is unreliable —
+measurements force a scalar readback and difference two iteration counts
+(see bench.py helpers).
+"""
+
+import time
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+pytestmark = pytest.mark.skipif(
+    jax.default_backend() != "tpu", reason="needs the TPU chip"
+)
+
+
+def _timed_chain(fn, x0, iters_lo=100, iters_hi=1100, reps=3):
+    """Per-iteration wall time via the two-point chained-loop method.
+    Needs O(1000) iteration separation to rise above tunnel latency noise."""
+    @jax.jit
+    def chain(x, iters):
+        return jnp.sum(jax.lax.fori_loop(0, iters, lambda _, x: fn(x), x))
+
+    out = {iters_lo: [], iters_hi: []}
+    for it in (iters_lo, iters_hi):
+        float(chain(x0, it))             # warm/compile
+    for _ in range(reps):
+        for it in (iters_lo, iters_hi):
+            t0 = time.time()
+            float(chain(x0, it))
+            out[it].append(time.time() - t0)
+    import numpy as _np
+    return (_np.median(out[iters_hi]) - _np.median(out[iters_lo])) / (
+        iters_hi - iters_lo
+    )
+
+
+def test_dia_spmv_correct_and_fast():
+    from gflownet_spai_tpu.ops import coo_to_dia, spmv_dia
+    from gflownet_spai_tpu.sparse import gallery
+    from gflownet_spai_tpu.sparse.convert import coo_to_scipy
+
+    coo = gallery.get("poisson32")          # 1024×1024, 4992 nnz
+    d = coo_to_dia(coo)
+    A = coo_to_scipy(coo)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(1024), jnp.float32)
+    y = spmv_dia(d, x)
+    np.testing.assert_allclose(np.asarray(y), A @ np.asarray(x), rtol=2e-5)
+
+
+def test_dia_spmv_large_poisson_throughput():
+    from gflownet_spai_tpu.ops.dia import DIA, spmv_dia
+
+    k = 1000
+    n = k * k
+    i = np.arange(n)
+    r, c = i // k, i % k
+    offsets = (-k, -1, 0, 1, k)
+    n_pad = 1 << 20
+    data = np.zeros((5, n_pad), np.float32)
+    data[2, :n] = 4.0
+    data[0, i[r > 0]] = -1.0
+    data[1, i[c > 0]] = -1.0
+    data[3, i[c < k - 1]] = -1.0
+    data[4, i[r < k - 1]] = -1.0
+    nnz = int((data != 0).sum())
+    d = DIA(data=jnp.asarray(data), offsets=offsets, shape=(n, n), nnz=nnz)
+    from gflownet_spai_tpu.ops.dia import dia_pad_x, spmv_dia_padded
+
+    h = d.halo
+    xp0 = dia_pad_x(d, jnp.ones((n,), jnp.float32))
+
+    def step(xp):
+        y = spmv_dia_padded(d, xp)
+        return jax.lax.dynamic_update_slice(xp, y * 0.2, (h,))
+
+    dt = _timed_chain(step, xp0)
+    gnnz = nnz / dt / 1e9
+    print(f"\nDIA SpMV poisson-1M (padded chain): {dt*1e6:.1f} us → {gnnz:.1f} Gnnz/s")
+    # Chain ceiling ≈ 114 Gnnz/s (kernel 5.6 B/nnz + repack 1.6 B/nnz at
+    # 819 GB/s); measured 103–109 across runs (kernel alone: 145).  Assert
+    # comfortably above the BASELINE.json 70%-of-roofline bar with margin
+    # for tunnel timing variance.
+    assert gnnz > 95.0, gnnz
+
+
+def test_bell_spmm_correct():
+    import scipy.sparse as sp
+    from gflownet_spai_tpu.ops import csr_to_bell, spmm_bell
+    from gflownet_spai_tpu.sparse import scipy_to_coo
+    from gflownet_spai_tpu.sparse.convert import coo_to_csr
+
+    rng = np.random.default_rng(1)
+    A = sp.random(1024, 2048, density=0.02, random_state=rng, format="coo",
+                  dtype=np.float32)
+    bell = csr_to_bell(coo_to_csr(scipy_to_coo(A), canonical=True),
+                       blockshape=(8, 128))
+    x = rng.standard_normal((2048, 256)).astype(np.float32)
+    y = spmm_bell(bell, jnp.asarray(x))
+    # f32 accumulation-order noise vs scipy's f32 ordering: atol covers it
+    np.testing.assert_allclose(np.asarray(y), A @ x, rtol=2e-2, atol=6e-2)
+    # and the pallas path must agree exactly with the jnp path
+    from gflownet_spai_tpu.ops.bsr import spmm_bell_jnp
+    np.testing.assert_array_equal(
+        np.asarray(y), np.asarray(spmm_bell_jnp(bell, jnp.asarray(x)))
+    )
+
+
+def test_gmres_with_dia_operator():
+    from functools import partial
+    from gflownet_spai_tpu.ops import coo_to_dia, spmv_dia
+    from gflownet_spai_tpu.solvers import gmres
+    from gflownet_spai_tpu.sparse import gallery
+
+    coo = gallery.get("olm500")
+    import jax.numpy as jnp
+    d = coo_to_dia(coo)
+    # f32 on TPU
+    import dataclasses
+    d = dataclasses.replace(d, data=d.data.astype(jnp.float32))
+    b = jnp.ones((500,), jnp.float32)
+    res = gmres(partial(spmv_dia, d), b, restart=30, maxiter=2000, rtol=1e-4)
+    assert bool(res.converged)
