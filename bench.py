@@ -1,0 +1,98 @@
+"""Headline benchmark: DIA SpMV nnz/s on 2D Poisson 1M rows (one chip).
+
+Prints exactly ONE JSON line on stdout:
+  {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
+
+``vs_baseline`` is measured nnz/s divided by the BASELINE.json bar of 70%
+of the HBM roofline (v5e: 819 GB/s at 5.6 B/nnz for a width-5 stencil →
+roofline ≈146 Gnnz/s, bar ≈102 Gnnz/s).  >1.0 beats the target.
+
+Timing method (axon tunnel): ``block_until_ready`` is unreliable, so the
+measurement chains SpMVs inside one jitted ``fori_loop``, forces a scalar
+readback, and differences two iteration counts (median of repeats).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+HBM_GBPS = 819.0          # v5e nominal
+BYTES_PER_NNZ = 5.6       # width-5 DIA: (5·4B vals + 8B x/y per row) / 5 nnz
+ROOFLINE = HBM_GBPS * 1e9 / BYTES_PER_NNZ
+TARGET = 0.7 * ROOFLINE   # BASELINE.json: ≥70% of roofline
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def poisson_dia(k):
+    from gflownet_spai_tpu.ops.dia import DIA
+    import jax.numpy as jnp
+
+    n = k * k
+    n_pad = 1 << (n - 1).bit_length()
+    i = np.arange(n)
+    r, c = i // k, i % k
+    data = np.zeros((5, n_pad), np.float32)
+    data[2, :n] = 4.0
+    data[0, i[r > 0]] = -1.0
+    data[1, i[c > 0]] = -1.0
+    data[3, i[c < k - 1]] = -1.0
+    data[4, i[r < k - 1]] = -1.0
+    nnz = int((data != 0).sum())
+    return DIA(data=jnp.asarray(data), offsets=(-k, -1, 0, 1, k),
+               shape=(n, n), nnz=nnz)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from gflownet_spai_tpu.ops.dia import dia_pad_x, spmv_dia_padded
+
+    backend = jax.default_backend()
+    log(f"backend: {backend}, devices: {jax.devices()}")
+
+    k = 1000 if backend == "tpu" else 128
+    d = poisson_dia(k)
+    h = d.halo
+    xp0 = dia_pad_x(d, jnp.ones((d.n,), jnp.float32))
+    log(f"matrix: poisson {k}x{k} grid, n={d.n}, nnz={d.nnz}")
+
+    @jax.jit
+    def chain(xp, iters):
+        def body(_, xp):
+            y = spmv_dia_padded(d, xp)
+            return jax.lax.dynamic_update_slice(xp, y * 0.2, (h,))
+        return jnp.sum(jax.lax.fori_loop(0, iters, body, xp))
+
+    lo, hi = (100, 1100) if backend == "tpu" else (5, 25)
+    t0 = time.time()
+    for it in (lo, hi):
+        float(chain(xp0, it))
+    log(f"compile: {time.time()-t0:.1f}s")
+
+    samples = {lo: [], hi: []}
+    for _ in range(5):
+        for it in (lo, hi):
+            t0 = time.time()
+            float(chain(xp0, it))
+            samples[it].append(time.time() - t0)
+    dt = (np.median(samples[hi]) - np.median(samples[lo])) / (hi - lo)
+    nnz_per_s = d.nnz / dt
+    log(f"per-SpMV: {dt*1e6:.1f} us → {nnz_per_s/1e9:.1f} Gnnz/s "
+        f"(roofline {ROOFLINE/1e9:.0f}, target {TARGET/1e9:.0f})")
+
+    print(json.dumps({
+        "metric": "spmv_dia_poisson1M_nnz_per_s",
+        "value": round(nnz_per_s / 1e9, 2),
+        "unit": "Gnnz/s",
+        "vs_baseline": round(nnz_per_s / TARGET, 3),
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

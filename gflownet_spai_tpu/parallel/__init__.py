@@ -1,0 +1,11 @@
+"""Multi-chip execution: meshes, halo-exchange SpMV, DP training."""
+
+from .mesh import make_mesh, single_device_mesh
+from .halo_spmv import halo_spmv, partition_dia, spmv_allgather
+from .dp import make_dp_train_step, sharded_residual_norms
+
+__all__ = [
+    "make_mesh", "single_device_mesh",
+    "halo_spmv", "partition_dia", "spmv_allgather",
+    "make_dp_train_step", "sharded_residual_norms",
+]

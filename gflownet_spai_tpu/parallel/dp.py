@@ -1,0 +1,154 @@
+"""Data-parallel + row-parallel training step over a device mesh.
+
+Replicated policy parameters, trajectory batch sharded over ``dp``,
+gradients all-reduced with ``psum`` inside ``shard_map``; the reward's
+fixed-pattern SpGEMM is pair-partitioned over ``rows`` with a two-stage
+``psum`` reduction (partial output values, then the Frobenius scalar).
+This is the TPU-native replacement for the reference's absent distribution
+story (SURVEY.md §2 parallelism inventory: "no torch.distributed anywhere").
+"""
+
+from __future__ import annotations
+
+import copy
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..env import spai
+from ..gfn import gflownet as gfn
+from ..gfn.loss import log_reward, trajectory_balance_loss
+from ..gfn.rollout import gumbel_topk_rollout
+from ..models import policies as pol
+
+
+def _pad_pairs(env: spai.SpaiEnv, n_shards: int) -> spai.SpaiEnv:
+    """Pad the SpGEMM pair lists to a multiple of the rows-axis size so they
+    shard evenly.  Padding pairs are routed to a dedicated dump slot
+    appended to the output pattern, which the residual body excludes."""
+    plan = env.plan
+    npairs = plan.npairs
+    target = -(-npairs // n_shards) * n_shards
+    if target == npairs:
+        return env
+    pad = target - npairs
+    new_plan = copy.copy(plan)
+    new_plan.pair_a = jnp.concatenate([plan.pair_a, jnp.zeros((pad,), jnp.int32)])
+    new_plan.pair_b = jnp.concatenate([plan.pair_b, jnp.zeros((pad,), jnp.int32)])
+    new_plan.pair_out = jnp.concatenate(
+        [plan.pair_out, jnp.full((pad,), plan.out_nnz, jnp.int32)])
+    new_plan.out_row = jnp.concatenate([plan.out_row, jnp.full((1,), -1, jnp.int32)])
+    new_plan.out_col = jnp.concatenate([plan.out_col, jnp.full((1,), -2, jnp.int32)])
+    new_plan.out_nnz = plan.out_nnz + 1
+    new_plan.npairs = target
+    return dataclasses.replace(env, plan=new_plan)
+
+
+def _residual_body(env: spai.SpaiEnv, real_out: int, m_vals, pa, pb, po,
+                   orow, ocol):
+    """Rows-sharded ‖M·A − I‖_F body: call *inside* a shard_map whose
+    ``rows`` axis shards the pair arrays.  [B, nnz_local-pairs] → [B]."""
+    out_nnz = env.plan.out_nnz
+    prod = m_vals[:, pa] * env.original.data[pb]              # [B, pairs/R]
+    partial_out = jax.vmap(
+        lambda p: jax.ops.segment_sum(p, po, num_segments=out_nnz)
+    )(prod)
+    c = jax.lax.psum(partial_out, "rows")[:, :real_out]       # [B, real]
+    diag = (orow == ocol)[:real_out]
+    s2 = jnp.sum(c * c, axis=-1)
+    sd = jnp.sum(jnp.where(diag[None, :], c, 0.0), axis=-1)
+    return jnp.sqrt(s2 - 2.0 * sd + jnp.asarray(env.n, c.dtype))
+
+
+def sharded_residual_norms(mesh: Mesh, env: spai.SpaiEnv, m_vals: jax.Array,
+                           real_out: int | None = None) -> jax.Array:
+    """Standalone rows-sharded residual: [B, nnz] masked values → [B] norms.
+    ``env`` must be pre-padded with ``_pad_pairs`` when rows > 1."""
+    plan = env.plan
+    real = real_out if real_out is not None else plan.out_nnz
+
+    def local(m_vals_rep, pa, pb, po, orow, ocol):
+        return _residual_body(env, real, m_vals_rep, pa, pb, po, orow, ocol)
+
+    return shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P("rows"), P("rows"), P("rows"), P(), P()),
+        out_specs=P(),
+    )(m_vals, plan.pair_a, plan.pair_b, plan.pair_out,
+      plan.out_row, plan.out_col)
+
+
+def make_dp_train_step(mesh: Mesh, env: spai.SpaiEnv, graph: pol.GraphInputs,
+                       cfg: gfn.GFlowNetConfig, opt: optax.GradientTransformation,
+                       batch_size: int):
+    """Fully-sharded train step over mesh axes (dp, rows).
+
+    Params/opt-state replicated; per-device sub-batches roll out with
+    device-folded PRNG keys; reward residuals pair-sharded over ``rows``;
+    grads ``pmean``-reduced over ``dp``.  Returns ``(jitted_step, padded_env)``.
+    """
+    dp = mesh.shape["dp"]
+    rows = mesh.shape["rows"]
+    if batch_size % dp:
+        raise ValueError(f"batch {batch_size} not divisible by dp={dp}")
+    b_local = batch_size // dp
+    real_out = env.plan.out_nnz
+    env = _pad_pairs(env, rows)
+    plan = env.plan
+    opt = optax.with_extra_args_support(opt)
+
+    def local_loss(params, key, pa, pb, po, orow, ocol):
+        key = jax.random.fold_in(key, jax.lax.axis_index("dp"))
+        logits = pol.forward_policy_logits(
+            params.forward, graph, cfg.num_actions, cfg.hidden_dim, cfg.heads
+        )
+        alpha = pol.forward_policy_alpha(params.forward)
+        batched = jnp.broadcast_to(logits, (b_local, cfg.num_actions))
+        roll = gumbel_topk_rollout(batched, key, terminal_action=cfg.num_actions - 1)
+        actions = jax.lax.stop_gradient(roll.actions)
+
+        keep = jax.vmap(
+            lambda a: spai.keep_mask_from_actions(a, env.num_edges)
+        )(actions)
+        m_vals = env.seed.data[None, :] * keep.astype(env.seed.data.dtype)
+        res = _residual_body(env, real_out, m_vals, pa, pb, po, orow, ocol)
+        res_ratio = res / env.baseline_residual
+        flops = 2.0 * jnp.sum(keep, -1).astype(res.dtype) * env.seed.shape[1]
+        comp_ratio = flops / env.baseline_flops
+        rewards = (alpha * (1 - res_ratio) + (1 - alpha) * (1 - comp_ratio)) * 1000.0
+
+        back_lp = pol.backward_policy_batch(params.backward, actions, cfg.hidden_dim)
+        loss = trajectory_balance_loss(
+            params.log_z, log_reward(rewards),
+            roll.fwd_logprobs.sum(-1), back_lp.sum(-1),
+        )
+        return loss, rewards
+
+    def sharded(params, opt_state, key, pa, pb, po, orow, ocol):
+        (loss, rewards), grads = jax.value_and_grad(
+            local_loss, has_aux=True)(params, key, pa, pb, po, orow, ocol)
+        grads = jax.lax.pmean(grads, "dp")
+        loss = jax.lax.pmean(loss, "dp")
+        updates, opt_state = opt.update(grads, opt_state, params, value=loss)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, rewards
+
+    smapped = shard_map(
+        sharded, mesh=mesh,
+        in_specs=(P(), P(), P(), P("rows"), P("rows"), P("rows"), P(), P()),
+        out_specs=(P(), P(), P(), P("dp")),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def step_fn(params, opt_state, key):
+        return smapped(params, opt_state, key, plan.pair_a, plan.pair_b,
+                       plan.pair_out, plan.out_row, plan.out_col)
+
+    return step_fn, env

@@ -1,0 +1,135 @@
+"""Multi-chip logic on the virtual 8-device CPU mesh (SURVEY.md §4)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gflownet_spai_tpu.sparse import gallery
+from gflownet_spai_tpu.sparse.convert import coo_to_scipy
+from gflownet_spai_tpu.ops import coo_to_dia, dia_pad_x
+from gflownet_spai_tpu.ops.dia import spmv_dia
+from gflownet_spai_tpu.parallel import (
+    halo_spmv,
+    make_dp_train_step,
+    make_mesh,
+    partition_dia,
+    sharded_residual_norms,
+    spmv_allgather,
+)
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    assert len(jax.devices()) >= 8
+    return make_mesh(dp=2, rows=4)
+
+
+@pytest.fixture(scope="module")
+def rows_mesh():
+    return make_mesh(dp=1, rows=8)
+
+
+def test_halo_spmv_matches_single_device(rows_mesh):
+    coo = gallery.get("poisson32")          # bandwidth 32 ≤ shard sizes
+    d = partition_dia(coo_to_dia(coo), 8)
+    A = coo_to_scipy(coo)
+    x = np.zeros(d.n_pad)
+    x[: coo.shape[0]] = np.random.default_rng(0).standard_normal(coo.shape[0])
+    y = halo_spmv(rows_mesh, d, jnp.asarray(x))
+    want = A @ x[: coo.shape[0]]
+    np.testing.assert_allclose(np.asarray(y)[: coo.shape[0]], want, rtol=1e-10)
+
+
+def test_halo_spmv_under_jit(rows_mesh):
+    coo = gallery.get("olm500")
+    d = partition_dia(coo_to_dia(coo), 8)
+    A = coo_to_scipy(coo)
+    x = np.zeros(d.n_pad)
+    x[:500] = np.random.default_rng(1).standard_normal(500)
+    fn = jax.jit(lambda x: halo_spmv(rows_mesh, d, x))
+    y = fn(jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(y)[:500], A @ x[:500], rtol=1e-10)
+
+
+def test_allgather_spmv_matches(rows_mesh):
+    coo = gallery.get("poisson32")
+    d = partition_dia(coo_to_dia(coo), 8)
+    A = coo_to_scipy(coo)
+    x = np.zeros(d.n_pad)
+    x[:1024] = np.random.default_rng(2).standard_normal(1024)
+    y = spmv_allgather(rows_mesh, d, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(y)[:1024], A @ x[:1024], rtol=1e-10)
+
+
+def test_sharded_residual_matches_local(mesh8):
+    from gflownet_spai_tpu.env import make_env, seed_pattern
+    from gflownet_spai_tpu.env.spai import residual_norm
+    from gflownet_spai_tpu.parallel.dp import _pad_pairs
+
+    a = gallery.get("LF10")
+    seed = seed_pattern(a, method="ilu0", dtype=jnp.float64)
+    env = make_env(seed, original=a)
+    rng = np.random.default_rng(3)
+    B = 4
+    keep = jnp.asarray(rng.random((B, env.num_edges)) > 0.3)
+    m_vals = env.seed.data[None, :] * keep.astype(env.seed.data.dtype)
+
+    real_out = env.plan.out_nnz
+    env_p = _pad_pairs(env, mesh8.shape["rows"])
+    got = sharded_residual_norms(mesh8, env_p, m_vals, real_out)
+    want = jax.vmap(lambda k: residual_norm(env, k))(keep)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-9)
+
+
+def test_dp_train_step_runs_and_improves(mesh8):
+    import optax
+    from gflownet_spai_tpu.env import make_env, seed_pattern
+    from gflownet_spai_tpu.gfn import GFlowNetConfig, init_params
+    from gflownet_spai_tpu.models import graph_from_seed
+
+    a = gallery.get("LF10")
+    seed = seed_pattern(a, method="ilu0", dtype=jnp.float32)
+    env = make_env(seed, original=a)
+    graph = graph_from_seed(seed)
+    cfg = GFlowNetConfig(hidden_dim=4, heads=4, num_actions=env.num_actions)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    opt = optax.adam(5e-3)
+    step, env_p = make_dp_train_step(mesh8, env, graph, cfg, opt, batch_size=8)
+    opt_state = opt.init(params)
+    key = jax.random.PRNGKey(1)
+    losses = []
+    for e in range(60):
+        key, sub = jax.random.split(key)
+        params, opt_state, loss, rewards = step(params, opt_state, sub)
+        losses.append(float(loss))
+        assert np.isfinite(losses[-1])
+    assert rewards.shape == (8,)
+    assert np.mean(losses[-15:]) < np.mean(losses[:15]), (
+        np.mean(losses[:15]), np.mean(losses[-15:])
+    )
+
+
+def test_dp_matches_single_device_gradients():
+    """dp=1, rows=1 mesh must reproduce the unsharded loss exactly."""
+    import optax
+    from gflownet_spai_tpu.env import make_env, seed_pattern
+    from gflownet_spai_tpu.gfn import GFlowNetConfig, init_params
+    from gflownet_spai_tpu.gfn.gflownet import loss_fn
+    from gflownet_spai_tpu.models import graph_from_seed
+
+    a = gallery.get("LF10")
+    seed = seed_pattern(a, method="ilu0", dtype=jnp.float32)
+    env = make_env(seed, original=a)
+    graph = graph_from_seed(seed)
+    cfg = GFlowNetConfig(hidden_dim=4, heads=4, num_actions=env.num_actions)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    mesh = make_mesh(dp=1, rows=1)
+    opt = optax.sgd(0.0)
+    step, _ = make_dp_train_step(mesh, env, graph, cfg, opt, batch_size=4)
+    key = jax.random.PRNGKey(42)
+    sub = jax.random.fold_in(key, 0)   # dp axis index 0 fold
+    _, _, loss_dp, _ = step(params, opt.init(params), key)
+    loss_ref, _ = loss_fn(params, env, graph, cfg, sub, 4)
+    np.testing.assert_allclose(float(loss_dp), float(loss_ref), rtol=1e-5)
