@@ -27,6 +27,15 @@ def ilu0(a: COO):
     """
     A = coo_to_scipy(a).tocsr().astype(np.float64)
     n = A.shape[0]
+    from .. import native
+    if native.available():
+        import scipy.sparse as sp
+
+        lu_vals = native.ilu0_values(A.indptr, A.indices, A.data)
+        LU = sp.csr_matrix((lu_vals, A.indices, A.indptr), shape=(n, n))
+        L = sp.tril(LU, k=-1) + sp.eye(n, format="csr")
+        U = sp.triu(LU, k=0)
+        return scipy_to_coo(L), scipy_to_coo(U)
     indptr, indices, data = A.indptr, A.indices, A.data.copy()
     # column-position lookup per row for O(1) pattern membership
     pos = [dict(zip(indices[indptr[i]:indptr[i + 1]],

@@ -35,6 +35,9 @@ def rcm_permutation(coo: COO) -> np.ndarray:
     A = coo_to_scipy(coo)
     G = (abs(A) + abs(A).T).tocsr()   # symmetrize
     indptr, indices = G.indptr, G.indices
+    from .. import native
+    if native.available():
+        return native.rcm(indptr, indices)
     degree = np.diff(indptr)
     visited = np.zeros(n, dtype=bool)
     order = np.empty(n, dtype=np.int64)

@@ -27,7 +27,24 @@ def _open(path):
 
 
 def read_mtx(path, dtype=np.float64) -> COO:
-    """Parse a Matrix Market file into a canonical (sorted, deduped) COO."""
+    """Parse a Matrix Market file into a canonical (sorted) COO.
+
+    Coordinate-format files use the native C++ parser when the library is
+    built (``make -C native``); the pure-Python path below is the fallback
+    and handles the array format."""
+    if not str(path).endswith(".gz"):
+        from .. import native
+        if native.available():
+            try:
+                nr, nc, rows, cols, vals = native.parse_mtx(path)
+                return COO(
+                    row=jnp.asarray(rows, jnp.int32),
+                    col=jnp.asarray(cols, jnp.int32),
+                    data=jnp.asarray(vals.astype(dtype)),
+                    shape=(nr, nc),
+                )
+            except ValueError:
+                pass  # array format / unsupported header → Python path
     with _open(path) as f:
         header = f.readline().strip().lower().split()
         if len(header) < 5 or header[0] != "%%matrixmarket":

@@ -129,6 +129,27 @@ class SpGEMMPlan:
         n_mid = a_coo.shape[1]
         if b_coo.shape[0] != n_mid:
             raise ValueError("inner dims mismatch")
+
+        # native symbolic phase (requires row-sorted B so CSR data order
+        # matches b_coo.data order)
+        from .. import native
+        b_key = br.astype(np.int64) * b_coo.shape[1] + bc.astype(np.int64)
+        if native.available() and (len(b_key) == 0 or np.all(np.diff(b_key) >= 0)):
+            indptr_b = np.zeros(n_mid + 1, np.int64)
+            np.add.at(indptr_b, br.astype(np.int64) + 1, 1)
+            indptr_b = np.cumsum(indptr_b)
+            orow, ocol, pa, pb, po = native.spgemm_plan(
+                ar, ac, n_mid, b_coo.shape[1], indptr_b, bc
+            )
+            self.shape = (a_coo.shape[0], b_coo.shape[1])
+            self.out_row = jnp.asarray(orow, jnp.int32)
+            self.out_col = jnp.asarray(ocol, jnp.int32)
+            self.pair_a = jnp.asarray(pa, jnp.int32)
+            self.pair_b = jnp.asarray(pb, jnp.int32)
+            self.pair_out = jnp.asarray(po, jnp.int32)
+            self.out_nnz = int(len(orow))
+            self.npairs = int(len(pa))
+            return
         # bucket B's entries by row (= A's col) to enumerate contributing pairs
         order_b = np.argsort(br, kind="stable")
         br_s, idx_b = br[order_b], order_b
