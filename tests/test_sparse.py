@@ -146,3 +146,57 @@ def test_gallery_spd():
 def test_gallery_olm_nonsymmetric():
     a = coo_to_scipy(gallery.get("olm500")).toarray()
     assert not np.allclose(a, a.T)
+
+
+# ---------------------------------------------------------------------------
+# utility surface (reference gflownet/utils.py parity)
+# ---------------------------------------------------------------------------
+
+def test_flatten_unflatten_roundtrip():
+    from gflownet_spai_tpu.sparse.utils import flatten_coo, unflatten_coo
+    coo = gallery.get("LF10")
+    flat = flatten_coo(coo)
+    assert flat.shape == (1, 18 * 18)
+    back = unflatten_coo(flat, (18, 18))
+    np.testing.assert_allclose(
+        np.asarray(back.todense()), np.asarray(coo.todense())
+    )
+    with pytest.raises(ValueError, match="unflatten"):
+        unflatten_coo(flat, (17, 18))
+
+
+def test_sparse_one_hot():
+    from gflownet_spai_tpu.sparse.utils import sparse_one_hot
+    oh = sparse_one_hot(jnp.asarray([2, 0, 1]), 4)
+    want = np.zeros((3, 4)); want[0, 2] = want[1, 0] = want[2, 1] = 1
+    np.testing.assert_allclose(np.asarray(oh.todense()), want)
+
+
+def test_concat_coo():
+    from gflownet_spai_tpu.sparse.utils import concat_coo
+    a, As = _rand_coo(5, 7, seed=10)
+    b, Bs = _rand_coo(3, 7, seed=11)
+    v = concat_coo([a, b], axis=0)
+    np.testing.assert_allclose(
+        np.asarray(v.todense()), np.vstack([As.toarray(), Bs.toarray()])
+    )
+    c, Cs = _rand_coo(5, 2, seed=12)
+    h = concat_coo([a, c], axis=1)
+    np.testing.assert_allclose(
+        np.asarray(h.todense()), np.hstack([As.toarray(), Cs.toarray()])
+    )
+    with pytest.raises(ValueError, match="must match"):
+        concat_coo([a, b], axis=1)
+
+
+def test_delete_edges_flat():
+    from gflownet_spai_tpu.sparse.utils import delete_edges_flat
+    coo = gallery.get("LF10")
+    flat = delete_edges_flat(coo, jnp.asarray([0, 5, -1], jnp.int32))
+    dense = np.asarray(flat.todense()).reshape(18, 18)
+    orig = np.asarray(coo.todense())
+    r, c = np.asarray(coo.row), np.asarray(coo.col)
+    want = orig.copy()
+    want[r[0], c[0]] = 0.0
+    want[r[5], c[5]] = 0.0
+    np.testing.assert_allclose(dense, want)
