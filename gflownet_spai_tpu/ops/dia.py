@@ -243,6 +243,75 @@ def _spmv_pallas(d: DIA, xp: jax.Array) -> jax.Array:
     return y[: d.n_pad]
 
 
+def _pick_tile_stream(d: DIA) -> int:
+    """Row tile for the streamed path (x not VMEM-resident): x block joins
+    the double-buffered set and an ext concat temp is live."""
+    budget = _MAX_VMEM_BYTES // 4
+    per_row = 3 * d.ndiags + 8
+    tr = budget // per_row
+    tr = max(_ALIGN, (tr // _ALIGN) * _ALIGN)
+    tr = min(tr, d.n_pad)
+    while d.n_pad % tr:
+        tr -= _ALIGN
+    return tr
+
+
+def _spmv_pallas_stream(d: DIA, x: jax.Array) -> jax.Array:
+    """Streamed variant for large n: x lives in HBM and is pipelined per
+    row tile by Pallas (grid-mapped block), with tile-boundary halos
+    precomputed as a small side tensor (static slices, no gather).
+    ``x``: UNPADDED [n_pad]."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    offsets = d.offsets
+    halo = d.halo
+    tr = _pick_tile_stream(d)
+    n_pad = d.n_pad
+    grid = n_pad // tr
+    center = offsets.index(0) if 0 in offsets else None
+
+    # halos[t] = [left h | right h] around tile t, zeros at the edges.
+    zeros_h = jnp.zeros((halo,), x.dtype)
+    rows = []
+    for t in range(grid):
+        left = zeros_h if t == 0 else jax.lax.slice(
+            x, (t * tr - halo,), (t * tr,))
+        right = zeros_h if t == grid - 1 else jax.lax.slice(
+            x, ((t + 1) * tr,), ((t + 1) * tr + halo,))
+        rows.append(jnp.concatenate([left, right]))
+    halos = jnp.concatenate(rows)                             # [grid * 2h]
+
+    def kernel(d_ref, x_ref, h_ref, y_ref):
+        ext = jnp.concatenate([h_ref[:halo], x_ref[:], h_ref[halo:]])
+        if center is not None:
+            acc = d_ref[center, :] * jax.lax.slice(ext, (halo,), (halo + tr,))
+        else:
+            acc = jnp.zeros((tr,), y_ref.dtype)
+        for s, off in enumerate(offsets):
+            if s == center:
+                continue
+            acc += d_ref[s, :] * jax.lax.slice(ext, (halo + off,), (halo + off + tr,))
+        y_ref[:] = acc
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n_pad,), d.data.dtype),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((d.ndiags, tr), lambda t: (0, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tr,), lambda t: (t,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * halo,), lambda t: (t,), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tr,), lambda t: (t,), memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * d.ndiags * n_pad,
+            bytes_accessed=(d.ndiags + 2) * n_pad * 4,
+            transcendentals=0,
+        ),
+    )(d.data, x, halos)
+
+
 def _use_pallas() -> bool:
     return jax.default_backend() == "tpu"
 
@@ -274,9 +343,13 @@ def spmv_dia_padded(d: DIA, xp: jax.Array) -> jax.Array:
 def spmv_dia(d: DIA, x: jax.Array) -> jax.Array:
     """y = A·x for DIA A.  Pallas on TPU, jnp elsewhere.  VJP: dx = Aᵀ·g,
     d(data)[s,i] = g[i]·x[i+off_s] (both one pass)."""
-    if _use_pallas() and _x_fits_vmem(d):
-        xp = _pad_x(d, x.astype(d.data.dtype))
-        return _spmv_pallas(d, xp)[: d.n]
+    if _use_pallas():
+        if _x_fits_vmem(d):
+            xp = _pad_x(d, x.astype(d.data.dtype))
+            return _spmv_pallas(d, xp)[: d.n]
+        if d.halo <= _pick_tile_stream(d):
+            xu = jnp.pad(x.astype(d.data.dtype), (0, d.n_pad - x.shape[0]))
+            return _spmv_pallas_stream(d, xu)[: d.n]
     return spmv_dia_jnp(d, x)
 
 

@@ -126,3 +126,33 @@ def test_gmres_with_dia_operator():
     b = jnp.ones((500,), jnp.float32)
     res = gmres(partial(spmv_dia, d), b, restart=30, maxiter=2000, rtol=1e-4)
     assert bool(res.converged)
+
+
+def test_dia_spmv_streamed_large():
+    """x > VMEM → the HBM-streamed kernel path; correctness vs stencil."""
+    from gflownet_spai_tpu.ops.dia import DIA, spmv_dia, _x_fits_vmem
+
+    k = 2048
+    n = k * k                      # 4M rows, 16MB x → streamed
+    i = np.arange(n)
+    r, c = i // k, i % k
+    data = np.zeros((5, n), np.float32)
+    data[2, :] = 4.0
+    data[0, i[r > 0]] = -1.0
+    data[1, i[c > 0]] = -1.0
+    data[3, i[c < k - 1]] = -1.0
+    data[4, i[r < k - 1]] = -1.0
+    d = DIA(data=jnp.asarray(data), offsets=(-k, -1, 0, 1, k),
+            shape=(n, n), nnz=int((data != 0).sum()))
+    assert not _x_fits_vmem(d)
+    x = np.random.default_rng(0).standard_normal(n).astype(np.float32)
+    y = np.asarray(spmv_dia(d, jnp.asarray(x)))
+    rng = np.random.default_rng(1)
+    for row in rng.integers(0, n, 50):
+        rr, cc = row // k, row % k
+        want = 4 * x[row]
+        if rr > 0: want -= x[row - k]
+        if cc > 0: want -= x[row - 1]
+        if cc < k - 1: want -= x[row + 1]
+        if rr < k - 1: want -= x[row + k]
+        assert abs(y[row] - want) < 1e-3 * max(1, abs(want))
