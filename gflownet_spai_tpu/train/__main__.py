@@ -38,6 +38,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--prng-seed", type=int, default=d.prng_seed)
     p.add_argument("--dtype", default=d.dtype)
     p.add_argument("--platform", default=None, help="cpu to force CPU backend")
+    p.add_argument("--dp-devices", type=int, default=d.dp_devices,
+                   help="data-parallel device count (mesh dp axis)")
     p.add_argument("--out-dir", default=d.out_dir)
     p.add_argument("--log-every", type=int, default=d.log_every)
     p.add_argument("--checkpoint-every", type=int, default=d.checkpoint_every)

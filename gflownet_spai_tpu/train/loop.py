@@ -126,6 +126,39 @@ def make_train_step(cfg: TrainConfig, env, graph, mcfg, opt):
     return jax.jit(step, donate_argnums=(0,))
 
 
+def _make_dp_step_adapter(cfg: TrainConfig, env, graph, mcfg, opt):
+    """Wrap the mesh-parallel step in the single-device step's interface."""
+    from ..parallel import make_dp_train_step, make_mesh
+
+    mesh = make_mesh(dp=cfg.dp_devices, rows=1)
+    dp_step, _ = make_dp_train_step(
+        mesh, env, graph, mcfg, opt, batch_size=cfg.batch_size
+    )
+
+    def step(state: TrainState):
+        params, opt_state, loss, rewards = dp_step(
+            state.params, state.opt_state, state.key
+        )
+        key, _ = jax.random.split(state.key)
+        new_state = TrainState(
+            params=params, opt_state=opt_state, key=key, epoch=state.epoch + 1
+        )
+        metrics = {
+            "loss": loss,
+            "reward_mean": jnp.mean(rewards),
+            "reward_max": jnp.max(rewards),
+            "alpha": jax.nn.sigmoid(params.forward.alpha),
+            "log_z": params.log_z,
+            "mean_len": jnp.zeros(()),
+            "lengths": jnp.zeros_like(rewards, dtype=jnp.int32),
+            "rewards": rewards,
+            "skipped": ~jnp.isfinite(loss),
+        }
+        return new_state, metrics
+
+    return step
+
+
 class MetricsWriter:
     """CSV schema parity with the reference (GFlowNet100.py:226-255:
     ``training_log.csv`` = epoch,num_actions,loss,reward and
@@ -193,13 +226,20 @@ def restore_checkpoint(out_dir: str, template: TrainState) -> Optional[TrainStat
 
 
 def train(cfg: TrainConfig, progress: bool = True):
-    """Full training run; returns (final TrainState, history list)."""
+    """Full training run; returns (final TrainState, history list).
+
+    With ``cfg.dp_devices > 1`` the step runs data-parallel over a
+    ``(dp, 1)`` mesh (see parallel.dp); otherwise single device.
+    """
     a, seed, env, graph, mcfg, opt, state = setup(cfg)
     if cfg.resume:
         restored = restore_checkpoint(cfg.out_dir, state)
         if restored is not None:
             state = restored
-    step = make_train_step(cfg, env, graph, mcfg, opt)
+    if cfg.dp_devices > 1:
+        step = _make_dp_step_adapter(cfg, env, graph, mcfg, opt)
+    else:
+        step = make_train_step(cfg, env, graph, mcfg, opt)
     writer = MetricsWriter(cfg.out_dir)
     history = []
     start_epoch = int(state.epoch)

@@ -146,3 +146,12 @@ def test_bell_roundtrip_and_spmm():
     x = rng.standard_normal((256, 16))
     y = spmm_bell(bell, jnp.asarray(x))
     np.testing.assert_allclose(np.asarray(y), A @ x, rtol=1e-8)
+
+
+def test_spmm_dia_matches_scipy(mat):
+    from gflownet_spai_tpu.ops.dia import spmm_dia
+    coo, A = mat
+    d = coo_to_dia(coo)
+    x = np.random.default_rng(7).standard_normal((coo.shape[1], 6))
+    y = spmm_dia(d, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(y), A @ x, rtol=1e-10)
