@@ -35,29 +35,28 @@ def _coo(row, col, data, shape) -> COO:
 def poisson2d(k: int, dtype=np.float64) -> COO:
     """5-point 2D Laplacian on a k×k grid → (k², k²) SPD matrix."""
     n = k * k
-    rows, cols, vals = [], [], []
-    for i in range(k):
-        for j in range(k):
-            p = i * k + j
-            rows.append(p); cols.append(p); vals.append(4.0)
-            for di, dj in ((-1, 0), (1, 0), (0, -1), (0, 1)):
-                ii, jj = i + di, j + dj
-                if 0 <= ii < k and 0 <= jj < k:
-                    rows.append(p); cols.append(ii * k + jj); vals.append(-1.0)
-    return _coo(rows, cols, np.asarray(vals, dtype), (n, n))
+    i = np.arange(n)
+    r, c = i // k, i % k
+    rows = [i]; cols = [i]; vals = [np.full(n, 4.0, dtype)]
+    for off, mask in ((-k, r > 0), (k, r < k - 1), (-1, c > 0), (1, c < k - 1)):
+        rows.append(i[mask]); cols.append(i[mask] + off)
+        vals.append(np.full(mask.sum(), -1.0, dtype))
+    return _coo(np.concatenate(rows), np.concatenate(cols),
+                np.concatenate(vals), (n, n))
 
 
 def conv_diffusion(n: int, beta: float = 0.5, dtype=np.float64) -> COO:
     """1D convection-diffusion (central differences): nonsymmetric
     tridiagonal, olm500-style."""
-    rows, cols, vals = [], [], []
-    for i in range(n):
-        rows.append(i); cols.append(i); vals.append(2.0)
-        if i > 0:
-            rows.append(i); cols.append(i - 1); vals.append(-1.0 - beta)
-        if i < n - 1:
-            rows.append(i); cols.append(i + 1); vals.append(-1.0 + beta)
-    return _coo(rows, cols, np.asarray(vals, dtype), (n, n))
+    i = np.arange(n)
+    rows = np.concatenate([i, i[1:], i[:-1]])
+    cols = np.concatenate([i, i[1:] - 1, i[:-1] + 1])
+    vals = np.concatenate([
+        np.full(n, 2.0, dtype),
+        np.full(n - 1, -1.0 - beta, dtype),
+        np.full(n - 1, -1.0 + beta, dtype),
+    ])
+    return _coo(rows, cols, vals, (n, n))
 
 
 def random_spd(n: int, density: float = 0.02, seed: int = 0, dtype=np.float64) -> COO:
