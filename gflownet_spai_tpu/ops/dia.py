@@ -316,6 +316,58 @@ def _use_pallas() -> bool:
     return jax.default_backend() == "tpu"
 
 
+def spgemm_dia(m: DIA, a: DIA) -> DIA:
+    """Banded sparse × sparse product C = M·A entirely in DIA form.
+
+    C[i, i+d₃] = Σ_{d₁+d₂=d₃} M[i, i+d₁] · A[i+d₁, i+d₁+d₂], i.e. each
+    output diagonal is a sum of elementwise products of one M diagonal with
+    a *statically shifted* A diagonal — no gather, no scatter, pure VPU.
+    This is the TPU-native reward path for banded problems (the pair-plan
+    SpGEMM in sparse/ops.py needs gathers, which run ~0.1 Gnnz/s on TPU).
+
+    Output offsets = all sums d₁+d₂ (dense band union); entries whose
+    column falls outside the matrix are zero by construction.
+    """
+    if m.shape[1] != a.shape[0]:
+        raise ValueError("inner dims mismatch")
+    n = m.n
+    n_pad = m.n_pad
+    if a.n_pad != n_pad:
+        raise ValueError("operands must share n_pad (repad first)")
+    out_offsets = sorted({d1 + d2 for d1 in m.offsets for d2 in a.offsets})
+    # pad by M's reach so every shifted read is an in-bounds static slice
+    ha = max((abs(o) for o in m.offsets), default=1)
+    a_pad = jnp.pad(a.data, ((0, 0), (ha, ha)))
+    acc = {d3: jnp.zeros((n_pad,), jnp.promote_types(m.data.dtype, a.data.dtype))
+           for d3 in out_offsets}
+    for s1, d1 in enumerate(m.offsets):
+        for s2, d2 in enumerate(a.offsets):
+            # A diag d2 evaluated at row i+d1: slice with static shift d1
+            shifted = jax.lax.slice(a_pad[s2], (ha + d1,), (ha + d1 + n_pad,))
+            acc[d1 + d2] = acc[d1 + d2] + m.data[s1] * shifted
+    # zero out-of-range columns of each output diagonal (can be nonzero when
+    # a shifted A-diagonal wraps padding rows)
+    row_idx = jnp.arange(n_pad)
+    rows = []
+    for d3 in out_offsets:
+        valid = (row_idx + d3 >= 0) & (row_idx + d3 < n) & (row_idx < n)
+        rows.append(jnp.where(valid, acc[d3], 0.0))
+    nnz = sum(max(0, n - abs(d3)) for d3 in out_offsets)
+    return DIA(data=jnp.stack(rows), offsets=tuple(out_offsets),
+               shape=(m.shape[0], a.shape[1]), nnz=nnz)
+
+
+def frobenius_sq_minus_identity_dia(c: DIA) -> jax.Array:
+    """‖C − I‖_F² for DIA C (assumes out-of-range slots are zero)."""
+    s2 = jnp.sum(c.data * c.data)
+    if 0 in c.offsets:
+        center = c.offsets.index(0)
+        sd = jnp.sum(c.data[center, : c.n])
+    else:
+        sd = 0.0
+    return s2 - 2.0 * sd + jnp.asarray(c.n, c.data.dtype)
+
+
 def spmm_dia(d: DIA, x: jax.Array) -> jax.Array:
     """Y = A·X for dense X [n, K] — per-diagonal shifted FMAs over row
     blocks (jnp; XLA fuses the K columns into wide vector ops)."""
