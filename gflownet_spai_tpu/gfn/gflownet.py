@@ -22,10 +22,17 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..env import spai
+from ..env import spai, spai_dia
 from ..models import policies as pol
 from .loss import log_reward, trajectory_balance_loss
 from .rollout import Rollout, gumbel_topk_rollout
+
+
+def _batched_rewards(env, actions, alpha):
+    """Dispatch to the matching env implementation (COO plan vs DIA band)."""
+    if isinstance(env, spai_dia.SpaiDiaEnv):
+        return spai_dia.batched_rewards(env, actions, alpha)
+    return spai.batched_rewards(env, actions, alpha)
 
 
 class GFlowNetParams(NamedTuple):
@@ -70,7 +77,7 @@ def sample(params: GFlowNetParams, env: spai.SpaiEnv, graph: pol.GraphInputs,
     alpha = pol.forward_policy_alpha(params.forward)
     batched = jnp.broadcast_to(logits, (batch_size, cfg.num_actions))
     rollout = gumbel_topk_rollout(batched, key, terminal_action=cfg.num_actions - 1)
-    rewards = spai.batched_rewards(env, rollout.actions, alpha)
+    rewards = _batched_rewards(env, rollout.actions, alpha)
     return SampleOut(rollout=rollout, rewards=rewards, alpha=alpha, logits=logits)
 
 

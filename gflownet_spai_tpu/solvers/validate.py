@@ -70,11 +70,19 @@ def validate_preconditioners(
     return out
 
 
-def best_sampled_matrix(env: spai_mod.SpaiEnv, actions: jnp.ndarray,
+def best_sampled_matrix(env, actions: jnp.ndarray,
                         rewards: jnp.ndarray) -> COO:
     """Extract the highest-reward sampled preconditioner from a batch of
-    trajectories as a COO matrix (for GMRES validation)."""
+    trajectories as a COO matrix (for GMRES validation).  Works for both
+    the COO-plan env and the DIA-band env (whose edge enumeration differs)."""
+    from ..env import spai_dia
+
     best = int(jnp.argmax(rewards))
     keep = spai_mod.keep_mask_from_actions(actions[best], env.num_edges)
-    vals = spai_mod.masked_values(env, keep)
-    return COO(row=env.seed.row, col=env.seed.col, data=vals, shape=env.seed.shape)
+    if isinstance(env, spai_dia.SpaiDiaEnv):
+        seed_coo = spai_dia.edge_coo(env)
+    else:
+        seed_coo = env.seed
+    vals = seed_coo.data * keep.astype(seed_coo.data.dtype)
+    return COO(row=seed_coo.row, col=seed_coo.col, data=vals,
+               shape=seed_coo.shape)

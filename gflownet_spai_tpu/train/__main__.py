@@ -27,6 +27,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="gallery name (LF10|bcsstk03|olm500|poisson32) or .mtx path")
     p.add_argument("--seed-method", default=d.seed_method,
                    choices=["ilu0", "spilu", "pattern"])
+    p.add_argument("--env-format", default=d.env_format,
+                   choices=["auto", "coo", "dia"],
+                   help="reward path: coo pair-plan or gather-free dia band")
     p.add_argument("--reference-baseline", action="store_true",
                    help="score against the seed matrix like the reference driver "
                         "(GFlowNet100.py:173) instead of the true A")

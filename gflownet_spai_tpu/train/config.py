@@ -26,6 +26,9 @@ class TrainConfig:
     matrix: str = "LF10"            # gallery name or path to a .mtx file
     seed_method: str = "ilu0"       # ilu0 | spilu | pattern
     reference_baseline: bool = False  # True → original_matrix = seed (GFlowNet100.py:173)
+    env_format: str = "auto"        # auto | coo | dia — dia = gather-free
+                                    # banded reward path (TPU fast path)
+    dia_max_diags: int = 64         # "auto" picks dia below this band count
 
     # model (reference GFlowNet100.py:180, policy.py:19)
     hidden_dim: int = 4

@@ -72,8 +72,25 @@ def setup(cfg: TrainConfig):
     a = load_matrix(cfg)
     a = COO(row=a.row, col=a.col, data=a.data.astype(dtype), shape=a.shape)
     seed = ilu.seed_pattern(a, method=cfg.seed_method, dtype=dtype)
-    env = spai.make_env(seed, original=None if cfg.reference_baseline else a)
-    graph = pol.graph_from_seed(seed)
+
+    from ..env import spai_dia
+    from ..ops.rcm import n_diagonals
+
+    fmt = cfg.env_format
+    if fmt == "auto":
+        # dp path shards the COO pair plan; reference-baseline scoring is
+        # COO-only; otherwise banded problems take the gather-free DIA path
+        fmt = "dia" if (not cfg.reference_baseline
+                        and cfg.dp_devices <= 1
+                        and n_diagonals(seed) <= cfg.dia_max_diags
+                        and n_diagonals(a) <= cfg.dia_max_diags) else "coo"
+    if fmt == "dia":
+        env = spai_dia.make_dia_env(seed, a)
+        # edge/action ids follow the DIA enumeration → graph must too
+        graph = pol.graph_from_seed(spai_dia.edge_coo(env))
+    else:
+        env = spai.make_env(seed, original=None if cfg.reference_baseline else a)
+        graph = pol.graph_from_seed(seed)
     mcfg = gfn.GFlowNetConfig(
         hidden_dim=cfg.hidden_dim, heads=cfg.heads, num_actions=env.num_actions
     )
