@@ -94,5 +94,38 @@ def main():
     }), flush=True)
 
 
+def _watchdog_main(budget_s: float = 480.0):
+    """Run main() under a watchdog: if the TPU tunnel is wedged (devices()
+    can hang indefinitely), still emit a valid JSON line and exit."""
+    import threading
+
+    done = threading.Event()
+
+    def runner():
+        try:
+            main()
+        except Exception as e:  # noqa: BLE001
+            log(f"bench failed: {e!r}")
+            print(json.dumps({
+                "metric": "spmv_dia_poisson1M_nnz_per_s",
+                "value": 0.0, "unit": "Gnnz/s", "vs_baseline": 0.0,
+                "error": str(e)[:200],
+            }), flush=True)
+        finally:
+            done.set()
+
+    t = threading.Thread(target=runner, daemon=True)
+    t.start()
+    if not done.wait(budget_s):
+        log(f"bench watchdog: no result after {budget_s}s (tunnel hung?)")
+        print(json.dumps({
+            "metric": "spmv_dia_poisson1M_nnz_per_s",
+            "value": 0.0, "unit": "Gnnz/s", "vs_baseline": 0.0,
+            "error": "timeout — TPU backend unresponsive",
+        }), flush=True)
+        import os
+        os._exit(1)
+
+
 if __name__ == "__main__":
-    main()
+    _watchdog_main()

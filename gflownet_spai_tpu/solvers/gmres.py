@@ -143,19 +143,54 @@ def gmres(
     )
 
 
+def _as_op(mat):
+    """Sparse container → matvec callable (dispatches on container type)."""
+    if callable(mat):
+        return mat
+    from ..ops.dia import DIA, spmv_dia
+    from ..sparse.ops import spmv
+
+    if isinstance(mat, DIA):
+        return partial(spmv_dia, mat)
+    return partial(spmv, mat)
+
+
+@partial(jax.jit, static_argnames=("restart", "maxiter", "with_m"))
+def _gmres_mats(a, b, m, restart, maxiter, rtol, with_m):
+    """Matrix-argument entry point: ``a``/``m`` are sparse-container
+    *pytree arguments*, so their (possibly huge) value arrays travel as
+    device buffers instead of being baked into the compiled program as
+    constants (the closure path hits remote-compile payload limits at
+    ~300 MB — see CLAUDE.md)."""
+    a_op = _as_op(a)
+    m_op = _as_op(m) if with_m else None
+    return gmres(a_op, b, m_op=m_op, restart=restart, maxiter=maxiter,
+                 rtol=rtol)
+
+
+def gmres_matrix(a, b, m=None, restart: int = 30, maxiter: int = 1000,
+                 rtol: float = 1e-5) -> GMRESResult:
+    """GMRES with sparse-container operands passed as jit arguments."""
+    return _gmres_mats(a, b, m if m is not None else a, restart, maxiter,
+                       rtol, m is not None)
+
+
 def solve_with_gmres(a, b, m=None, maxiter: int = 10260, restart: int = 30,
                      rtol: float = 1e-5):
     """Reference-harness wrapper (GFlowNet100.py:61-93): x0 = 0, residual
     history, iteration count, wall-clock time.  ``a``/``m`` may be sparse
-    containers (applied via spmv) or callables."""
+    containers (applied via spmv, passed as jit args) or callables."""
     import time
 
-    from ..sparse.ops import spmv
-
-    a_op = a if callable(a) else partial(spmv, a)
-    m_op = None if m is None else (m if callable(m) else partial(spmv, m))
     t0 = time.time()
-    res = gmres(a_op, b, m_op=m_op, restart=restart, maxiter=maxiter, rtol=rtol)
+    if callable(a) or (m is not None and callable(m)):
+        a_op = _as_op(a)
+        m_op = None if m is None else _as_op(m)
+        res = gmres(a_op, b, m_op=m_op, restart=restart, maxiter=maxiter,
+                    rtol=rtol)
+    else:
+        res = gmres_matrix(a, b, m, restart=restart, maxiter=maxiter,
+                           rtol=rtol)
     jax.block_until_ready(res.x)
     elapsed = time.time() - t0
     residuals = res.residuals[: int(res.iterations)]
