@@ -223,3 +223,62 @@ def test_log_reward_clamps_negative():
     lr = np.asarray(log_reward(r))
     assert np.isfinite(lr).all()
     np.testing.assert_allclose(lr[2], np.log(2.0))
+
+
+def test_gradients_flow_to_all_parameter_groups():
+    """TB loss must produce nonzero grads for GAT, fc head, α, log Z, and
+    the backward LSTM (the reference's check_gradients audit,
+    GFlowNet100.py:192-198, as an assertion)."""
+    import jax
+    from gflownet_spai_tpu.env import make_env, seed_pattern
+    from gflownet_spai_tpu.gfn import GFlowNetConfig, init_params
+    from gflownet_spai_tpu.gfn.gflownet import loss_fn
+    from gflownet_spai_tpu.models import graph_from_seed
+    from gflownet_spai_tpu.sparse import gallery
+
+    a = gallery.get("LF10")
+    seed = seed_pattern(a, method="ilu0", dtype=jnp.float32)
+    env = make_env(seed, original=a)
+    graph = graph_from_seed(seed)
+    cfg = GFlowNetConfig(hidden_dim=4, heads=4, num_actions=env.num_actions)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    grads, _ = jax.grad(loss_fn, has_aux=True)(
+        params, env, graph, cfg, jax.random.PRNGKey(1), 8
+    )
+
+    def norm(t):
+        return float(sum(jnp.sum(jnp.abs(g)) for g in jax.tree_util.tree_leaves(t)))
+
+    assert norm(grads.forward.gat1) > 0, "no grad into GAT layer 1"
+    assert norm(grads.forward.gat2) > 0, "no grad into GAT layer 2"
+    assert norm(grads.forward.fc_w) > 0, "no grad into action head"
+    assert abs(float(grads.forward.alpha)) > 0, "no grad into alpha"
+    assert abs(float(grads.log_z)) > 0, "no grad into log Z"
+    assert norm(grads.backward) > 0, "no grad into backward LSTM"
+    for leaf in jax.tree_util.tree_leaves(grads):
+        assert bool(jnp.isfinite(leaf).all()), "non-finite gradient"
+
+
+def test_reward_f32_f64_consistency():
+    """f32 rewards must track the f64 oracle within solver-grade tolerance
+    (SURVEY.md §7 hard part #5 numerics-parity check)."""
+    import numpy as np
+    from gflownet_spai_tpu.env import make_env, seed_pattern
+    from gflownet_spai_tpu.env.spai import reward
+    from gflownet_spai_tpu.sparse import gallery
+    from gflownet_spai_tpu.sparse.types import COO
+
+    a64 = gallery.get("olm500")
+    seed64 = seed_pattern(a64, method="ilu0", dtype=jnp.float64)
+    env64 = make_env(seed64, original=a64)
+    a32 = COO(row=a64.row, col=a64.col, data=a64.data.astype(jnp.float32),
+              shape=a64.shape)
+    seed32 = COO(row=seed64.row, col=seed64.col,
+                 data=seed64.data.astype(jnp.float32), shape=seed64.shape)
+    env32 = make_env(seed32, original=a32)
+    rng = np.random.default_rng(0)
+    for _ in range(3):
+        keep = jnp.asarray(rng.random(env64.num_edges) > 0.4)
+        r64 = float(reward(env64, keep, jnp.asarray(0.5)))
+        r32 = float(reward(env32, keep, jnp.asarray(0.5, jnp.float32)))
+        assert abs(r64 - r32) < 1e-2 * max(1.0, abs(r64)), (r64, r32)
