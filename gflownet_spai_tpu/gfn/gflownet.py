@@ -45,6 +45,8 @@ class GFlowNetConfig(NamedTuple):
     hidden_dim: int = 4          # reference GFlowNet100.py:180
     heads: int = 4               # reference policy.py:19
     num_actions: int = 0         # nnz + 1 (env-dependent)
+    loss: str = "tb"             # tb | vargrad (see gfn.loss)
+    temperature: float = 1.0     # rollout sampling temperature (>1 explores)
 
 
 def init_params(key, cfg: GFlowNetConfig, dtype=jnp.float32) -> GFlowNetParams:
@@ -75,8 +77,16 @@ def sample(params: GFlowNetParams, env: spai.SpaiEnv, graph: pol.GraphInputs,
         params.forward, graph, cfg.num_actions, cfg.hidden_dim, cfg.heads
     )
     alpha = pol.forward_policy_alpha(params.forward)
-    batched = jnp.broadcast_to(logits, (batch_size, cfg.num_actions))
+    sample_logits = logits / cfg.temperature if cfg.temperature != 1.0 else logits
+    batched = jnp.broadcast_to(sample_logits, (batch_size, cfg.num_actions))
     rollout = gumbel_topk_rollout(batched, key, terminal_action=cfg.num_actions - 1)
+    if cfg.temperature != 1.0:
+        # re-score the sampled trajectories under the untempered policy so
+        # the TB objective sees the true P_F (off-policy exploration)
+        from .rollout import sequential_logprobs
+        lps = jax.vmap(lambda a: sequential_logprobs(logits, a))(
+            jax.lax.stop_gradient(rollout.actions))
+        rollout = rollout._replace(fwd_logprobs=lps)
     rewards = _batched_rewards(env, rollout.actions, alpha)
     return SampleOut(rollout=rollout, rewards=rewards, alpha=alpha, logits=logits)
 
@@ -96,12 +106,21 @@ def loss_fn(params: GFlowNetParams, env: spai.SpaiEnv, graph: pol.GraphInputs,
     actions = jax.lax.stop_gradient(out.rollout.actions)
     back_lp = pol.backward_policy_batch(params.backward, actions, cfg.hidden_dim)
 
-    loss = trajectory_balance_loss(
-        params.log_z,
-        log_reward(out.rewards),
-        out.rollout.fwd_logprobs.sum(-1),
-        back_lp.sum(-1),
-    )
+    if cfg.loss == "vargrad":
+        from .loss import vargrad_loss
+
+        loss = vargrad_loss(
+            log_reward(out.rewards),
+            out.rollout.fwd_logprobs.sum(-1),
+            back_lp.sum(-1),
+        )
+    else:
+        loss = trajectory_balance_loss(
+            params.log_z,
+            log_reward(out.rewards),
+            out.rollout.fwd_logprobs.sum(-1),
+            back_lp.sum(-1),
+        )
     aux = {
         "rewards": out.rewards,
         "alpha": out.alpha,

@@ -40,3 +40,19 @@ def trajectory_balance_loss(
     ``log_z`` (scalar)."""
     delta = log_z + fwd_logprob_sum - log_rewards - back_logprob_sum
     return jnp.mean(delta * delta)
+
+
+def vargrad_loss(
+    log_rewards: jax.Array,
+    fwd_logprob_sum: jax.Array,
+    back_logprob_sum: jax.Array,
+) -> jax.Array:
+    """VarGrad form of TB (Richter et al. 2020; Zhang et al. 2023 for
+    GFlowNets): the batch variance of ``δ_b = log R + Σlog P_B − Σlog P_F``.
+
+    Equivalent optimum to TB with log Z replaced by its per-batch empirical
+    estimate — no trained log Z, and markedly more stable when trajectory
+    length (hence |Σlog P_F|) is large, e.g. 10⁵-action SPAI problems where
+    plain TB losses reach 1e9 in f32."""
+    delta = log_rewards + back_logprob_sum - fwd_logprob_sum
+    return jnp.var(delta)

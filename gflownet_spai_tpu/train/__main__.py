@@ -35,6 +35,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "(GFlowNet100.py:173) instead of the true A")
     p.add_argument("--hidden-dim", type=int, default=d.hidden_dim)
     p.add_argument("--heads", type=int, default=d.heads)
+    p.add_argument("--loss", default=d.loss, choices=["tb", "vargrad"])
+    p.add_argument("--temperature", type=float, default=d.temperature,
+                   help="rollout sampling temperature (>1 explores)")
     p.add_argument("--batch-size", type=int, default=d.batch_size)
     p.add_argument("--epochs", type=int, default=d.num_epochs, dest="num_epochs")
     p.add_argument("--lr", type=float, default=d.lr)

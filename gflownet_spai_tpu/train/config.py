@@ -33,6 +33,8 @@ class TrainConfig:
     # model (reference GFlowNet100.py:180, policy.py:19)
     hidden_dim: int = 4
     heads: int = 4
+    loss: str = "tb"                # tb | vargrad
+    temperature: float = 1.0        # rollout sampling temperature
 
     # optimization (reference GFlowNet100.py:32-34, 266-267)
     batch_size: int = 2

@@ -63,6 +63,13 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
 def load_matrix(cfg: TrainConfig) -> COO:
     if cfg.matrix in gallery.GALLERY:
         return gallery.get(cfg.matrix)
+    from pathlib import Path
+
+    if not Path(cfg.matrix).exists():
+        raise FileNotFoundError(
+            f"matrix {cfg.matrix!r}: not a gallery name "
+            f"({', '.join(sorted(gallery.GALLERY))}) and no such .mtx file"
+        )
     return read_mtx(cfg.matrix)
 
 
@@ -92,7 +99,9 @@ def setup(cfg: TrainConfig):
         env = spai.make_env(seed, original=None if cfg.reference_baseline else a)
         graph = pol.graph_from_seed(seed)
     mcfg = gfn.GFlowNetConfig(
-        hidden_dim=cfg.hidden_dim, heads=cfg.heads, num_actions=env.num_actions
+        hidden_dim=cfg.hidden_dim, heads=cfg.heads,
+        num_actions=env.num_actions, loss=cfg.loss,
+        temperature=cfg.temperature,
     )
     params = gfn.init_params(jax.random.PRNGKey(cfg.prng_seed), mcfg, dtype=dtype)
     opt = make_optimizer(cfg)
@@ -208,6 +217,7 @@ class MetricsWriter:
             "log_z": float(m["log_z"]),
             "mean_len": float(m["mean_len"]),
             "skipped": bool(m["skipped"]),
+            "wall_s": float(m.get("wall_s", 0.0)),
             "time": time.time(),
         }
         self.jsonl.write(json.dumps(rec) + "\n")
@@ -261,8 +271,11 @@ def train(cfg: TrainConfig, progress: bool = True):
     history = []
     start_epoch = int(state.epoch)
     for epoch in range(start_epoch, cfg.num_epochs):
+        t0 = time.time()
         state, metrics = step(state)
-        writer.write(epoch, jax.device_get(metrics))
+        metrics = jax.device_get(metrics)
+        metrics["wall_s"] = time.time() - t0
+        writer.write(epoch, metrics)
         if progress and epoch % cfg.log_every == 0:
             writer.flush()
             print(

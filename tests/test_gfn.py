@@ -282,3 +282,73 @@ def test_reward_f32_f64_consistency():
         r64 = float(reward(env64, keep, jnp.asarray(0.5)))
         r32 = float(reward(env32, keep, jnp.asarray(0.5, jnp.float32)))
         assert abs(r64 - r32) < 1e-2 * max(1.0, abs(r64)), (r64, r32)
+
+
+def test_vargrad_loss_properties():
+    from gflownet_spai_tpu.gfn.loss import vargrad_loss
+    lr = jnp.asarray([1.0, 2.0, 0.5])
+    f = jnp.asarray([-3.0, -2.0, -3.5])
+    # perfectly balanced: delta constant -> zero variance
+    b = f - lr + 7.0
+    assert float(vargrad_loss(lr, f, b)) == pytest.approx(0.0)
+    b2 = b.at[0].add(1.0)
+    assert float(vargrad_loss(lr, f, b2)) > 0
+
+
+def test_vargrad_training_improves_on_lf10():
+    import optax
+    from gflownet_spai_tpu.env import make_env, seed_pattern
+    from gflownet_spai_tpu.gfn import GFlowNetConfig, init_params
+    from gflownet_spai_tpu.gfn.gflownet import loss_fn
+    from gflownet_spai_tpu.models import graph_from_seed
+    from gflownet_spai_tpu.sparse import gallery
+
+    a = gallery.get("LF10")
+    seed = seed_pattern(a, method="ilu0", dtype=jnp.float32)
+    env = make_env(seed, original=a)
+    graph = graph_from_seed(seed)
+    cfg = GFlowNetConfig(hidden_dim=4, heads=4, num_actions=env.num_actions,
+                         loss="vargrad")
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    opt = optax.adam(5e-3)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state, key):
+        (l, aux), g = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, env, graph, cfg, key, 16)
+        u, opt_state = opt.update(g, opt_state)
+        return optax.apply_updates(params, u), opt_state, l
+
+    key = jax.random.PRNGKey(1)
+    losses = []
+    for _ in range(120):
+        key, sub = jax.random.split(key)
+        params, opt_state, l = step(params, opt_state, sub)
+        losses.append(float(l))
+    assert np.mean(losses[-20:]) < np.mean(losses[:20])
+
+
+def test_temperature_rescoring_exact():
+    """With temperature != 1, logged fwd log-probs must be the *untempered*
+    policy's probabilities of the sampled trajectories."""
+    from gflownet_spai_tpu.env import make_env, seed_pattern
+    from gflownet_spai_tpu.gfn import GFlowNetConfig, init_params, sample
+    from gflownet_spai_tpu.gfn.rollout import sequential_logprobs
+    from gflownet_spai_tpu.models import graph_from_seed, forward_policy_logits
+    from gflownet_spai_tpu.sparse import gallery
+
+    a = gallery.get("LF10")
+    seed = seed_pattern(a, method="ilu0", dtype=jnp.float64)
+    env = make_env(seed, original=a)
+    graph = graph_from_seed(seed)
+    cfg = GFlowNetConfig(hidden_dim=4, heads=4, num_actions=env.num_actions,
+                         temperature=2.5)
+    params = init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float64)
+    out = sample(params, env, graph, cfg, jax.random.PRNGKey(3), batch_size=4)
+    logits = forward_policy_logits(params.forward, graph, cfg.num_actions, 4)
+    for b in range(4):
+        want = sequential_logprobs(logits, out.rollout.actions[b])
+        np.testing.assert_allclose(
+            np.asarray(out.rollout.fwd_logprobs[b]), np.asarray(want),
+            rtol=1e-10)
