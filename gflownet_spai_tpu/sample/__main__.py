@@ -1,0 +1,97 @@
+"""Sampling CLI: ``python -m gflownet_spai_tpu.sample``.
+
+The reference ends training with a large terminal rollout
+(10⁴ samples, GFlowNet100.py:530-532).  This command restores a trained
+checkpoint, draws N trajectories, reports the reward distribution, and
+optionally writes the best sampled preconditioner as a ``.mtx``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="gflownet_spai_tpu.sample")
+    p.add_argument("--run-dir", required=True,
+                   help="training out-dir containing checkpoint/")
+    p.add_argument("--matrix", default="LF10")
+    p.add_argument("--seed-method", default="ilu0")
+    p.add_argument("--env-format", default="auto")
+    p.add_argument("--hidden-dim", type=int, default=4)
+    p.add_argument("--heads", type=int, default=4)
+    p.add_argument("--num-samples", type=int, default=10000)
+    p.add_argument("--batch-size", type=int, default=256)
+    p.add_argument("--prng-seed", type=int, default=0)
+    p.add_argument("--platform", default=None)
+    p.add_argument("--export-mtx", default=None,
+                   help="write the best sampled M to this .mtx path")
+    args = p.parse_args(argv)
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    from ..train import TrainConfig, restore_checkpoint, setup
+    from ..gfn import gflownet as gfn
+    from ..solvers.validate import best_sampled_matrix
+    from ..sparse import write_mtx
+
+    cfg = TrainConfig(
+        matrix=args.matrix, seed_method=args.seed_method,
+        env_format=args.env_format, hidden_dim=args.hidden_dim,
+        heads=args.heads, out_dir=args.run_dir, prng_seed=args.prng_seed,
+    )
+    a, seed, env, graph, mcfg, opt, state = setup(cfg)
+    restored = restore_checkpoint(args.run_dir, state)
+    if restored is None:
+        raise SystemExit(f"no checkpoint under {args.run_dir}/checkpoint")
+    state = restored
+    print(f"restored epoch {int(state.epoch)}; sampling {args.num_samples} "
+          f"trajectories on {env.num_actions - 1} edges")
+
+    jitted = jax.jit(gfn.sample, static_argnames=("cfg", "batch_size"))
+    key = jax.random.PRNGKey(args.prng_seed + 7)
+    best_r = -np.inf
+    best = None
+    all_r, all_len = [], []
+    remaining = args.num_samples
+    while remaining > 0:
+        b = min(args.batch_size, remaining)
+        key, sub = jax.random.split(key)
+        out = jitted(state.params, env, graph, mcfg, sub, batch_size=args.batch_size)
+        r = np.asarray(out.rewards)[:b]
+        all_r.append(r)
+        all_len.append(np.asarray(out.rollout.lengths)[:b])
+        i = int(np.argmax(r))
+        if r[i] > best_r:
+            best_r = float(r[i])
+            best = (out.rollout.actions, out.rewards)
+        remaining -= b
+    r = np.concatenate(all_r)
+    lens = np.concatenate(all_len)
+    summary = {
+        "samples": int(len(r)),
+        "reward_mean": float(r.mean()),
+        "reward_p50": float(np.median(r)),
+        "reward_p95": float(np.percentile(r, 95)),
+        "reward_max": float(r.max()),
+        "mean_len": float(lens.mean()),
+        "alpha": float(jax.nn.sigmoid(state.params.forward.alpha)),
+    }
+    print(json.dumps(summary, indent=2))
+    (Path(args.run_dir) / "sample_summary.json").write_text(json.dumps(summary))
+
+    if args.export_mtx:
+        m = best_sampled_matrix(env, best[0], best[1])
+        write_mtx(args.export_mtx, m, comment=" best GFlowNet-sampled SPAI")
+        print(f"wrote best M (reward {best_r:.1f}) to {args.export_mtx}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
