@@ -20,11 +20,11 @@ from .dia import (
     spmv_dia_padded,
 )
 from .rcm import bandwidth, n_diagonals, permute, rcm_permutation, rcm_reorder
-from .bsr import BELL, csr_to_bell, spmm_bell, spmm_bell_jnp
+from .bsr import BELL, csr_to_bell, spmm_bell, spmm_bell_jnp, spmv_bell
 
 __all__ = [
     "DIA", "coo_to_dia", "dia_pad_x", "dia_to_coo", "dia_transpose",
     "spmv_dia", "spmv_dia_jnp", "spmv_dia_padded",
     "bandwidth", "n_diagonals", "permute", "rcm_permutation", "rcm_reorder",
-    "BELL", "csr_to_bell", "spmm_bell", "spmm_bell_jnp",
+    "BELL", "csr_to_bell", "spmm_bell", "spmm_bell_jnp", "spmv_bell",
 ]

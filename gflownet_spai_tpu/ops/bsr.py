@@ -156,3 +156,9 @@ def spmm_bell(a: BELL, x: jax.Array) -> jax.Array:
     if jax.default_backend() == "tpu":
         return _spmm_bell_pallas(a, x)
     return spmm_bell_jnp(a, x)
+
+
+def spmv_bell(a: BELL, x: jax.Array) -> jax.Array:
+    """y = A·x via the SpMM kernel with a single RHS column (API
+    completeness; DIA is the fast SpMV format — see ops/__init__)."""
+    return spmm_bell(a, x[:, None])[:, 0]

@@ -1,13 +1,13 @@
 """Iterative solvers (GMRES, CG) and the preconditioner validation harness."""
 
-from .gmres import GMRESResult, gmres, solve_with_gmres
-from .cg import CGResult, cg, solve_with_cg
+from .gmres import GMRESResult, gmres, gmres_matrix, solve_with_gmres
+from .cg import CGResult, cg, cg_matrix, solve_with_cg
 from .precond import ilu_solve_op, jacobi_op, spai_op
 from .validate import SolveReport, best_sampled_matrix, validate_preconditioners
 
 __all__ = [
-    "GMRESResult", "gmres", "solve_with_gmres",
-    "CGResult", "cg", "solve_with_cg",
+    "GMRESResult", "gmres", "gmres_matrix", "solve_with_gmres",
+    "CGResult", "cg", "cg_matrix", "solve_with_cg",
     "ilu_solve_op", "jacobi_op", "spai_op",
     "SolveReport", "best_sampled_matrix", "validate_preconditioners",
 ]

@@ -73,16 +73,32 @@ def cg(
     return CGResult(x=x, residuals=hist, iterations=it, converged=done)
 
 
+@partial(jax.jit, static_argnames=("maxiter", "with_m"))
+def _cg_mats(a, b, m, maxiter, rtol, with_m):
+    """Matrix-argument entry (operands as pytree args; see gmres._gmres_mats)."""
+    from .gmres import _as_op
+
+    return cg(_as_op(a), b, m_op=_as_op(m) if with_m else None,
+              maxiter=maxiter, rtol=rtol)
+
+
+def cg_matrix(a, b, m=None, maxiter: int = 1000, rtol: float = 1e-5) -> CGResult:
+    return _cg_mats(a, b, m if m is not None else a, maxiter, rtol,
+                    m is not None)
+
+
 def solve_with_cg(a, b, m=None, maxiter: int = 1000, rtol: float = 1e-5):
     """Harness wrapper mirroring ``solve_with_gmres``."""
     import time
 
-    from ..sparse.ops import spmv
-
-    a_op = a if callable(a) else partial(spmv, a)
-    m_op = None if m is None else (m if callable(m) else partial(spmv, m))
     t0 = time.time()
-    res = cg(a_op, b, m_op=m_op, maxiter=maxiter, rtol=rtol)
+    if callable(a) or (m is not None and callable(m)):
+        from .gmres import _as_op
+
+        res = cg(_as_op(a), b, m_op=None if m is None else _as_op(m),
+                 maxiter=maxiter, rtol=rtol)
+    else:
+        res = cg_matrix(a, b, m, maxiter=maxiter, rtol=rtol)
     jax.block_until_ready(res.x)
     elapsed = time.time() - t0
     return res.x, res.residuals[: int(res.iterations)], int(res.iterations), elapsed
