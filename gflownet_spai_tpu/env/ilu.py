@@ -96,6 +96,17 @@ def seed_pattern(a: COO, method: str = "ilu0", dtype=jnp.float32, **kwargs) -> C
         L, U = spilu_lu(a, **kwargs)
     elif method == "pattern":  # A's own pattern as fallback (on-TPU friendly)
         return COO(row=a.row, col=a.col, data=a.data.astype(dtype), shape=a.shape)
+    elif method == "spai":
+        # principled variant (docs/ROADMAP.md #8): seed with the classic-SPAI
+        # approximate INVERSE min ‖A·M − I‖_F, so thinning trades genuine
+        # preconditioner quality against cost.  The reference thins LU ≈ A
+        # itself (GFlowNet100.py:137-153), which scores ‖M·A − I‖ of a
+        # matrix that approximates A, not A⁻¹ — measurably bad on
+        # unstructured SPD problems (see validate on bcsstk03).
+        from ..solvers.spai_classic import spai_classic
+
+        m0 = spai_classic(a, k=kwargs.get("k", 1), dtype=dtype)
+        return m0
     else:
         raise ValueError(f"unknown seed method {method!r}")
     LU = coo_to_scipy(L) @ coo_to_scipy(U)

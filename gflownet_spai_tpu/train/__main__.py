@@ -26,7 +26,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--matrix", default=d.matrix,
                    help="gallery name (LF10|bcsstk03|olm500|poisson32) or .mtx path")
     p.add_argument("--seed-method", default=d.seed_method,
-                   choices=["ilu0", "spilu", "pattern"])
+                   choices=["ilu0", "spilu", "pattern", "spai"])
     p.add_argument("--env-format", default=d.env_format,
                    choices=["auto", "coo", "dia"],
                    help="reward path: coo pair-plan or gather-free dia band")

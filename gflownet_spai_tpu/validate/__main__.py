@@ -29,7 +29,8 @@ def main(argv=None) -> int:
     p.add_argument("--epochs", type=int, default=150)
     p.add_argument("--batch-size", type=int, default=16)
     p.add_argument("--lr", type=float, default=5e-3)
-    p.add_argument("--seed-method", default="ilu0")
+    p.add_argument("--seed-method", default="ilu0",
+                   choices=["ilu0", "spilu", "pattern", "spai"])
     p.add_argument("--maxiter", type=int, default=10260)
     p.add_argument("--restart", type=int, default=30)
     p.add_argument("--rtol", type=float, default=1e-5)

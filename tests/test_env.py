@@ -146,3 +146,14 @@ def test_grid_reward_bands():
     r_corner = float(grid_env.reward(g, jnp.asarray(0)))
     assert r_center == pytest.approx(0.01)
     assert r_corner == pytest.approx(0.01 + 0.5)  # corner is outside both rings? ring1 only
+
+
+def test_spai_seed_method():
+    """seed_pattern(method='spai') seeds with the classic-SPAI approximate
+    inverse: ‖A·M0 − I‖ must beat the identity baseline."""
+    a = gallery.get("bcsstk03")
+    seed = env_mod.seed_pattern(a, method="spai", dtype=jnp.float64)
+    A = np.asarray(a.todense())
+    M = np.asarray(seed.todense())
+    n = A.shape[0]
+    assert np.linalg.norm(A @ M - np.eye(n)) < 0.5 * np.linalg.norm(A - np.eye(n))
