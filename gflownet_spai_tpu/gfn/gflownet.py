@@ -47,6 +47,7 @@ class GFlowNetConfig(NamedTuple):
     num_actions: int = 0         # nnz + 1 (env-dependent)
     loss: str = "tb"             # tb | vargrad (see gfn.loss)
     temperature: float = 1.0     # rollout sampling temperature (>1 explores)
+    alpha_fixed: float = -1.0    # >=0 pins the reward mix α (learned if <0)
 
 
 def init_params(key, cfg: GFlowNetConfig, dtype=jnp.float32) -> GFlowNetParams:
@@ -77,6 +78,8 @@ def sample(params: GFlowNetParams, env: spai.SpaiEnv, graph: pol.GraphInputs,
         params.forward, graph, cfg.num_actions, cfg.hidden_dim, cfg.heads
     )
     alpha = pol.forward_policy_alpha(params.forward)
+    if cfg.alpha_fixed >= 0:
+        alpha = jnp.asarray(cfg.alpha_fixed, logits.dtype)
     sample_logits = logits / cfg.temperature if cfg.temperature != 1.0 else logits
     batched = jnp.broadcast_to(sample_logits, (batch_size, cfg.num_actions))
     rollout = gumbel_topk_rollout(batched, key, terminal_action=cfg.num_actions - 1)

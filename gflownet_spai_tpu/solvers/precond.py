@@ -28,8 +28,9 @@ def ilu_solve_op(L: COO, U: COO):
     Ud = U.todense()
 
     def op(x):
-        y = jax.scipy.linalg.solve_triangular(Ld, x, lower=True)
-        return jax.scipy.linalg.solve_triangular(Ud, y, lower=False)
+        y = jax.scipy.linalg.solve_triangular(Ld, x.astype(Ld.dtype), lower=True)
+        z = jax.scipy.linalg.solve_triangular(Ud, y, lower=False)
+        return z.astype(x.dtype)   # keep the solver's carry dtype stable
 
     return op
 
@@ -37,6 +38,18 @@ def ilu_solve_op(L: COO, U: COO):
 def spai_op(m: COO):
     """x ↦ M x — the sampled sparse approximate inverse."""
     return partial(spmv, m)
+
+
+def spai_op_sym(m: COO):
+    """x ↦ ½(M + Mᵀ)x — symmetrized application for CG, which requires an
+    SPD preconditioner (a thinned/classic SPAI M is generally
+    nonsymmetric even for SPD A)."""
+    mt = COO(row=m.col, col=m.row, data=m.data, shape=(m.shape[1], m.shape[0]))
+
+    def op(x):
+        return 0.5 * (spmv(m, x) + spmv(mt, x))
+
+    return op
 
 
 def jacobi_op(a: COO):

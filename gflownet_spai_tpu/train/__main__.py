@@ -38,6 +38,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--loss", default=d.loss, choices=["tb", "vargrad"])
     p.add_argument("--temperature", type=float, default=d.temperature,
                    help="rollout sampling temperature (>1 explores)")
+    p.add_argument("--alpha-fixed", type=float, default=d.alpha_fixed,
+                   help=">=0 pins the reward mixing α (0=pure flops, "
+                        "1=pure residual); negative = learned (reference)")
     p.add_argument("--batch-size", type=int, default=d.batch_size)
     p.add_argument("--epochs", type=int, default=d.num_epochs, dest="num_epochs")
     p.add_argument("--lr", type=float, default=d.lr)

@@ -35,6 +35,7 @@ class TrainConfig:
     heads: int = 4
     loss: str = "tb"                # tb | vargrad
     temperature: float = 1.0        # rollout sampling temperature
+    alpha_fixed: float = -1.0       # >=0 pins reward-mix α (else learned)
 
     # optimization (reference GFlowNet100.py:32-34, 266-267)
     batch_size: int = 2

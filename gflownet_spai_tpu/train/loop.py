@@ -101,7 +101,7 @@ def setup(cfg: TrainConfig):
     mcfg = gfn.GFlowNetConfig(
         hidden_dim=cfg.hidden_dim, heads=cfg.heads,
         num_actions=env.num_actions, loss=cfg.loss,
-        temperature=cfg.temperature,
+        temperature=cfg.temperature, alpha_fixed=cfg.alpha_fixed,
     )
     params = gfn.init_params(jax.random.PRNGKey(cfg.prng_seed), mcfg, dtype=dtype)
     opt = make_optimizer(cfg)
