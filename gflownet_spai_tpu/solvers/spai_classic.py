@@ -35,14 +35,20 @@ def power_pattern(a: COO, k: int = 1, max_nnz_per_col: int | None = None) -> COO
         P = ((P @ B) > 0).astype(np.int8)
     P = P.tocsc()
     if max_nnz_per_col is not None:
-        # keep the largest-|A| entries per column (fallback: keep first)
-        P = P.tolil()
-        for j in range(P.shape[1]):
-            rows = P.rows[j]
+        # keep the largest-|A^k| entries per column (weight = walk counts)
+        W = abs(A)
+        for _ in range(k - 1):
+            W = W @ abs(A)
+        W = W.tocsc()
+        Pt = P.T.tolil()     # lil is row-major: row j of Pᵀ = column j of P
+        for j in range(Pt.shape[0]):
+            rows = np.asarray(Pt.rows[j])
             if len(rows) > max_nnz_per_col:
-                P.rows[j] = sorted(rows[:max_nnz_per_col])
-                P.data[j] = [1] * max_nnz_per_col
-        P = P.tocsc()
+                w = np.asarray(W[rows, j].todense()).ravel()
+                keep = rows[np.argsort(-w, kind="stable")[:max_nnz_per_col]]
+                Pt.rows[j] = sorted(int(r) for r in keep)
+                Pt.data[j] = [1] * max_nnz_per_col
+        P = Pt.T.tocsc()
     coo = P.tocoo()
     return coo_sort_dedup(
         COO(

@@ -155,3 +155,40 @@ def test_spmm_dia_matches_scipy(mat):
     x = np.random.default_rng(7).standard_normal((coo.shape[1], 6))
     y = spmm_dia(d, jnp.asarray(x))
     np.testing.assert_allclose(np.asarray(y), A @ x, rtol=1e-10)
+
+
+def test_dia_no_center_diagonal():
+    """Strictly-triangular matrix: no zero offset in the DIA set."""
+    from gflownet_spai_tpu.sparse.types import COO
+    dense = np.triu(np.random.default_rng(8).standard_normal((20, 20)), 1)
+    dense[np.abs(dense) < 1.2] = 0.0
+    coo = COO.fromdense(dense)
+    if coo.nnz == 0:
+        pytest.skip("degenerate draw")
+    d = coo_to_dia(coo)
+    assert 0 not in d.offsets
+    x = jnp.asarray(np.random.default_rng(9).standard_normal(20))
+    np.testing.assert_allclose(np.asarray(spmv_dia(d, x)), dense @ np.asarray(x),
+                               rtol=1e-10, atol=1e-12)
+
+
+def test_dia_single_diagonal():
+    from gflownet_spai_tpu.sparse.types import COO
+    dense = np.diag(np.arange(1.0, 9.0))
+    d = coo_to_dia(COO.fromdense(dense))
+    assert d.offsets == (0,)
+    x = jnp.arange(8.0)
+    np.testing.assert_allclose(np.asarray(spmv_dia(d, x)), dense @ np.arange(8.0))
+
+
+def test_halo_spmv_guard():
+    from gflownet_spai_tpu.parallel import halo_spmv, make_mesh, partition_dia
+    from gflownet_spai_tpu.ops.dia import DIA
+    # bandwidth 5000 > shard size when split 8 ways at 8192 rows
+    n = 8192
+    data = np.zeros((2, n), np.float32); data[0, :] = 1.0; data[1, :n-5000] = 1.0
+    d = partition_dia(DIA(data=jnp.asarray(data), offsets=(0, 5000),
+                          shape=(n, n), nnz=2*n), 8)
+    mesh = make_mesh(dp=1, rows=8)
+    with pytest.raises(ValueError, match="halo"):
+        halo_spmv(mesh, d, jnp.ones((d.n_pad,), jnp.float32))

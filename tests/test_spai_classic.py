@@ -77,3 +77,14 @@ def test_power_pattern_growth():
     assert p2.nnz > p1.nnz
     # A^1 pattern == pattern of A
     assert p1.nnz == a.nnz
+
+
+def test_power_pattern_max_nnz_per_col():
+    a = gallery.get("poisson32")
+    p = power_pattern(a, 2, max_nnz_per_col=5)
+    import numpy as np
+    counts = np.bincount(np.asarray(p.col), minlength=1024)
+    assert counts.max() <= 5
+    # diagonal (largest weight) must survive the truncation
+    dense = np.asarray(p.todense())
+    assert (np.diag(dense) != 0).all()

@@ -18,3 +18,21 @@ def test_validate_cli_end_to_end(tmp_path, capsys):
     assert rc in (0, 1)
     out = capsys.readouterr().out
     assert "preconditioner" in out
+
+
+def test_sample_cli_end_to_end(tmp_path):
+    from gflownet_spai_tpu.train import TrainConfig, train
+    from gflownet_spai_tpu.sample.__main__ import main as sample_main
+    import json
+
+    out = str(tmp_path / "r")
+    train(TrainConfig(matrix="LF10", batch_size=4, num_epochs=4, out_dir=out),
+          progress=False)
+    rc = sample_main([
+        "--run-dir", out, "--matrix", "LF10", "--num-samples", "64",
+        "--batch-size", "32", "--export-mtx", str(tmp_path / "m.mtx"),
+    ])
+    assert rc == 0
+    s = json.loads((tmp_path / "r" / "sample_summary.json").read_text())
+    assert s["samples"] == 64
+    assert (tmp_path / "m.mtx").exists()
