@@ -69,9 +69,32 @@ jax.tree_util.register_dataclass(
 )
 
 
-def make_dia_env(seed: COO | DIA, original: COO | DIA) -> SpaiDiaEnv:
+def has_phantom_slots(seed_d: DIA) -> int:
+    """Number of in-range diagonal slots holding a stored ZERO.  The DIA
+    action enumeration is slot-based (contiguous per diagonal); zero-valued
+    slots would become phantom edges that diverge from the COO env's
+    nnz-based action space and flop counts."""
+    data = np.asarray(seed_d.data)
+    n = seed_d.n
+    phantom = 0
+    for s, d in enumerate(seed_d.offsets):
+        start, length = max(0, -d), n - abs(d)
+        phantom += int((data[s, start:start + length] == 0).sum())
+    return phantom
+
+
+def make_dia_env(seed: COO | DIA, original: COO | DIA,
+                 allow_phantom: bool = False) -> SpaiDiaEnv:
     seed_d = seed if isinstance(seed, DIA) else coo_to_dia(seed)
     orig_d = original if isinstance(original, DIA) else coo_to_dia(original)
+    phantom = has_phantom_slots(seed_d)
+    if phantom and not allow_phantom:
+        raise ValueError(
+            f"seed pattern has {phantom} zero-valued slots inside its "
+            "diagonals; the DIA action space would diverge from the COO "
+            "env's (phantom edges). Use the COO env (env_format='coo') or "
+            "pass allow_phantom=True."
+        )
     if orig_d.n_pad != seed_d.n_pad:
         target = max(orig_d.n_pad, seed_d.n_pad)
         seed_d = _repad(seed_d, target)
@@ -143,9 +166,25 @@ def residual_norm(env: SpaiDiaEnv, keep: jax.Array) -> jax.Array:
     return jnp.sqrt(frobenius_sq_minus_identity_dia(c))
 
 
+def kept_nnz(env: SpaiDiaEnv, keep: jax.Array) -> jax.Array:
+    """Count of kept edges with a genuinely nonzero seed value (zero-valued
+    phantom slots — possible under allow_phantom — contribute no flops)."""
+    total = jnp.zeros((), env.seed.data.dtype)
+    for s in range(env.seed.ndiags):
+        seg = jax.lax.dynamic_slice(keep, (env.seg_off[s],), (env.seg_len[s],))
+        vals = jax.lax.slice(
+            env.seed.data[s], (env.row_start[s],),
+            (env.row_start[s] + env.seg_len[s],),
+        )
+        total = total + jnp.sum(
+            seg.astype(env.seed.data.dtype) * (vals != 0)
+        )
+    return total
+
+
 def reward(env: SpaiDiaEnv, keep: jax.Array, alpha: jax.Array) -> jax.Array:
     res_ratio = residual_norm(env, keep) / env.baseline_residual
-    flops = 2.0 * jnp.sum(keep.astype(env.seed.data.dtype)) * env.seed.shape[1]
+    flops = 2.0 * kept_nnz(env, keep) * env.seed.shape[1]
     comp_ratio = flops / env.baseline_flops
     metric = alpha * (1.0 - res_ratio) + (1.0 - alpha) * (1.0 - comp_ratio)
     return metric * 1000.0

@@ -57,11 +57,11 @@ def main(argv=None) -> int:
     jitted = jax.jit(gfn.sample, static_argnames=("cfg", "batch_size"))
     key = jax.random.PRNGKey(args.prng_seed + 7)
     best_r = -np.inf
-    best = None
+    best_actions = None
     all_r, all_len = [], []
     remaining = args.num_samples
     while remaining > 0:
-        b = min(args.batch_size, remaining)
+        b = min(args.batch_size, remaining)   # only the first b count
         key, sub = jax.random.split(key)
         out = jitted(state.params, env, graph, mcfg, sub, batch_size=args.batch_size)
         r = np.asarray(out.rewards)[:b]
@@ -70,7 +70,7 @@ def main(argv=None) -> int:
         i = int(np.argmax(r))
         if r[i] > best_r:
             best_r = float(r[i])
-            best = (out.rollout.actions, out.rewards)
+            best_actions = np.asarray(out.rollout.actions)[i]
         remaining -= b
     r = np.concatenate(all_r)
     lens = np.concatenate(all_len)
@@ -87,7 +87,9 @@ def main(argv=None) -> int:
     (Path(args.run_dir) / "sample_summary.json").write_text(json.dumps(summary))
 
     if args.export_mtx:
-        m = best_sampled_matrix(env, best[0], best[1])
+        import jax.numpy as jnp
+        m = best_sampled_matrix(env, jnp.asarray(best_actions)[None, :],
+                                jnp.asarray([best_r]))
         write_mtx(args.export_mtx, m, comment=" best GFlowNet-sampled SPAI")
         print(f"wrote best M (reward {best_r:.1f}) to {args.export_mtx}")
     return 0

@@ -53,7 +53,6 @@ def gmres(
     mb = m_op(b)
     bnorm = jnp.linalg.norm(mb)
     tol = jnp.maximum(rtol * bnorm, atol)
-    ncycles = -(-maxiter // restart)
 
     def cycle(state):
         x, hist, it, done = state
@@ -126,7 +125,6 @@ def gmres(
 
         y = jax.lax.fori_loop(0, restart, backsub, jnp.zeros((restart,), dtype))
         x = x + V[:restart].T @ y
-        converged = jnp.abs(g[jnp.minimum(steps, restart)]) <= tol
         return x, hist, it2, stop
 
     def cond(state):

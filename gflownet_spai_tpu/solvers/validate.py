@@ -33,11 +33,17 @@ class SolveReport:
         return dataclasses.asdict(self)
 
 
-def _report(x, residuals, iters, elapsed) -> SolveReport:
+def _report(a, b, x, residuals, iters, elapsed, rtol) -> SolveReport:
+    """``converged`` is judged on the solver-independent true residual
+    ‖b − A x‖ ≤ rtol·‖b‖ (a maxiter-exhausted or degenerate-preconditioner
+    run must not report success just because its history is finite)."""
+    from ..sparse.ops import spmv
+
     final = float(residuals[-1]) if len(residuals) else float("nan")
+    true_res = float(jnp.linalg.norm(b - spmv(a, x)) / jnp.linalg.norm(b))
     return SolveReport(
         iterations=iters, elapsed=elapsed, final_residual=final,
-        converged=bool(np.isfinite(final)),
+        converged=bool(true_res <= rtol),
     )
 
 
@@ -55,18 +61,21 @@ def validate_preconditioners(
     if b is None:
         b = jnp.ones((n,), a.data.dtype)
     solve = solve_with_gmres if method == "gmres" else solve_with_cg
-    kw = dict(maxiter=maxiter)
+    rtol = 1e-5
+    kw = dict(maxiter=maxiter, rtol=rtol)
     if method == "gmres":
         kw["restart"] = restart
 
     out: Dict[str, SolveReport] = {}
-    out["none"] = _report(*solve(a, b, None, **kw))
+    out["none"] = _report(a, b, *solve(a, b, None, **kw), rtol=100 * rtol)
 
-    L, U = (ilu_mod.ilu0(a) if seed_method == "ilu0" else ilu_mod.spilu_lu(a))
-    out["ilu"] = _report(*solve(a, b, ilu_solve_op(L, U), **kw))
+    L, U = ilu_mod.ilu0(a)   # spilu factors are pattern-only (permutation dropped)
+    out["ilu"] = _report(a, b, *solve(a, b, ilu_solve_op(L, U), **kw),
+                         rtol=100 * rtol)
 
     if sampled_m is not None:
-        out["spai"] = _report(*solve(a, b, spai_op(sampled_m), **kw))
+        out["spai"] = _report(a, b, *solve(a, b, spai_op(sampled_m), **kw),
+                              rtol=100 * rtol)
     return out
 
 

@@ -86,11 +86,15 @@ def setup(cfg: TrainConfig):
     fmt = cfg.env_format
     if fmt == "auto":
         # dp path shards the COO pair plan; reference-baseline scoring is
-        # COO-only; otherwise banded problems take the gather-free DIA path
-        fmt = "dia" if (not cfg.reference_baseline
-                        and cfg.dp_devices <= 1
-                        and n_diagonals(seed) <= cfg.dia_max_diags
-                        and n_diagonals(a) <= cfg.dia_max_diags) else "coo"
+        # COO-only; banded problems with fully-dense diagonals (no phantom
+        # slots — see spai_dia.has_phantom_slots) take the gather-free DIA path
+        fmt = "coo"
+        if (not cfg.reference_baseline and cfg.dp_devices <= 1
+                and n_diagonals(seed) <= cfg.dia_max_diags
+                and n_diagonals(a) <= cfg.dia_max_diags):
+            from ..ops.dia import coo_to_dia
+            if spai_dia.has_phantom_slots(coo_to_dia(seed)) == 0:
+                fmt = "dia"
     if fmt == "dia":
         env = spai_dia.make_dia_env(seed, a)
         # edge/action ids follow the DIA enumeration → graph must too
@@ -190,14 +194,19 @@ class MetricsWriter:
     ``training_log.csv`` = epoch,num_actions,loss,reward and
     ``detailed_training_log.csv`` adds per-sample rows) + a JSONL stream."""
 
-    def __init__(self, out_dir: str):
+    def __init__(self, out_dir: str, resume: bool = False):
         self.dir = Path(out_dir)
         self.dir.mkdir(parents=True, exist_ok=True)
-        self.summary = open(self.dir / "training_log.csv", "w")
-        self.summary.write("epoch,num_actions,loss,reward\n")
-        self.detail = open(self.dir / "detailed_training_log.csv", "w")
-        self.detail.write("epoch,sample_number,num_actions,loss,reward\n")
-        self.jsonl = open(self.dir / "metrics.jsonl", "w")
+        # append on resume so prior-epoch metrics (and the trend report fed
+        # from them) survive a checkpoint restart
+        fresh = not (resume and (self.dir / "training_log.csv").exists())
+        mode = "w" if fresh else "a"
+        self.summary = open(self.dir / "training_log.csv", mode)
+        self.detail = open(self.dir / "detailed_training_log.csv", mode)
+        self.jsonl = open(self.dir / "metrics.jsonl", mode)
+        if fresh:
+            self.summary.write("epoch,num_actions,loss,reward\n")
+            self.detail.write("epoch,sample_number,num_actions,loss,reward\n")
 
     def write(self, epoch: int, m: dict):
         loss = float(m["loss"])
@@ -267,7 +276,7 @@ def train(cfg: TrainConfig, progress: bool = True):
         step = _make_dp_step_adapter(cfg, env, graph, mcfg, opt)
     else:
         step = make_train_step(cfg, env, graph, mcfg, opt)
-    writer = MetricsWriter(cfg.out_dir)
+    writer = MetricsWriter(cfg.out_dir, resume=cfg.resume)
     history = []
     start_epoch = int(state.epoch)
     for epoch in range(start_epoch, cfg.num_epochs):

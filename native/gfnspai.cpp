@@ -52,6 +52,15 @@ int gfn_parse_mtx(const char* path,
   bool pattern = strcmp(field, "pattern") == 0;
   bool symmetric = strcmp(sym, "symmetric") == 0;
   bool skew = strcmp(sym, "skew-symmetric") == 0;
+  // reject anything we don't implement (complex values, hermitian mirror)
+  // so the caller falls back to the full Python parser instead of reading
+  // a silently corrupted matrix
+  if (!pattern && strcmp(field, "real") != 0 && strcmp(field, "integer") != 0) {
+    fclose(f); return 5;
+  }
+  if (!symmetric && !skew && strcmp(sym, "general") != 0) {
+    fclose(f); return 5;
+  }
 
   do {
     if (!fgets(line, sizeof line, f)) { fclose(f); return 2; }
