@@ -3,9 +3,11 @@
 from .mesh import make_mesh, single_device_mesh
 from .halo_spmv import halo_spmv, partition_dia, spmv_allgather
 from .dp import make_dp_train_step, sharded_residual_norms
+from .solvers import distributed_cg, distributed_gmres
 
 __all__ = [
     "make_mesh", "single_device_mesh",
     "halo_spmv", "partition_dia", "spmv_allgather",
     "make_dp_train_step", "sharded_residual_norms",
+    "distributed_cg", "distributed_gmres",
 ]

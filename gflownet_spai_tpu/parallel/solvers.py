@@ -1,0 +1,50 @@
+"""Distributed Krylov solvers: GMRES/CG over a row-partitioned DIA matrix.
+
+The operator is the halo-exchange SpMV (`halo_spmv` — neighbor `ppermute`
+only); every other solver operation (dots, norms, AXPYs, the Arnoldi basis)
+is sharded by GSPMD propagation from the rows-sharded right-hand side, with
+XLA inserting the `psum`s for reductions.  So the single-chip solver code in
+``solvers/`` runs unchanged multi-chip — this module only handles padding,
+sharding placement, and unpadding.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.dia import DIA
+from .halo_spmv import halo_spmv, partition_dia
+from ..solvers.gmres import GMRESResult, gmres
+from ..solvers.cg import CGResult, cg
+
+
+def _prepare(mesh: Mesh, d: DIA, b: jax.Array, axis: str):
+    n_shards = mesh.shape[axis]
+    d = partition_dia(d, n_shards)
+    bp = jnp.zeros((d.n_pad,), b.dtype).at[: b.shape[0]].set(b)
+    bp = jax.device_put(bp, NamedSharding(mesh, P(axis)))
+    return d, bp
+
+
+def distributed_gmres(mesh: Mesh, d: DIA, b: jax.Array, axis: str = "rows",
+                      restart: int = 30, maxiter: int = 1000,
+                      rtol: float = 1e-5) -> GMRESResult:
+    """Solve A x = b with A row-partitioned over ``mesh[axis]``.
+    ``b``: unpadded [n]; the returned ``x`` is sliced back to [n]."""
+    n = b.shape[0]
+    d, bp = _prepare(mesh, d, b, axis)
+    res = gmres(partial(halo_spmv, mesh, d), bp, restart=restart,
+                maxiter=maxiter, rtol=rtol)
+    return res._replace(x=res.x[:n])
+
+
+def distributed_cg(mesh: Mesh, d: DIA, b: jax.Array, axis: str = "rows",
+                   maxiter: int = 1000, rtol: float = 1e-5) -> CGResult:
+    n = b.shape[0]
+    d, bp = _prepare(mesh, d, b, axis)
+    res = cg(partial(halo_spmv, mesh, d), bp, maxiter=maxiter, rtol=rtol)
+    return res._replace(x=res.x[:n])

@@ -133,3 +133,24 @@ def test_dp_matches_single_device_gradients():
     _, _, loss_dp, _ = step(params, opt.init(params), key)
     loss_ref, _ = loss_fn(params, env, graph, cfg, sub, 4)
     np.testing.assert_allclose(float(loss_dp), float(loss_ref), rtol=1e-5)
+
+
+def test_distributed_gmres_and_cg(rows_mesh):
+    from gflownet_spai_tpu.parallel import distributed_cg, distributed_gmres
+
+    coo = gallery.get("poisson32")
+    d = coo_to_dia(coo)
+    A = coo_to_scipy(coo)
+    b = jnp.ones((1024,), jnp.float64)
+    res = distributed_gmres(rows_mesh, d, b, restart=30, maxiter=2000, rtol=1e-8)
+    np.testing.assert_allclose(A @ np.asarray(res.x), np.ones(1024), atol=1e-5)
+    res2 = distributed_cg(rows_mesh, d, b, maxiter=2000, rtol=1e-8)
+    assert bool(res2.converged)
+    np.testing.assert_allclose(A @ np.asarray(res2.x), np.ones(1024), atol=1e-5)
+    # single-device solution agrees
+    from functools import partial
+    from gflownet_spai_tpu.ops.dia import spmv_dia
+    ref = np.asarray(
+        __import__("gflownet_spai_tpu.solvers", fromlist=["gmres"]).gmres(
+            partial(spmv_dia, d), b, restart=30, maxiter=2000, rtol=1e-8).x)
+    np.testing.assert_allclose(np.asarray(res.x), ref, atol=1e-6)
