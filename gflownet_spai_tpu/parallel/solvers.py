@@ -16,8 +16,8 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..ops.dia import DIA
-from .halo_spmv import halo_spmv, partition_dia
+from ..ops.dia import DIA, _round_up, _ALIGN
+from .halo_spmv import halo_spmv, partition_dia, spmv_allgather
 from ..solvers.gmres import GMRESResult, gmres
 from ..solvers.cg import CGResult, cg
 
@@ -27,7 +27,11 @@ def _prepare(mesh: Mesh, d: DIA, b: jax.Array, axis: str):
     d = partition_dia(d, n_shards)
     bp = jnp.zeros((d.n_pad,), b.dtype).at[: b.shape[0]].set(b)
     bp = jax.device_put(bp, NamedSharding(mesh, P(axis)))
-    return d, bp
+    # neighbor halo exchange needs halo ≤ shard; small/wide-band matrices
+    # fall back to the all-gather operator (correct for any bandwidth)
+    halo = _round_up(max((abs(o) for o in d.offsets), default=1), _ALIGN)
+    op = halo_spmv if halo <= d.n_pad // n_shards else spmv_allgather
+    return d, bp, op
 
 
 def distributed_gmres(mesh: Mesh, d: DIA, b: jax.Array, axis: str = "rows",
@@ -36,8 +40,8 @@ def distributed_gmres(mesh: Mesh, d: DIA, b: jax.Array, axis: str = "rows",
     """Solve A x = b with A row-partitioned over ``mesh[axis]``.
     ``b``: unpadded [n]; the returned ``x`` is sliced back to [n]."""
     n = b.shape[0]
-    d, bp = _prepare(mesh, d, b, axis)
-    res = gmres(partial(halo_spmv, mesh, d), bp, restart=restart,
+    d, bp, op = _prepare(mesh, d, b, axis)
+    res = gmres(partial(op, mesh, d), bp, restart=restart,
                 maxiter=maxiter, rtol=rtol)
     return res._replace(x=res.x[:n])
 
@@ -45,6 +49,6 @@ def distributed_gmres(mesh: Mesh, d: DIA, b: jax.Array, axis: str = "rows",
 def distributed_cg(mesh: Mesh, d: DIA, b: jax.Array, axis: str = "rows",
                    maxiter: int = 1000, rtol: float = 1e-5) -> CGResult:
     n = b.shape[0]
-    d, bp = _prepare(mesh, d, b, axis)
-    res = cg(partial(halo_spmv, mesh, d), bp, maxiter=maxiter, rtol=rtol)
+    d, bp, op = _prepare(mesh, d, b, axis)
+    res = cg(partial(op, mesh, d), bp, maxiter=maxiter, rtol=rtol)
     return res._replace(x=res.x[:n])
