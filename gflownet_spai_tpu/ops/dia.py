@@ -198,7 +198,7 @@ def _x_fits_vmem(d: DIA) -> bool:
     return x_bytes + min_tiles <= _MAX_VMEM_BYTES
 
 
-def _spmv_pallas(d: DIA, xp: jax.Array) -> jax.Array:
+def _spmv_pallas(d: DIA, xp: jax.Array, interpret: bool = False) -> jax.Array:
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -239,6 +239,7 @@ def _spmv_pallas(d: DIA, xp: jax.Array) -> jax.Array:
             bytes_accessed=(d.ndiags + 2) * n_pad * 4,
             transcendentals=0,
         ),
+        interpret=interpret,
     )(data, xp)
     return y[: d.n_pad]
 
@@ -256,7 +257,7 @@ def _pick_tile_stream(d: DIA) -> int:
     return tr
 
 
-def _spmv_pallas_stream(d: DIA, x: jax.Array) -> jax.Array:
+def _spmv_pallas_stream(d: DIA, x: jax.Array, interpret: bool = False) -> jax.Array:
     """Streamed variant for large n: x lives in HBM and is pipelined per
     row tile by Pallas (grid-mapped block), with tile-boundary halos
     precomputed as a small side tensor (static slices, no gather).
@@ -309,6 +310,7 @@ def _spmv_pallas_stream(d: DIA, x: jax.Array) -> jax.Array:
             bytes_accessed=(d.ndiags + 2) * n_pad * 4,
             transcendentals=0,
         ),
+        interpret=interpret,
     )(d.data, x, halos)
 
 

@@ -192,3 +192,34 @@ def test_halo_spmv_guard():
     mesh = make_mesh(dp=1, rows=8)
     with pytest.raises(ValueError, match="halo"):
         halo_spmv(mesh, d, jnp.ones((d.n_pad,), jnp.float32))
+
+
+def test_pallas_dia_kernels_interpret_mode():
+    """Run the actual Pallas kernel bodies (interpret mode, CPU) against the
+    jnp reference — validates kernel semantics without the chip."""
+    from gflownet_spai_tpu.ops.dia import (
+        _pad_x, _spmv_pallas, _spmv_pallas_stream, spmv_dia_jnp,
+    )
+    from gflownet_spai_tpu.ops.dia import DIA
+
+    k = 64
+    n = k * k
+    i = np.arange(n)
+    r, c = i // k, i % k
+    data = np.zeros((5, 4096), np.float32)
+    data[2, :n] = 4.0
+    data[0, i[r > 0]] = -1.0
+    data[1, i[c > 0]] = -1.0
+    data[3, i[c < k - 1]] = -1.0
+    data[4, i[r < k - 1]] = -1.0
+    d = DIA(data=jnp.asarray(data), offsets=(-k, -1, 0, 1, k),
+            shape=(n, n), nnz=int((data != 0).sum()))
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(n), jnp.float32)
+    want = np.asarray(spmv_dia_jnp(d, x))
+
+    y_res = np.asarray(_spmv_pallas(d, _pad_x(d, x), interpret=True))[:n]
+    np.testing.assert_allclose(y_res, want, rtol=2e-6, atol=1e-5)
+
+    xu = jnp.pad(x, (0, d.n_pad - n))
+    y_str = np.asarray(_spmv_pallas_stream(d, xu, interpret=True))[:n]
+    np.testing.assert_allclose(y_str, want, rtol=2e-6, atol=1e-5)
