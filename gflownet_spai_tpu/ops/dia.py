@@ -314,6 +314,81 @@ def _spmv_pallas_stream(d: DIA, x: jax.Array, interpret: bool = False) -> jax.Ar
     )(d.data, x, halos)
 
 
+def _spmv_pallas_stream2(d: DIA, xp: jax.Array, interpret: bool = False) -> jax.Array:
+    """Streamed variant v2: x stays in HBM and the kernel double-buffers its
+    own overlapping window DMAs (scratch[2, tr+2h] + DMA semaphores), so no
+    host-side halo tensor is needed and the next window's transfer overlaps
+    the current tile's compute.  ``xp``: halo-PADDED [h + n_pad + h]
+    (windows [t·tr, t·tr + tr + 2h) are then always in-bounds and aligned).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    offsets, halo = d.offsets, d.halo
+    budget = _MAX_VMEM_BYTES // 4
+    per_row = 3 * d.ndiags + 8
+    tr = max(_ALIGN, ((budget - 4 * halo) // per_row // _ALIGN) * _ALIGN)
+    tr = min(tr, d.n_pad)
+    while d.n_pad % tr:
+        tr -= _ALIGN
+    n_pad = d.n_pad
+    grid = n_pad // tr
+    win = tr + 2 * halo
+    center = offsets.index(0) if 0 in offsets else None
+
+    def kernel(d_ref, x_hbm, y_ref, scratch, sems):
+        t = pl.program_id(0)
+        slot = jax.lax.rem(t, 2)
+        nxt = jax.lax.rem(t + 1, 2)
+
+        def dma(i, s):
+            return pltpu.make_async_copy(
+                x_hbm.at[pl.ds(i * tr, win)], scratch.at[s], sems.at[s]
+            )
+
+        @pl.when(t == 0)
+        def _():
+            dma(0, 0).start()
+
+        dma(t, slot).wait()
+
+        @pl.when(t + 1 < grid)
+        def _():
+            dma(t + 1, nxt).start()
+
+        ext = scratch[slot]
+        if center is not None:
+            acc = d_ref[center, :] * jax.lax.slice(ext, (halo,), (halo + tr,))
+        else:
+            acc = jnp.zeros((tr,), y_ref.dtype)
+        for s, off in enumerate(offsets):
+            if s == center:
+                continue
+            acc += d_ref[s, :] * jax.lax.slice(ext, (halo + off,), (halo + off + tr,))
+        y_ref[:] = acc
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n_pad,), d.data.dtype),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((d.ndiags, tr), lambda t: (0, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((tr,), lambda t: (t,), memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, win), d.data.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * d.ndiags * n_pad,
+            bytes_accessed=(d.ndiags + 2) * n_pad * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(d.data, xp)
+
+
 def _use_pallas() -> bool:
     return jax.default_backend() == "tpu"
 

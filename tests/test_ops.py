@@ -223,3 +223,24 @@ def test_pallas_dia_kernels_interpret_mode():
     xu = jnp.pad(x, (0, d.n_pad - n))
     y_str = np.asarray(_spmv_pallas_stream(d, xu, interpret=True))[:n]
     np.testing.assert_allclose(y_str, want, rtol=2e-6, atol=1e-5)
+
+
+def test_pallas_dia_stream2_interpret_mode():
+    from gflownet_spai_tpu.ops.dia import DIA, _pad_x, _spmv_pallas_stream2, spmv_dia_jnp
+
+    k = 64
+    n = k * k
+    i = np.arange(n)
+    r, c = i // k, i % k
+    data = np.zeros((5, 4096), np.float32)
+    data[2, :n] = 4.0
+    data[0, i[r > 0]] = -1.0
+    data[1, i[c > 0]] = -1.0
+    data[3, i[c < k - 1]] = -1.0
+    data[4, i[r < k - 1]] = -1.0
+    d = DIA(data=jnp.asarray(data), offsets=(-k, -1, 0, 1, k),
+            shape=(n, n), nnz=int((data != 0).sum()))
+    x = jnp.asarray(np.random.default_rng(3).standard_normal(n), jnp.float32)
+    want = np.asarray(spmv_dia_jnp(d, x))
+    y = np.asarray(_spmv_pallas_stream2(d, _pad_x(d, x), interpret=True))[:n]
+    np.testing.assert_allclose(y, want, rtol=2e-6, atol=1e-5)
