@@ -338,8 +338,9 @@ def _spmv_pallas_stream2(d: DIA, xp: jax.Array, interpret: bool = False) -> jax.
 
     def kernel(d_ref, x_hbm, y_ref, scratch, sems):
         t = pl.program_id(0)
-        slot = jax.lax.rem(t, 2)
-        nxt = jax.lax.rem(t + 1, 2)
+        two = jnp.asarray(2, t.dtype)
+        slot = jax.lax.rem(t, two)
+        nxt = jax.lax.rem(t + 1, two)
 
         def dma(i, s):
             return pltpu.make_async_copy(
@@ -373,7 +374,7 @@ def _spmv_pallas_stream2(d: DIA, xp: jax.Array, interpret: bool = False) -> jax.
         grid=(grid,),
         in_specs=[
             pl.BlockSpec((d.ndiags, tr), lambda t: (0, t), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((tr,), lambda t: (t,), memory_space=pltpu.VMEM),
         scratch_shapes=[
