@@ -2,12 +2,14 @@
 
 from .gmres import GMRESResult, gmres, gmres_matrix, solve_with_gmres
 from .cg import CGResult, cg, cg_matrix, solve_with_cg
+from .bicgstab import BiCGStabResult, bicgstab, solve_with_bicgstab
 from .precond import ilu_solve_op, jacobi_op, spai_op
 from .validate import SolveReport, best_sampled_matrix, validate_preconditioners
 
 __all__ = [
     "GMRESResult", "gmres", "gmres_matrix", "solve_with_gmres",
     "CGResult", "cg", "cg_matrix", "solve_with_cg",
+    "BiCGStabResult", "bicgstab", "solve_with_bicgstab",
     "ilu_solve_op", "jacobi_op", "spai_op",
     "SolveReport", "best_sampled_matrix", "validate_preconditioners",
 ]

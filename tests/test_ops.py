@@ -244,3 +244,22 @@ def test_pallas_dia_stream2_interpret_mode():
     want = np.asarray(spmv_dia_jnp(d, x))
     y = np.asarray(_spmv_pallas_stream2(d, _pad_x(d, x), interpret=True))[:n]
     np.testing.assert_allclose(y, want, rtol=2e-6, atol=1e-5)
+
+
+def test_pallas_bell_interpret_mode():
+    """Run the BELL MXU kernel body in interpret mode vs the jnp path."""
+    from gflownet_spai_tpu.ops.bsr import _spmm_bell_pallas, spmm_bell_jnp
+    rng = np.random.default_rng(5)
+    A = sp.random(64, 256, density=0.08, random_state=rng, format="coo",
+                  dtype=np.float32)
+    from gflownet_spai_tpu.sparse import scipy_to_coo
+    bell = csr_to_bell(coo_to_csr(scipy_to_coo(A), canonical=True),
+                       blockshape=(8, 128))
+    x = jnp.asarray(rng.standard_normal((256, 128)).astype(np.float32))
+    want = np.asarray(spmm_bell_jnp(bell, x))
+    # patch interpret through pallas_call via monkey context: the helper has
+    # no flag, so wrap with pltpu interpret mode
+    from jax.experimental.pallas import tpu as pltpu
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(_spmm_bell_pallas(bell, x))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)

@@ -119,3 +119,45 @@ def test_solve_with_gmres_wrapper_shapes():
     assert elapsed > 0
     A = coo_to_scipy(a)
     np.testing.assert_allclose(A @ np.asarray(x), np.ones(18), atol=1e-3)
+
+
+def test_bicgstab_matches_scipy():
+    from gflownet_spai_tpu.solvers import bicgstab
+
+    a = gallery.get("poisson32")
+    A = coo_to_scipy(a)
+    b = np.ones(1024)
+    res = bicgstab(partial(spmv, a), jnp.asarray(b), maxiter=2000, rtol=1e-8)
+    assert bool(res.converged)
+    np.testing.assert_allclose(A @ np.asarray(res.x), b, atol=1e-4)
+    count = [0]
+    spla.bicgstab(A, b, rtol=1e-8, maxiter=2000,
+                  callback=lambda xk: count.__setitem__(0, count[0] + 1))
+    ours = int(res.iterations)
+    assert abs(ours - count[0]) <= max(5, int(0.3 * count[0])), (ours, count[0])
+
+
+def test_bicgstab_breakdown_stays_finite():
+    """Strongly nonsymmetric olm500 breaks BiCGStab (Lanczos ρ collapse);
+    the solver must stop with a finite iterate, not silently diverge."""
+    from gflownet_spai_tpu.solvers import bicgstab
+
+    a = gallery.get("olm500")
+    res = bicgstab(partial(spmv, a), jnp.ones(500), maxiter=2000, rtol=1e-8)
+    assert np.isfinite(np.asarray(res.x)).all()
+    assert not bool(res.converged)          # honestly reported (true residual)
+    assert int(res.iterations) < 2000       # divergence guard stopped early
+
+
+def test_bicgstab_with_spai_preconditioner():
+    from gflownet_spai_tpu.solvers import bicgstab
+    from gflownet_spai_tpu.solvers.spai_classic import spai_classic
+
+    a = gallery.get("poisson32")
+    b = jnp.ones((1024,), jnp.float64)
+    plain = bicgstab(partial(spmv, a), b, maxiter=3000, rtol=1e-8)
+    m = spai_classic(a, k=2, dtype=jnp.float64)
+    pre = bicgstab(partial(spmv, a), b, m_op=partial(spmv, m),
+                   maxiter=3000, rtol=1e-8)
+    assert bool(pre.converged)
+    assert int(pre.iterations) < int(plain.iterations)
