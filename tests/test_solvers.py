@@ -161,3 +161,54 @@ def test_bicgstab_with_spai_preconditioner():
                    maxiter=3000, rtol=1e-8)
     assert bool(pre.converged)
     assert int(pre.iterations) < int(plain.iterations)
+
+
+def test_trisolve_matches_scipy():
+    from gflownet_spai_tpu.solvers import TriSolvePlan
+    from gflownet_spai_tpu.env import ilu0
+    import scipy.linalg as sla
+
+    a = gallery.get("poisson32")
+    L, U = ilu0(a)
+    Ld = np.asarray(L.todense())
+    Ud = np.asarray(U.todense())
+    b = np.random.default_rng(0).standard_normal(1024)
+    pl_ = TriSolvePlan(L, lower=True)
+    pu = TriSolvePlan(U, lower=False)
+    np.testing.assert_allclose(
+        np.asarray(pl_.solve(jnp.asarray(b))),
+        sla.solve_triangular(Ld, b, lower=True), rtol=1e-10)
+    np.testing.assert_allclose(
+        np.asarray(pu.solve(jnp.asarray(b))),
+        sla.solve_triangular(Ud, b, lower=False), rtol=1e-9)
+    # poisson grid: 2k-1 levels
+    assert pl_.num_levels == 63
+
+
+def test_sparse_ilu_op_matches_dense_op():
+    from gflownet_spai_tpu.solvers import ilu_solve_op, sparse_ilu_solve_op
+    from gflownet_spai_tpu.env import ilu0
+
+    a = gallery.get("poisson32")
+    L, U = ilu0(a)
+    dense_op = ilu_solve_op(L, U)
+    sp_op = sparse_ilu_solve_op(L, U)
+    x = jnp.asarray(np.random.default_rng(1).standard_normal(1024))
+    np.testing.assert_allclose(np.asarray(sp_op(x)), np.asarray(dense_op(x)),
+                               rtol=1e-9)
+    # level-cap fallback signal
+    assert sparse_ilu_solve_op(L, U, max_levels=10) is None
+
+
+def test_trisolve_gmres_integration():
+    from functools import partial as _p
+    from gflownet_spai_tpu.solvers import gmres, sparse_ilu_solve_op
+    from gflownet_spai_tpu.env import ilu0
+
+    a = gallery.get("poisson32")
+    L, U = ilu0(a)
+    op = sparse_ilu_solve_op(L, U)
+    b = jnp.ones((1024,), jnp.float64)
+    res = gmres(_p(spmv, a), b, m_op=op, restart=30, maxiter=500, rtol=1e-8)
+    assert bool(res.converged)
+    assert int(res.iterations) < 40
