@@ -22,8 +22,16 @@ from ..sparse.ops import spmv
 from ..sparse.types import COO
 
 
-def ilu_solve_op(L: COO, U: COO):
-    """x ↦ U⁻¹ L⁻¹ x via dense triangular solves (unit-diag L not assumed)."""
+def ilu_solve_op(L: COO, U: COO, dense_max_n: int = 4096):
+    """x ↦ U⁻¹ L⁻¹ x.  Dense triangular solves up to ``dense_max_n`` rows;
+    larger factors use the level-scheduled sparse solver (solvers.trisolve)
+    so memory stays O(nnz) instead of O(n²)."""
+    if L.shape[0] > dense_max_n:
+        from .trisolve import sparse_ilu_solve_op
+
+        op = sparse_ilu_solve_op(L, U)
+        if op is not None:
+            return op
     Ld = L.todense()
     Ud = U.todense()
 
