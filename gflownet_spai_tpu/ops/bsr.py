@@ -105,9 +105,17 @@ def _spmm_bell_pallas(a: BELL, x: jax.Array, block_k: int | None = None) -> jax.
 
     nbr, W, bm, bn = a.data.shape
     K = x.shape[1]
-    bk = block_k or min(K, 512)
-    if K % bk:
-        raise ValueError(f"rhs cols {K} not divisible by block_k {bk}")
+    if block_k is not None:
+        bk = block_k
+        if K % bk:
+            raise ValueError(f"rhs cols {K} not divisible by block_k {bk}")
+    else:
+        # largest divisor of K ≤ 512 (lane-multiples preferred); K is
+        # always a divisor of itself, so this never fails
+        bk = next((c for c in (512, 384, 256, 128) if K % c == 0),
+                  K if K <= 512 else None)
+        if bk is None:
+            bk = max(c for c in range(1, 513) if K % c == 0)
 
     def kernel(bcols_ref, a_ref, x_ref, y_ref):
         # w is the innermost grid dim so each output block's visits are

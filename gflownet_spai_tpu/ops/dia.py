@@ -66,7 +66,10 @@ class DIA:
 
     @property
     def halo(self) -> int:
-        return _round_up(max((abs(o) for o in self.offsets), default=1), _ALIGN)
+        # never 0 (a diagonal-only matrix still gets one aligned halo unit;
+        # halo==0 turns x[-halo:] into a full-array slice downstream)
+        reach = max((abs(o) for o in self.offsets), default=1)
+        return _round_up(max(reach, 1), _ALIGN)
 
     def todense(self) -> jax.Array:
         n = self.n
@@ -105,7 +108,10 @@ def coo_to_dia(coo: COO, max_diags: int | None = None) -> DIA:
     n_pad = _round_up(max(n, 1), _ALIGN)
     data = np.zeros((len(offs), n_pad), dat.dtype)
     off_index = {int(o): s for s, o in enumerate(offs)}
-    data[[off_index[int(o)] for o in (col - row)], row] = dat
+    diag_ids = np.asarray([off_index[int(o)] for o in (col - row)])
+    # add.at: duplicate (row, col) entries sum (fancy assignment would
+    # silently keep only the last one)
+    np.add.at(data, (diag_ids, row), dat)
     return DIA(
         data=jnp.asarray(data),
         offsets=tuple(int(o) for o in offs),
@@ -194,7 +200,9 @@ def _pick_tile(d: DIA) -> int:
 
 def _x_fits_vmem(d: DIA) -> bool:
     x_bytes = (d.n_pad + 2 * d.halo) * 4
-    min_tiles = 2 * (d.ndiags + 1) * _ALIGN * 4
+    # must match _pick_tile's per-row model at the minimum tile, or sizes in
+    # the gap get a tile the VMEM model itself says cannot fit
+    min_tiles = (3 * d.ndiags + 4) * _ALIGN * 4
     return x_bytes + min_tiles <= _MAX_VMEM_BYTES
 
 
@@ -204,11 +212,9 @@ def _spmv_pallas(d: DIA, xp: jax.Array, interpret: bool = False) -> jax.Array:
 
     offsets, halo = d.offsets, d.halo
     tr = _pick_tile(d)
-    n_pad = _round_up(d.n_pad, tr)
+    assert d.n_pad % tr == 0, (d.n_pad, tr)   # _pick_tile picks a divisor
+    n_pad = d.n_pad
     data = d.data
-    if n_pad != d.n_pad:  # grow data/x to tile multiple
-        data = jnp.pad(data, ((0, 0), (0, n_pad - d.n_pad)))
-        xp = jnp.pad(xp, (0, n_pad - d.n_pad))
     grid = n_pad // tr
     center = offsets.index(0) if 0 in offsets else None
 

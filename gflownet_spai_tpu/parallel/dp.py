@@ -47,15 +47,17 @@ def _pad_pairs(env: spai.SpaiEnv, n_shards: int) -> spai.SpaiEnv:
     new_plan.out_col = jnp.concatenate([plan.out_col, jnp.full((1,), -2, jnp.int32)])
     new_plan.out_nnz = plan.out_nnz + 1
     new_plan.npairs = target
+    new_plan.real_out = plan.out_nnz   # genuine slots (dump excluded)
     return dataclasses.replace(env, plan=new_plan)
 
 
-def _residual_body(env: spai.SpaiEnv, real_out: int, m_vals, pa, pb, po,
-                   orow, ocol):
+def _residual_body(orig_data, out_nnz: int, n: int, real_out: int,
+                   m_vals, pa, pb, po, orow, ocol):
     """Rows-sharded ‖M·A − I‖_F body: call *inside* a shard_map whose
-    ``rows`` axis shards the pair arrays.  [B, nnz_local-pairs] → [B]."""
-    out_nnz = env.plan.out_nnz
-    prod = m_vals[:, pa] * env.original.data[pb]              # [B, pairs/R]
+    ``rows`` axis shards the pair arrays.  [B, nnz_local-pairs] → [B].
+    ``orig_data`` is passed explicitly (replicated shard_map arg) so big
+    value arrays never ride as closure constants (CLAUDE.md jit rule)."""
+    prod = m_vals[:, pa] * orig_data[pb]                      # [B, pairs/R]
     partial_out = jax.vmap(
         lambda p: jax.ops.segment_sum(p, po, num_segments=out_nnz)
     )(prod)
@@ -63,7 +65,7 @@ def _residual_body(env: spai.SpaiEnv, real_out: int, m_vals, pa, pb, po,
     diag = (orow == ocol)[:real_out]
     s2 = jnp.sum(c * c, axis=-1)
     sd = jnp.sum(jnp.where(diag[None, :], c, 0.0), axis=-1)
-    return jnp.sqrt(s2 - 2.0 * sd + jnp.asarray(env.n, c.dtype))
+    return jnp.sqrt(s2 - 2.0 * sd + jnp.asarray(n, c.dtype))
 
 
 def sharded_residual_norms(mesh: Mesh, env: spai.SpaiEnv, m_vals: jax.Array,
@@ -71,16 +73,19 @@ def sharded_residual_norms(mesh: Mesh, env: spai.SpaiEnv, m_vals: jax.Array,
     """Standalone rows-sharded residual: [B, nnz] masked values → [B] norms.
     ``env`` must be pre-padded with ``_pad_pairs`` when rows > 1."""
     plan = env.plan
-    real = real_out if real_out is not None else plan.out_nnz
+    # default excludes the _pad_pairs dump slot when the env was padded
+    real = real_out if real_out is not None else getattr(
+        plan, "real_out", plan.out_nnz)
 
-    def local(m_vals_rep, pa, pb, po, orow, ocol):
-        return _residual_body(env, real, m_vals_rep, pa, pb, po, orow, ocol)
+    def local(orig_data, m_vals_rep, pa, pb, po, orow, ocol):
+        return _residual_body(orig_data, plan.out_nnz, env.n, real,
+                              m_vals_rep, pa, pb, po, orow, ocol)
 
     return shard_map(
         local, mesh=mesh,
-        in_specs=(P(), P("rows"), P("rows"), P("rows"), P(), P()),
+        in_specs=(P(), P(), P("rows"), P("rows"), P("rows"), P(), P()),
         out_specs=P(),
-    )(m_vals, plan.pair_a, plan.pair_b, plan.pair_out,
+    )(env.original.data, m_vals, plan.pair_a, plan.pair_b, plan.pair_out,
       plan.out_row, plan.out_col)
 
 
@@ -103,36 +108,61 @@ def make_dp_train_step(mesh: Mesh, env: spai.SpaiEnv, graph: pol.GraphInputs,
     plan = env.plan
     opt = optax.with_extra_args_support(opt)
 
-    def local_loss(params, key, pa, pb, po, orow, ocol):
+    baseline_residual = env.baseline_residual
+    baseline_flops = env.baseline_flops
+    num_edges = env.num_edges
+    ncols = env.seed.shape[1]
+    n = env.n
+    out_nnz = plan.out_nnz
+
+    def local_loss(params, key, seed_data, orig_data, pa, pb, po, orow, ocol):
         key = jax.random.fold_in(key, jax.lax.axis_index("dp"))
         logits = pol.forward_policy_logits(
             params.forward, graph, cfg.num_actions, cfg.hidden_dim, cfg.heads
         )
+        # honor the full GFlowNetConfig (alpha pinning / temperature / loss)
         alpha = pol.forward_policy_alpha(params.forward)
-        batched = jnp.broadcast_to(logits, (b_local, cfg.num_actions))
+        if cfg.alpha_fixed >= 0:
+            alpha = jnp.asarray(cfg.alpha_fixed, logits.dtype)
+        sample_logits = logits / cfg.temperature if cfg.temperature != 1.0 else logits
+        batched = jnp.broadcast_to(sample_logits, (b_local, cfg.num_actions))
         roll = gumbel_topk_rollout(batched, key, terminal_action=cfg.num_actions - 1)
         actions = jax.lax.stop_gradient(roll.actions)
+        if cfg.temperature != 1.0:
+            from ..gfn.rollout import sequential_logprobs
+
+            lps = jax.vmap(lambda a: sequential_logprobs(logits, a))(actions)
+            roll = roll._replace(fwd_logprobs=lps)
 
         keep = jax.vmap(
-            lambda a: spai.keep_mask_from_actions(a, env.num_edges)
+            lambda a: spai.keep_mask_from_actions(a, num_edges)
         )(actions)
-        m_vals = env.seed.data[None, :] * keep.astype(env.seed.data.dtype)
-        res = _residual_body(env, real_out, m_vals, pa, pb, po, orow, ocol)
-        res_ratio = res / env.baseline_residual
-        flops = 2.0 * jnp.sum(keep, -1).astype(res.dtype) * env.seed.shape[1]
-        comp_ratio = flops / env.baseline_flops
+        m_vals = seed_data[None, :] * keep.astype(seed_data.dtype)
+        res = _residual_body(orig_data, out_nnz, n, real_out,
+                             m_vals, pa, pb, po, orow, ocol)
+        res_ratio = res / baseline_residual
+        flops = 2.0 * jnp.sum(keep, -1).astype(res.dtype) * ncols
+        comp_ratio = flops / baseline_flops
         rewards = (alpha * (1 - res_ratio) + (1 - alpha) * (1 - comp_ratio)) * 1000.0
 
         back_lp = pol.backward_policy_batch(params.backward, actions, cfg.hidden_dim)
-        loss = trajectory_balance_loss(
-            params.log_z, log_reward(rewards),
-            roll.fwd_logprobs.sum(-1), back_lp.sum(-1),
-        )
+        if cfg.loss == "vargrad":
+            from ..gfn.loss import vargrad_loss
+
+            loss = vargrad_loss(log_reward(rewards),
+                                roll.fwd_logprobs.sum(-1), back_lp.sum(-1))
+        else:
+            loss = trajectory_balance_loss(
+                params.log_z, log_reward(rewards),
+                roll.fwd_logprobs.sum(-1), back_lp.sum(-1),
+            )
         return loss, rewards
 
-    def sharded(params, opt_state, key, pa, pb, po, orow, ocol):
+    def sharded(params, opt_state, key, seed_data, orig_data,
+                pa, pb, po, orow, ocol):
         (loss, rewards), grads = jax.value_and_grad(
-            local_loss, has_aux=True)(params, key, pa, pb, po, orow, ocol)
+            local_loss, has_aux=True)(params, key, seed_data, orig_data,
+                                      pa, pb, po, orow, ocol)
         grads = jax.lax.pmean(grads, "dp")
         loss = jax.lax.pmean(loss, "dp")
         updates, opt_state = opt.update(grads, opt_state, params, value=loss)
@@ -141,14 +171,21 @@ def make_dp_train_step(mesh: Mesh, env: spai.SpaiEnv, graph: pol.GraphInputs,
 
     smapped = shard_map(
         sharded, mesh=mesh,
-        in_specs=(P(), P(), P(), P("rows"), P("rows"), P("rows"), P(), P()),
+        in_specs=(P(), P(), P(), P(), P(),
+                  P("rows"), P("rows"), P("rows"), P(), P()),
         out_specs=(P(), P(), P(), P("dp")),
         check_vma=False,
     )
 
-    @jax.jit
+    # big arrays enter as jit ARGUMENTS (CLAUDE.md closure rule), with the
+    # public step(params, opt_state, key) signature preserved by the wrapper
+    jitted = jax.jit(smapped)
+    seed_data_arr = env.seed.data
+    orig_data_arr = env.original.data
+
     def step_fn(params, opt_state, key):
-        return smapped(params, opt_state, key, plan.pair_a, plan.pair_b,
-                       plan.pair_out, plan.out_row, plan.out_col)
+        return jitted(params, opt_state, key, seed_data_arr, orig_data_arr,
+                      plan.pair_a, plan.pair_b, plan.pair_out,
+                      plan.out_row, plan.out_col)
 
     return step_fn, env

@@ -45,21 +45,17 @@ def halo_spmv(mesh: Mesh, d: DIA, x: jax.Array, axis: str = "rows") -> jax.Array
     n_shards = mesh.shape[axis]
     n_total = d.n_pad
     n_local = n_total // n_shards
-    halo = _round_up(max((abs(o) for o in d.offsets), default=1), _ALIGN)
+    halo = _round_up(max(max((abs(o) for o in d.offsets), default=1), 1), _ALIGN)
     if halo > n_local:
         raise ValueError(f"halo {halo} exceeds shard size {n_local}")
 
-    # local view of the matrix: same offsets, local rows
-    import dataclasses
-
     def local_spmv(data_local, x_local):
         # exchange boundaries: left neighbor's tail -> my left halo,
-        # right neighbor's head -> my right halo
-        idx = jax.lax.axis_index(axis)
-        del idx
+        # right neighbor's head -> my right halo (edge devices get zeros
+        # from ppermute's dropped shifts)
         pairs_r = [(i, i + 1) for i in range(n_shards - 1)]
         pairs_l = [(i + 1, i) for i in range(n_shards - 1)]
-        from_left = jax.lax.ppermute(x_local[-halo:], axis, pairs_r)
+        from_left = jax.lax.ppermute(x_local[n_local - halo:], axis, pairs_r)
         from_right = jax.lax.ppermute(x_local[:halo], axis, pairs_l)
         xp = jnp.concatenate([from_left, x_local, from_right])
         d_local = DIA(
@@ -68,10 +64,8 @@ def halo_spmv(mesh: Mesh, d: DIA, x: jax.Array, axis: str = "rows") -> jax.Array
             shape=(n_local, n_local),     # local block view
             nnz=d.nnz // n_shards,
         )
-        # pad xp out to the kernel's expected halo width if larger
-        kh = d_local.halo
-        if kh > halo:
-            xp = jnp.pad(xp, (kh - halo, kh - halo))
+        # d_local.halo uses the same formula as `halo` above, so xp is
+        # exactly the padded width spmv_dia_padded expects
         return spmv_dia_padded(d_local, xp)
 
     return shard_map(

@@ -41,7 +41,7 @@ def distributed_gmres(mesh: Mesh, d: DIA, b: jax.Array, axis: str = "rows",
     ``b``: unpadded [n]; the returned ``x`` is sliced back to [n]."""
     n = b.shape[0]
     d, bp, op = _prepare(mesh, d, b, axis)
-    res = gmres(partial(op, mesh, d), bp, restart=restart,
+    res = gmres(partial(op, mesh, d, axis=axis), bp, restart=restart,
                 maxiter=maxiter, rtol=rtol)
     return res._replace(x=res.x[:n])
 
@@ -50,5 +50,5 @@ def distributed_cg(mesh: Mesh, d: DIA, b: jax.Array, axis: str = "rows",
                    maxiter: int = 1000, rtol: float = 1e-5) -> CGResult:
     n = b.shape[0]
     d, bp, op = _prepare(mesh, d, b, axis)
-    res = cg(partial(op, mesh, d), bp, maxiter=maxiter, rtol=rtol)
+    res = cg(partial(op, mesh, d, axis=axis), bp, maxiter=maxiter, rtol=rtol)
     return res._replace(x=res.x[:n])

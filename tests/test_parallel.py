@@ -154,3 +154,15 @@ def test_distributed_gmres_and_cg(rows_mesh):
         __import__("gflownet_spai_tpu.solvers", fromlist=["gmres"]).gmres(
             partial(spmv_dia, d), b, restart=30, maxiter=2000, rtol=1e-8).x)
     np.testing.assert_allclose(np.asarray(res.x), ref, atol=1e-6)
+
+
+def test_halo_spmv_diagonal_only(rows_mesh):
+    """offsets=(0,) regression: halo must never be 0 (a zero halo turned
+    x[-halo:] into the full segment and shifted every shard's data)."""
+    from gflownet_spai_tpu.sparse.types import COO
+
+    diagvals = np.arange(1.0, 8193.0)
+    d = partition_dia(coo_to_dia(COO.fromdense(np.diag(diagvals))), 8)
+    x = np.random.default_rng(4).standard_normal(d.n_pad)
+    y = np.asarray(halo_spmv(rows_mesh, d, jnp.asarray(x)))
+    np.testing.assert_allclose(y[:8192], diagvals * x[:8192], rtol=1e-10)
