@@ -156,3 +156,93 @@ def test_dia_spmv_streamed_large():
         if cc < k - 1: want -= x[row + 1]
         if rr < k - 1: want -= x[row + k]
         assert abs(y[row] - want) < 1e-3 * max(1, abs(want))
+
+
+def test_stream_v1_vs_v2_throughput():
+    """Compare the two streamed-kernel variants at 84M nnz (informational;
+    asserts only that v2 is correct and not drastically slower)."""
+    from gflownet_spai_tpu.ops.dia import (
+        DIA, _pad_x, _spmv_pallas_stream, _spmv_pallas_stream2,
+    )
+
+    k = 4096
+    n = k * k
+    i = np.arange(n)
+    r, c = i // k, i % k
+    data = np.zeros((5, n), np.float32)
+    data[2, :] = 4.0
+    data[0, i[r > 0]] = -1.0
+    data[1, i[c > 0]] = -1.0
+    data[3, i[c < k - 1]] = -1.0
+    data[4, i[r < k - 1]] = -1.0
+    d = DIA(data=jnp.asarray(data), offsets=(-k, -1, 0, 1, k),
+            shape=(n, n), nnz=int((data != 0).sum()))
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(n), jnp.float32)
+    xp = _pad_x(d, x)
+
+    y1 = np.asarray(_spmv_pallas_stream(d, x))
+    y2 = np.asarray(_spmv_pallas_stream2(d, xp))
+    np.testing.assert_allclose(y2, y1, rtol=1e-5, atol=1e-4)
+
+    import time
+
+    def bench(fn, arg):
+        @jax.jit
+        def chain(a, iters):
+            return jnp.sum(jax.lax.fori_loop(
+                0, iters, lambda _, acc: acc + jnp.sum(fn(d, a)), 0.0))
+        ts = {}
+        for it in (5, 55):
+            float(chain(arg, it))
+        for rep in range(3):
+            for it in (5, 55):
+                t0 = time.time()
+                float(chain(arg, it))
+                ts.setdefault(it, []).append(time.time() - t0)
+        return (np.median(ts[55]) - np.median(ts[5])) / 50
+
+    t1 = bench(_spmv_pallas_stream, x)
+    t2 = bench(_spmv_pallas_stream2, xp)
+    print(f"\nstream v1: {d.nnz/t1/1e9:.1f} Gnnz/s, v2: {d.nnz/t2/1e9:.1f} Gnnz/s")
+    assert t2 < 3 * t1
+
+
+def test_dia_reward_path_vs_coo_on_chip():
+    """Reward throughput: gather-based COO pair plan vs banded DIA product
+    at 60k-nnz seed (informational print + correctness cross-check)."""
+    import time
+    from gflownet_spai_tpu.sparse.gallery import conv_diffusion
+    from gflownet_spai_tpu.sparse.types import COO
+    from gflownet_spai_tpu.env import make_env, seed_pattern
+    from gflownet_spai_tpu.env import spai as coo_env
+    from gflownet_spai_tpu.env import spai_dia as dia_env
+
+    a = conv_diffusion(20_000)
+    a = COO(row=a.row, col=a.col, data=a.data.astype(jnp.float32), shape=a.shape)
+    seed = seed_pattern(a, method="ilu0", dtype=jnp.float32)
+    e_coo = make_env(seed, original=a)
+    e_dia = dia_env.make_dia_env(seed, a)
+    keep = jnp.asarray(np.random.default_rng(0).random((4, e_coo.num_edges)) > 0.3)
+
+    def bench(fn, env, lo, hi):
+        @jax.jit
+        def chain(keep, iters):
+            def body(_, acc):
+                return acc + jnp.sum(jax.vmap(
+                    lambda k: fn(env, k, jnp.asarray(0.5)))(keep))
+            return jax.lax.fori_loop(0, iters, body, 0.0)
+        ts = {}
+        for it in (lo, hi):
+            float(chain(keep, it))
+        for rep in range(2):
+            for it in (lo, hi):
+                t0 = time.time()
+                float(chain(keep, it))
+                ts.setdefault(it, []).append(time.time() - t0)
+        return (np.median(ts[hi]) - np.median(ts[lo])) / (hi - lo)
+
+    t_dia = bench(dia_env.reward, e_dia, 10, 110)
+    t_coo = bench(coo_env.reward, e_coo, 2, 12)
+    print(f"\nbatch-4 reward: dia {t_dia*1e3:.2f} ms, coo {t_coo*1e3:.2f} ms, "
+          f"speedup {t_coo/t_dia:.1f}x")
+    assert t_dia < t_coo  # the banded path must win on TPU
