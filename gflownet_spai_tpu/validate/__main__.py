@@ -39,6 +39,10 @@ def main(argv=None) -> int:
     p.add_argument("--platform", default=None)
     p.add_argument("--out-dir", default="runs/validate")
     p.add_argument("--alpha-fixed", type=float, default=-1.0)
+    p.add_argument("--from-checkpoint", default=None, metavar="RUN_DIR",
+                   help="restore a trained policy from RUN_DIR/checkpoint "
+                        "and skip training (still needs matching --matrix/"
+                        "--seed-method/--hidden-dim)")
     p.add_argument("--classic-k", type=int, default=1,
                    help="power-pattern order for the classic-SPAI column")
     args = p.parse_args(argv)
@@ -48,7 +52,7 @@ def main(argv=None) -> int:
     if jax.default_backend() == "cpu":
         jax.config.update("jax_enable_x64", True)
 
-    from ..train import TrainConfig, make_train_step, setup
+    from ..train import TrainConfig, make_train_step, restore_checkpoint, setup
     from ..solvers import solve_with_cg, solve_with_gmres, ilu_solve_op, spai_op
     from ..solvers.precond import spai_op_sym
     from ..solvers.spai_classic import spai_classic
@@ -64,12 +68,21 @@ def main(argv=None) -> int:
     a, seed, env, graph, mcfg, opt, state = setup(cfg)
     print(f"matrix {args.matrix}: n={env.n}, seed nnz={env.num_edges}")
 
-    step = make_train_step(cfg, env, graph, mcfg, opt)
-    for epoch in range(args.epochs):
-        state, metrics = step(state)
-        if epoch % max(1, args.epochs // 5) == 0:
-            print(f"  train epoch {epoch}: loss {float(metrics['loss']):.2f} "
-                  f"reward {float(metrics['reward_mean']):.1f}")
+    if args.from_checkpoint:
+        restored = restore_checkpoint(args.from_checkpoint, state)
+        if restored is None:
+            raise SystemExit(
+                f"no checkpoint under {args.from_checkpoint}/checkpoint")
+        state = restored
+        print(f"restored trained policy at epoch {int(state.epoch)}, "
+              "skipping training")
+    else:
+        step = make_train_step(cfg, env, graph, mcfg, opt)
+        for epoch in range(args.epochs):
+            state, metrics = step(state)
+            if epoch % max(1, args.epochs // 5) == 0:
+                print(f"  train epoch {epoch}: loss {float(metrics['loss']):.2f} "
+                      f"reward {float(metrics['reward_mean']):.1f}")
 
     # large final sampling round → best preconditioner (reference does a
     # 10^4-sample terminal rollout, GFlowNet100.py:530-532)
