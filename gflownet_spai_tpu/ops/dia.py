@@ -25,7 +25,6 @@ the row-tile) so every Pallas block is full.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Tuple
 
 import jax
