@@ -92,3 +92,21 @@ def test_log_memory_usage_runs(capsys):
     out = log_memory_usage("test-stage")
     assert out["rss_mb"] > 0
     assert "test-stage" in capsys.readouterr().out
+
+
+def test_timed_chain_helper():
+    from gflownet_spai_tpu.utils import timed
+
+    x0 = jnp.ones((1024,))
+    dt = timed(lambda x: x * 1.0001, x0, iters_lo=10, iters_hi=210, reps=2)
+    assert 0 <= dt < 0.1   # per-op time is sane for a trivial elementwise op
+
+
+def test_bench_scaling_run():
+    from gflownet_spai_tpu.bench_scaling import run
+
+    results = run([1, 2], rows_per_device=4096, reps=2)
+    assert [r["devices"] for r in results] == [1, 2]
+    for r in results:
+        assert r["nnz_per_s"] > 0 and np.isfinite(r["time_s"])
+    assert results[0]["efficiency"] == 1.0
