@@ -341,28 +341,37 @@ def _spmv_pallas_stream2(d: DIA, xp: jax.Array, interpret: bool = False) -> jax.
     win = tr + 2 * halo
     center = offsets.index(0) if 0 in offsets else None
 
-    def kernel(d_ref, x_hbm, y_ref, scratch, sems):
+    def kernel(d_ref, x_hbm, y_ref, s0, s1, sem0, sem1):
+        # two independent 1-D scratch buffers, not a [2, win] scratch: Mosaic
+        # cannot slice size-1 along a sublane-tiled dim with a dynamic index
+        # ("Slice shape along dimension 0 must be aligned to tiling (2)")
         t = pl.program_id(0)
-        two = jnp.asarray(2, t.dtype)
-        slot = jax.lax.rem(t, two)
-        nxt = jax.lax.rem(t + 1, two)
+        even = jax.lax.rem(t, jnp.asarray(2, t.dtype)) == 0
 
-        def dma(i, s):
-            return pltpu.make_async_copy(
-                x_hbm.at[pl.ds(i * tr, win)], scratch.at[s], sems.at[s]
-            )
+        def dma(i, buf, sem):
+            return pltpu.make_async_copy(x_hbm.at[pl.ds(i * tr, win)], buf, sem)
 
         @pl.when(t == 0)
         def _():
-            dma(0, 0).start()
+            dma(0, s0, sem0).start()
 
-        dma(t, slot).wait()
-
-        @pl.when(t + 1 < grid)
+        @pl.when(even)
         def _():
-            dma(t + 1, nxt).start()
+            dma(t, s0, sem0).wait()
 
-        ext = scratch[slot]
+        @pl.when(~even)
+        def _():
+            dma(t, s1, sem1).wait()
+
+        @pl.when((t + 1 < grid) & even)
+        def _():
+            dma(t + 1, s1, sem1).start()
+
+        @pl.when((t + 1 < grid) & ~even)
+        def _():
+            dma(t + 1, s0, sem0).start()
+
+        ext = jnp.where(even, s0[:], s1[:])
         if center is not None:
             acc = d_ref[center, :] * jax.lax.slice(ext, (halo,), (halo + tr,))
         else:
@@ -383,8 +392,10 @@ def _spmv_pallas_stream2(d: DIA, xp: jax.Array, interpret: bool = False) -> jax.
         ],
         out_specs=pl.BlockSpec((tr,), lambda t: (t,), memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, win), d.data.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((win,), d.data.dtype),
+            pltpu.VMEM((win,), d.data.dtype),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * d.ndiags * n_pad,
@@ -397,6 +408,14 @@ def _spmv_pallas_stream2(d: DIA, xp: jax.Array, interpret: bool = False) -> jax.
 
 def _use_pallas() -> bool:
     return jax.default_backend() == "tpu"
+
+
+def _stream2_fits(d: DIA) -> bool:
+    """Whether the in-kernel-DMA streamed kernel's two x windows plus the
+    minimum diag/out tiles fit VMEM (very wide halos can exceed it)."""
+    budget = _MAX_VMEM_BYTES // 4
+    win_min = _ALIGN + 2 * d.halo
+    return 2 * win_min + (3 * d.ndiags + 8) * _ALIGN <= budget
 
 
 def spgemm_dia(m: DIA, a: DIA) -> DIA:
@@ -477,8 +496,11 @@ def dia_pad_x(d: DIA, x: jax.Array) -> jax.Array:
 
 def spmv_dia_padded(d: DIA, xp: jax.Array) -> jax.Array:
     """SpMV on an already-padded x buffer; returns unpadded [n_pad] y."""
-    if _use_pallas() and _x_fits_vmem(d):
-        return _spmv_pallas(d, xp)
+    if _use_pallas():
+        if _x_fits_vmem(d):
+            return _spmv_pallas(d, xp)
+        if _stream2_fits(d):
+            return _spmv_pallas_stream2(d, xp)
     h = d.halo
     n = d.n
     acc = jnp.zeros((d.n_pad,), jnp.promote_types(d.data.dtype, xp.dtype))
@@ -496,6 +518,11 @@ def spmv_dia(d: DIA, x: jax.Array) -> jax.Array:
         if _x_fits_vmem(d):
             xp = _pad_x(d, x.astype(d.data.dtype))
             return _spmv_pallas(d, xp)[: d.n]
+        if _stream2_fits(d):
+            # v2 (in-kernel double-buffered window DMAs) measures 91 vs 83
+            # Gnnz/s for v1's host-side halo tensor at 84M nnz on the v5e
+            xp = _pad_x(d, x.astype(d.data.dtype))
+            return _spmv_pallas_stream2(d, xp)[: d.n]
         if d.halo <= _pick_tile_stream(d):
             xu = jnp.pad(x.astype(d.data.dtype), (0, d.n_pad - x.shape[0]))
             return _spmv_pallas_stream(d, xu)[: d.n]

@@ -98,8 +98,11 @@ def test_timed_chain_helper():
     from gflownet_spai_tpu.utils import timed
 
     x0 = jnp.ones((1024,))
-    dt = timed(lambda x: x * 1.0001, x0, iters_lo=10, iters_hi=210, reps=2)
-    assert 0 <= dt < 0.1   # per-op time is sane for a trivial elementwise op
+    dt = timed(lambda x: x * 1.0001, x0, iters_lo=10, iters_hi=2010, reps=3)
+    # per-op time is sane for a trivial elementwise op; the two-point
+    # differencing can go slightly negative under host load, so allow a
+    # small noise band rather than asserting dt >= 0 exactly
+    assert -1e-4 <= dt < 0.1
 
 
 def test_bench_scaling_run():

@@ -186,23 +186,37 @@ def test_stream_v1_vs_v2_throughput():
 
     import time
 
-    def bench(fn, arg):
+    h = d.halo
+
+    # each chain feeds y back into x (Jacobi-like) so the loop body depends
+    # on the carry — a loop-invariant body gets hoisted by XLA and the
+    # two-point differencing then measures pure tunnel noise
+    def step_v1(dd, xu):
+        return _spmv_pallas_stream(dd, xu) * 0.2
+
+    def step_v2(dd, xp):
+        y = _spmv_pallas_stream2(dd, xp)
+        return jax.lax.dynamic_update_slice(xp, y * 0.2, (h,))
+
+    def bench(step, arg):
+        # d rides as a jit ARGUMENT — closed over, its 335 MB of diagonals
+        # become compile-payload constants (HTTP 413 over the tunnel)
         @jax.jit
-        def chain(a, iters):
+        def chain(dd, a, iters):
             return jnp.sum(jax.lax.fori_loop(
-                0, iters, lambda _, acc: acc + jnp.sum(fn(d, a)), 0.0))
+                0, iters, lambda _, a: step(dd, a), a))
         ts = {}
         for it in (5, 55):
-            float(chain(arg, it))
+            float(chain(d, arg, it))
         for rep in range(3):
             for it in (5, 55):
                 t0 = time.time()
-                float(chain(arg, it))
+                float(chain(d, arg, it))
                 ts.setdefault(it, []).append(time.time() - t0)
         return (np.median(ts[55]) - np.median(ts[5])) / 50
 
-    t1 = bench(_spmv_pallas_stream, x)
-    t2 = bench(_spmv_pallas_stream2, xp)
+    t1 = bench(step_v1, x)
+    t2 = bench(step_v2, xp)
     print(f"\nstream v1: {d.nnz/t1/1e9:.1f} Gnnz/s, v2: {d.nnz/t2/1e9:.1f} Gnnz/s")
     assert t2 < 3 * t1
 
@@ -228,8 +242,12 @@ def test_dia_reward_path_vs_coo_on_chip():
         @jax.jit
         def chain(keep, iters):
             def body(_, acc):
+                # alpha depends (negligibly) on the carry so the body is not
+                # loop-invariant — otherwise XLA hoists it out of the loop
+                # and the differencing measures nothing
+                alpha = jnp.asarray(0.5) + 1e-38 * acc
                 return acc + jnp.sum(jax.vmap(
-                    lambda k: fn(env, k, jnp.asarray(0.5)))(keep))
+                    lambda k: fn(env, k, alpha))(keep))
             return jax.lax.fori_loop(0, iters, body, 0.0)
         ts = {}
         for it in (lo, hi):
@@ -241,8 +259,10 @@ def test_dia_reward_path_vs_coo_on_chip():
                 ts.setdefault(it, []).append(time.time() - t0)
         return (np.median(ts[hi]) - np.median(ts[lo])) / (hi - lo)
 
-    t_dia = bench(dia_env.reward, e_dia, 10, 110)
-    t_coo = bench(coo_env.reward, e_coo, 2, 12)
+    # the DIA reward is microseconds — it needs thousands of iterations of
+    # separation to rise above tunnel timing noise (ms-scale jitter)
+    t_dia = bench(dia_env.reward, e_dia, 10, 4010)
+    t_coo = bench(coo_env.reward, e_coo, 10, 110)
     print(f"\nbatch-4 reward: dia {t_dia*1e3:.2f} ms, coo {t_coo*1e3:.2f} ms, "
           f"speedup {t_coo/t_dia:.1f}x")
     assert t_dia < t_coo  # the banded path must win on TPU
