@@ -42,6 +42,82 @@ def trajectory_balance_loss(
     return jnp.mean(delta * delta)
 
 
+def subtb_loss(
+    log_flows: jax.Array,
+    log_rewards: jax.Array,
+    fwd_logprobs: jax.Array,
+    back_logprobs: jax.Array,
+    lengths: jax.Array,
+    lam: float = 0.9,
+) -> jax.Array:
+    """Sub-trajectory balance, SubTB(λ) (Madan et al. 2022,
+    arXiv:2209.12782), in O(T) per trajectory.
+
+    Why: plain TB squares ``Σ_t log P_F`` whose magnitude grows linearly in
+    trajectory length, so the loss scale grows ~quadratically (observed
+    ~1e5 on olm500's ~1e5-step trajectories — CLAUDE.md gap list).  SubTB
+    balances every sub-trajectory s_i→s_j against learned state flows,
+    giving length-local credit assignment.
+
+    For one trajectory with states s_0..s_L (s_L = terminal object, flow
+    := R) the loss is
+
+        Σ_{0≤i<j≤L} λ^{j−i} A_{ij}² / Σ_{0≤i<j≤L} λ^{j−i},
+        A_{ij} = log F(s_i) − log F(s_j) + Σ_{t=i+1}^{j} (log P_F − log P_B)
+
+    With c_t = log F(s_t) − P_t (P_t the prefix sum of log P_F − log P_B),
+    A_{ij} = c_i − c_j, and the pair sum collapses to per-j terms
+    ``S_j c_j² − 2 c_j M_j + Q_j`` where S/M/Q are λ-discounted prefix
+    aggregates — first-order linear recurrences evaluated with
+    ``lax.associative_scan`` (log-depth, no λ^{−i} blow-up: every factor is
+    a decaying power of λ).
+
+    Args: ``log_flows`` [B, T+1] learned log F(s_t) for t = 0..T (the slot
+    at t = lengths[b] is replaced by ``log_rewards[b]`` internally);
+    ``fwd_logprobs``/``back_logprobs`` [B, T] padded per-step log-probs;
+    ``lengths`` [B] number of actions incl. the terminal one.
+    """
+    B, T = fwd_logprobs.shape
+    dtype = fwd_logprobs.dtype
+    lam = float(lam)
+
+    prefix = jnp.concatenate(
+        [jnp.zeros((B, 1), dtype),
+         jnp.cumsum(fwd_logprobs - back_logprobs, axis=-1)], axis=-1
+    )                                                     # [B, T+1]
+    t_ids = jnp.arange(T + 1, dtype=lengths.dtype)[None, :]
+    L = lengths[:, None]
+    logF = jnp.where(t_ids == L, log_rewards[:, None], log_flows)
+    valid = t_ids <= L
+    c = jnp.where(valid, logF - prefix, 0.0)              # [B, T+1]
+
+    # m_j = Σ_{i<j} λ^{j−i} c_i  via  m_j = λ(m_{j−1} + c_{j−1});
+    # q_j likewise with c²; s_j = Σ_{i<j} λ^{j−i} closed-form.
+    def comb(e1, e2):
+        a1, m1, q1 = e1
+        a2, m2, q2 = e2
+        return a1 * a2, a2 * m1 + m2, a2 * q1 + q2
+
+    a = jnp.full((B, T), lam, dtype)
+    _, m_sc, q_sc = jax.lax.associative_scan(
+        comb, (a, lam * c[:, :-1], lam * c[:, :-1] ** 2), axis=-1
+    )
+    zeros = jnp.zeros((B, 1), dtype)
+    m = jnp.concatenate([zeros, m_sc], axis=-1)           # [B, T+1]
+    q = jnp.concatenate([zeros, q_sc], axis=-1)
+    jf = t_ids.astype(dtype)
+    if lam == 1.0:
+        s = jf
+    else:
+        s = lam * (1.0 - jnp.power(lam, jf)) / (1.0 - lam)
+
+    term = s * c * c - 2.0 * c * m + q
+    wmask = (t_ids >= 1) & valid
+    total = jnp.sum(jnp.where(wmask, term, 0.0), axis=-1)  # [B]
+    wsum = jnp.sum(jnp.where(wmask, s, 0.0), axis=-1)
+    return jnp.mean(total / jnp.maximum(wsum, 1e-38))
+
+
 def vargrad_loss(
     log_rewards: jax.Array,
     fwd_logprob_sum: jax.Array,

@@ -20,6 +20,7 @@ from ..ops.dia import DIA, _round_up, _ALIGN
 from .halo_spmv import halo_spmv, partition_dia, spmv_allgather
 from ..solvers.gmres import GMRESResult, gmres
 from ..solvers.cg import CGResult, cg
+from ..solvers.linop import LinOp
 
 
 def _prepare(mesh: Mesh, d: DIA, b: jax.Array, axis: str):
@@ -41,8 +42,10 @@ def distributed_gmres(mesh: Mesh, d: DIA, b: jax.Array, axis: str = "rows",
     ``b``: unpadded [n]; the returned ``x`` is sliced back to [n]."""
     n = b.shape[0]
     d, bp, op = _prepare(mesh, d, b, axis)
-    res = gmres(partial(op, mesh, d, axis=axis), bp, restart=restart,
-                maxiter=maxiter, rtol=rtol)
+    # LinOp: the partitioned diagonals ride as a jit argument (a closure
+    # would bake them into the compile payload — solvers.linop)
+    res = gmres(LinOp(data=d, fn=partial(op, mesh, axis=axis)), bp,
+                restart=restart, maxiter=maxiter, rtol=rtol)
     return res._replace(x=res.x[:n])
 
 
@@ -50,5 +53,6 @@ def distributed_cg(mesh: Mesh, d: DIA, b: jax.Array, axis: str = "rows",
                    maxiter: int = 1000, rtol: float = 1e-5) -> CGResult:
     n = b.shape[0]
     d, bp, op = _prepare(mesh, d, b, axis)
-    res = cg(partial(op, mesh, d, axis=axis), bp, maxiter=maxiter, rtol=rtol)
+    res = cg(LinOp(data=d, fn=partial(op, mesh, axis=axis)), bp,
+             maxiter=maxiter, rtol=rtol)
     return res._replace(x=res.x[:n])

@@ -21,12 +21,14 @@ class BiCGStabResult(NamedTuple):
     converged: jax.Array
 
 
+from .linop import LinOp, as_linop
+
+
 def _identity(x):
     return x
 
 
-@partial(jax.jit, static_argnames=("a_op", "m_op", "maxiter"))
-def bicgstab(
+def _bicgstab_impl(
     a_op: Callable,
     b: jax.Array,
     x0: Optional[jax.Array] = None,
@@ -98,15 +100,44 @@ def bicgstab(
     )
 
 
+_bicgstab_static = partial(
+    jax.jit, static_argnames=("a_op", "m_op", "maxiter")
+)(_bicgstab_impl)
+_bicgstab_dynamic = partial(jax.jit, static_argnames=("maxiter",))(_bicgstab_impl)
+
+
+def bicgstab(
+    a_op,
+    b: jax.Array,
+    x0: Optional[jax.Array] = None,
+    m_op=None,
+    maxiter: int = 1000,
+    rtol: float = 1e-5,
+    atol: float = 0.0,
+) -> BiCGStabResult:
+    """BiCGStab; ``a_op``/``m_op`` may be callables, LinOps, or containers."""
+    a_op = as_linop(a_op)
+    m_op = as_linop(m_op) if m_op is not None else None
+    if isinstance(a_op, LinOp) or isinstance(m_op, LinOp):
+        # dynamic path: both operands must be pytrees (wrap a plain callable)
+        from .linop import wrap_plain
+
+        if not isinstance(a_op, LinOp):
+            a_op = wrap_plain(a_op)
+        if m_op is not None and not isinstance(m_op, LinOp):
+            m_op = wrap_plain(m_op)
+        run = _bicgstab_dynamic
+    else:
+        run = _bicgstab_static
+    return run(a_op, b, x0, m_op, maxiter=maxiter, rtol=rtol, atol=atol)
+
+
 def solve_with_bicgstab(a, b, m=None, maxiter: int = 1000, rtol: float = 1e-5):
     """Harness wrapper mirroring ``solve_with_gmres``."""
     import time
 
-    from .gmres import _as_op
-
     t0 = time.time()
-    res = bicgstab(_as_op(a), b, m_op=None if m is None else _as_op(m),
-                   maxiter=maxiter, rtol=rtol)
+    res = bicgstab(a, b, m_op=m, maxiter=maxiter, rtol=rtol)
     jax.block_until_ready(res.x)
     elapsed = time.time() - t0
     return res.x, res.residuals[: int(res.iterations)], int(res.iterations), elapsed

@@ -21,12 +21,14 @@ class CGResult(NamedTuple):
     converged: jax.Array
 
 
+from .linop import LinOp, as_linop
+
+
 def _identity(x):
     return x
 
 
-@partial(jax.jit, static_argnames=("a_op", "m_op", "maxiter"))
-def cg(
+def _cg_impl(
     a_op: Callable,
     b: jax.Array,
     x0: Optional[jax.Array] = None,
@@ -73,18 +75,44 @@ def cg(
     return CGResult(x=x, residuals=hist, iterations=it, converged=done)
 
 
-@partial(jax.jit, static_argnames=("maxiter", "with_m"))
-def _cg_mats(a, b, m, maxiter, rtol, with_m):
-    """Matrix-argument entry (operands as pytree args; see gmres._gmres_mats)."""
-    from .gmres import _as_op
+# static (plain callables, baked-in) vs dynamic (LinOp pytree args) entry
+# points over the same body — see solvers.linop and gmres for rationale
+_cg_static = partial(
+    jax.jit, static_argnames=("a_op", "m_op", "maxiter")
+)(_cg_impl)
+_cg_dynamic = partial(jax.jit, static_argnames=("maxiter",))(_cg_impl)
 
-    return cg(_as_op(a), b, m_op=_as_op(m) if with_m else None,
-              maxiter=maxiter, rtol=rtol)
+
+def cg(
+    a_op,
+    b: jax.Array,
+    x0: Optional[jax.Array] = None,
+    m_op=None,
+    maxiter: int = 1000,
+    rtol: float = 1e-5,
+    atol: float = 0.0,
+) -> CGResult:
+    """Preconditioned CG; ``a_op``/``m_op`` may be callables, LinOps, or
+    sparse containers."""
+    a_op = as_linop(a_op)
+    m_op = as_linop(m_op) if m_op is not None else None
+    if isinstance(a_op, LinOp) or isinstance(m_op, LinOp):
+        # dynamic path: both operands must be pytrees (wrap a plain callable)
+        from .linop import wrap_plain
+
+        if not isinstance(a_op, LinOp):
+            a_op = wrap_plain(a_op)
+        if m_op is not None and not isinstance(m_op, LinOp):
+            m_op = wrap_plain(m_op)
+        run = _cg_dynamic
+    else:
+        run = _cg_static
+    return run(a_op, b, x0, m_op, maxiter=maxiter, rtol=rtol, atol=atol)
 
 
 def cg_matrix(a, b, m=None, maxiter: int = 1000, rtol: float = 1e-5) -> CGResult:
-    return _cg_mats(a, b, m if m is not None else a, maxiter, rtol,
-                    m is not None)
+    return cg(as_linop(a), b, m_op=None if m is None else as_linop(m),
+              maxiter=maxiter, rtol=rtol)
 
 
 def solve_with_cg(a, b, m=None, maxiter: int = 1000, rtol: float = 1e-5):
@@ -92,13 +120,7 @@ def solve_with_cg(a, b, m=None, maxiter: int = 1000, rtol: float = 1e-5):
     import time
 
     t0 = time.time()
-    if callable(a) or (m is not None and callable(m)):
-        from .gmres import _as_op
-
-        res = cg(_as_op(a), b, m_op=None if m is None else _as_op(m),
-                 maxiter=maxiter, rtol=rtol)
-    else:
-        res = cg_matrix(a, b, m, maxiter=maxiter, rtol=rtol)
+    res = cg(a, b, m_op=m, maxiter=maxiter, rtol=rtol)
     jax.block_until_ready(res.x)
     elapsed = time.time() - t0
     return res.x, res.residuals[: int(res.iterations)], int(res.iterations), elapsed

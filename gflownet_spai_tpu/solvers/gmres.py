@@ -21,6 +21,9 @@ import jax
 import jax.numpy as jnp
 
 
+from .linop import LinOp, as_linop
+
+
 class GMRESResult(NamedTuple):
     x: jax.Array
     residuals: jax.Array   # [maxiter] preconditioned residual norms, NaN-padded
@@ -32,8 +35,7 @@ def _identity(x):
     return x
 
 
-@partial(jax.jit, static_argnames=("a_op", "m_op", "restart", "maxiter"))
-def gmres(
+def _gmres_impl(
     a_op: Callable,
     b: jax.Array,
     x0: Optional[jax.Array] = None,
@@ -141,54 +143,68 @@ def gmres(
     )
 
 
-def _as_op(mat):
-    """Sparse container → matvec callable (dispatches on container type)."""
-    if callable(mat):
-        return mat
-    from ..ops.dia import DIA, spmv_dia
-    from ..sparse.ops import spmv
+# Two jit entry points over the same body (see solvers.linop):
+# * static — operators are plain callables baked into the program (legacy;
+#   fine for small operands and shard_map-closing distributed ops),
+# * dynamic — operators are LinOp pytrees whose arrays travel as jit
+#   arguments (required for big operands: the closure path re-ships them in
+#   the remote-compile payload, HTTP 413 at ~300 MB — see CLAUDE.md).
+_gmres_static = partial(
+    jax.jit, static_argnames=("a_op", "m_op", "restart", "maxiter")
+)(_gmres_impl)
+_gmres_dynamic = partial(
+    jax.jit, static_argnames=("restart", "maxiter")
+)(_gmres_impl)
 
-    if isinstance(mat, DIA):
-        return partial(spmv_dia, mat)
-    return partial(spmv, mat)
+_as_op = as_linop  # back-compat alias (containers now become LinOps)
 
 
-@partial(jax.jit, static_argnames=("restart", "maxiter", "with_m"))
-def _gmres_mats(a, b, m, restart, maxiter, rtol, with_m):
-    """Matrix-argument entry point: ``a``/``m`` are sparse-container
-    *pytree arguments*, so their (possibly huge) value arrays travel as
-    device buffers instead of being baked into the compiled program as
-    constants (the closure path hits remote-compile payload limits at
-    ~300 MB — see CLAUDE.md)."""
-    a_op = _as_op(a)
-    m_op = _as_op(m) if with_m else None
-    return gmres(a_op, b, m_op=m_op, restart=restart, maxiter=maxiter,
-                 rtol=rtol)
+def gmres(
+    a_op,
+    b: jax.Array,
+    x0: Optional[jax.Array] = None,
+    m_op=None,
+    restart: int = 30,
+    maxiter: int = 1000,
+    rtol: float = 1e-5,
+    atol: float = 0.0,
+) -> GMRESResult:
+    """Left-preconditioned restarted GMRES(m) — see ``_gmres_impl``.
+    ``a_op``/``m_op`` may be callables, LinOps, or sparse containers."""
+    a_op = as_linop(a_op)
+    m_op = as_linop(m_op) if m_op is not None else None
+    if isinstance(a_op, LinOp) or isinstance(m_op, LinOp):
+        # dynamic path: both operands must be pytrees (wrap a plain callable)
+        from .linop import wrap_plain
+
+        if not isinstance(a_op, LinOp):
+            a_op = wrap_plain(a_op)
+        if m_op is not None and not isinstance(m_op, LinOp):
+            m_op = wrap_plain(m_op)
+        run = _gmres_dynamic
+    else:
+        run = _gmres_static
+    return run(a_op, b, x0, m_op, restart=restart, maxiter=maxiter,
+               rtol=rtol, atol=atol)
 
 
 def gmres_matrix(a, b, m=None, restart: int = 30, maxiter: int = 1000,
                  rtol: float = 1e-5) -> GMRESResult:
     """GMRES with sparse-container operands passed as jit arguments."""
-    return _gmres_mats(a, b, m if m is not None else a, restart, maxiter,
-                       rtol, m is not None)
+    return gmres(as_linop(a), b, m_op=None if m is None else as_linop(m),
+                 restart=restart, maxiter=maxiter, rtol=rtol)
 
 
 def solve_with_gmres(a, b, m=None, maxiter: int = 10260, restart: int = 30,
                      rtol: float = 1e-5):
     """Reference-harness wrapper (GFlowNet100.py:61-93): x0 = 0, residual
     history, iteration count, wall-clock time.  ``a``/``m`` may be sparse
-    containers (applied via spmv, passed as jit args) or callables."""
+    containers or LinOps (operand arrays travel as jit args) or plain
+    callables."""
     import time
 
     t0 = time.time()
-    if callable(a) or (m is not None and callable(m)):
-        a_op = _as_op(a)
-        m_op = None if m is None else _as_op(m)
-        res = gmres(a_op, b, m_op=m_op, restart=restart, maxiter=maxiter,
-                    rtol=rtol)
-    else:
-        res = gmres_matrix(a, b, m, restart=restart, maxiter=maxiter,
-                           rtol=rtol)
+    res = gmres(a, b, m_op=m, restart=restart, maxiter=maxiter, rtol=rtol)
     jax.block_until_ready(res.x)
     elapsed = time.time() - t0
     residuals = res.residuals[: int(res.iterations)]

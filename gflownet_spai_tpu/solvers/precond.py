@@ -9,20 +9,30 @@
 * ``spai_op``       — apply a sampled SPAI matrix M (one SpMV): the
   GFlowNet's product.
 * ``jacobi_op``     — diagonal scaling, the cheap sanity baseline.
+
+All operators are returned as ``LinOp`` (fn, data) pairs, so the factor /
+matrix arrays ride the solvers' jit boundaries as device arguments instead
+of compile-payload constants (see solvers.linop).
 """
 
 from __future__ import annotations
-
-from functools import partial
 
 import jax
 import jax.numpy as jnp
 
 from ..sparse.ops import spmv
 from ..sparse.types import COO
+from .linop import LinOp, _matvec_sparse
 
 
-def ilu_solve_op(L: COO, U: COO, dense_max_n: int = 4096):
+def _dense_ilu_apply(data, x):
+    Ld, Ud = data
+    y = jax.scipy.linalg.solve_triangular(Ld, x.astype(Ld.dtype), lower=True)
+    z = jax.scipy.linalg.solve_triangular(Ud, y, lower=False)
+    return z.astype(x.dtype)   # keep the solver's carry dtype stable
+
+
+def ilu_solve_op(L: COO, U: COO, dense_max_n: int = 4096) -> LinOp:
     """x ↦ U⁻¹ L⁻¹ x.  Dense triangular solves up to ``dense_max_n`` rows;
     larger factors use the level-scheduled sparse solver (solvers.trisolve)
     so memory stays O(nnz) instead of O(n²)."""
@@ -32,37 +42,34 @@ def ilu_solve_op(L: COO, U: COO, dense_max_n: int = 4096):
         op = sparse_ilu_solve_op(L, U)
         if op is not None:
             return op
-    Ld = L.todense()
-    Ud = U.todense()
-
-    def op(x):
-        y = jax.scipy.linalg.solve_triangular(Ld, x.astype(Ld.dtype), lower=True)
-        z = jax.scipy.linalg.solve_triangular(Ud, y, lower=False)
-        return z.astype(x.dtype)   # keep the solver's carry dtype stable
-
-    return op
+    return LinOp(data=(L.todense(), U.todense()), fn=_dense_ilu_apply)
 
 
-def spai_op(m: COO):
+def spai_op(m: COO) -> LinOp:
     """x ↦ M x — the sampled sparse approximate inverse."""
-    return partial(spmv, m)
+    return LinOp(data=m, fn=_matvec_sparse)
 
 
-def spai_op_sym(m: COO):
+def _sym_apply(data, x):
+    m, mt = data
+    return 0.5 * (spmv(m, x) + spmv(mt, x))
+
+
+def spai_op_sym(m: COO) -> LinOp:
     """x ↦ ½(M + Mᵀ)x — symmetrized application for CG, which requires an
     SPD preconditioner (a thinned/classic SPAI M is generally
     nonsymmetric even for SPD A)."""
     mt = COO(row=m.col, col=m.row, data=m.data, shape=(m.shape[1], m.shape[0]))
-
-    def op(x):
-        return 0.5 * (spmv(m, x) + spmv(mt, x))
-
-    return op
+    return LinOp(data=(m, mt), fn=_sym_apply)
 
 
-def jacobi_op(a: COO):
+def _diag_apply(inv, x):
+    return inv * x
+
+
+def jacobi_op(a: COO) -> LinOp:
     diag = jnp.zeros((a.shape[0],), a.data.dtype).at[a.row].add(
         jnp.where(a.row == a.col, a.data, 0.0)
     )
     inv = jnp.where(diag != 0, 1.0 / diag, 1.0)
-    return lambda x: inv * x
+    return LinOp(data=inv, fn=_diag_apply)

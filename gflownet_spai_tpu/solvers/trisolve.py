@@ -73,26 +73,34 @@ class TriSolvePlan:
             ))
 
     def solve(self, b: jax.Array) -> jax.Array:
-        x = jnp.zeros_like(b)
-        for rows, er, ec, ev, dg in self.levels:
-            acc = jax.ops.segment_sum(
-                ev * x[ec], er, num_segments=rows.shape[0]
-            )
-            x = x.at[rows].set((b[rows] - acc) / dg.astype(b.dtype))
-        return x
+        return _levels_solve(self.levels, b)
+
+
+def _levels_solve(levels, b: jax.Array) -> jax.Array:
+    """Apply a level schedule (pure function of the plan's level arrays, so
+    it can sit behind a LinOp with the levels as pytree data)."""
+    x = jnp.zeros_like(b)
+    for rows, er, ec, ev, dg in levels:
+        acc = jax.ops.segment_sum(ev * x[ec], er, num_segments=rows.shape[0])
+        x = x.at[rows].set((b[rows] - acc) / dg.astype(b.dtype))
+    return x
+
+
+def _ilu_levels_apply(data, x):
+    l_levels, u_levels = data
+    return _levels_solve(u_levels, _levels_solve(l_levels, x))
 
 
 def sparse_ilu_solve_op(L: COO, U: COO, max_levels: int | None = None):
-    """x ↦ U⁻¹ L⁻¹ x with level-scheduled sparse solves.
+    """x ↦ U⁻¹ L⁻¹ x with level-scheduled sparse solves, as a LinOp (the
+    level arrays travel as jit arguments — solvers.linop).
 
     Returns None when either factor's level count exceeds ``max_levels``
     (caller should fall back to the dense path)."""
+    from .linop import LinOp
+
     pl_ = TriSolvePlan(L, lower=True)
     pu = TriSolvePlan(U, lower=False)
     if max_levels is not None and max(pl_.num_levels, pu.num_levels) > max_levels:
         return None
-
-    def op(x):
-        return pu.solve(pl_.solve(x))
-
-    return op
+    return LinOp(data=(pl_.levels, pu.levels), fn=_ilu_levels_apply)

@@ -212,3 +212,55 @@ def test_trisolve_gmres_integration():
     res = gmres(_p(spmv, a), b, m_op=op, restart=30, maxiter=500, rtol=1e-8)
     assert bool(res.converged)
     assert int(res.iterations) < 40
+
+
+def test_linop_dispatch_matches_static_closure():
+    """LinOp operands (arrays as jit arguments) must produce the same solve
+    as plain-callable operands (arrays as closure constants), across all
+    three Krylov solvers."""
+    from gflownet_spai_tpu.solvers.linop import LinOp, as_linop
+    from gflownet_spai_tpu.solvers.bicgstab import bicgstab
+    from gflownet_spai_tpu.solvers import spai_op
+
+    a = gallery.get("poisson32")
+    n = a.shape[0]
+    b = jnp.ones((n,), jnp.float64)
+
+    lin = as_linop(a)
+    assert isinstance(lin, LinOp)
+
+    res_closure = gmres(partial(spmv, a), b, restart=30, maxiter=500, rtol=1e-8)
+    res_linop = gmres(lin, b, restart=30, maxiter=500, rtol=1e-8)
+    assert int(res_closure.iterations) == int(res_linop.iterations)
+    np.testing.assert_allclose(np.asarray(res_closure.x),
+                               np.asarray(res_linop.x), rtol=1e-10)
+
+    rc = cg(partial(spmv, a), b, maxiter=2000, rtol=1e-8)
+    rl = cg(lin, b, maxiter=2000, rtol=1e-8)
+    assert int(rc.iterations) == int(rl.iterations)
+    np.testing.assert_allclose(np.asarray(rc.x), np.asarray(rl.x), rtol=1e-10)
+
+    rb_c = bicgstab(partial(spmv, a), b, maxiter=2000, rtol=1e-8)
+    rb_l = bicgstab(lin, b, maxiter=2000, rtol=1e-8)
+    assert int(rb_c.iterations) == int(rb_l.iterations)
+    np.testing.assert_allclose(np.asarray(rb_c.x), np.asarray(rb_l.x),
+                               rtol=1e-10)
+
+    # preconditioned path: a LinOp M (SPAI container data as jit argument)
+    m = spai_op(a)           # a itself as a (bad) "preconditioner" — shape test
+    assert isinstance(m, LinOp)
+    rp = gmres(lin, b, m_op=m, restart=30, maxiter=500, rtol=1e-8)
+    assert np.isfinite(float(rp.residuals[0]))
+
+
+def test_linop_is_pytree_with_static_fn():
+    """fn lives in the treedef (static); data arrays are leaves."""
+    from gflownet_spai_tpu.solvers.linop import as_linop
+
+    a = gallery.get("LF10")
+    lin = as_linop(a)
+    leaves, treedef = jax.tree_util.tree_flatten(lin)
+    assert all(hasattr(l, "dtype") for l in leaves)
+    rebuilt = jax.tree_util.tree_unflatten(treedef, leaves)
+    x = jnp.ones((a.shape[0],), a.data.dtype)
+    np.testing.assert_array_equal(np.asarray(rebuilt(x)), np.asarray(lin(x)))
