@@ -39,15 +39,17 @@ class GFlowNetParams(NamedTuple):
     forward: pol.ForwardPolicyParams
     backward: pol.BackwardPolicyParams
     log_z: jax.Array  # trained log-partition estimate (B7)
+    flow: pol.FlowHeadParams | None = None   # state flows (SubTB-λ only)
 
 
 class GFlowNetConfig(NamedTuple):
     hidden_dim: int = 4          # reference GFlowNet100.py:180
     heads: int = 4               # reference policy.py:19
     num_actions: int = 0         # nnz + 1 (env-dependent)
-    loss: str = "tb"             # tb | vargrad (see gfn.loss)
+    loss: str = "tb"             # tb | vargrad | subtb (see gfn.loss)
     temperature: float = 1.0     # rollout sampling temperature (>1 explores)
     alpha_fixed: float = -1.0    # >=0 pins the reward mix α (learned if <0)
+    subtb_lambda: float = 0.9    # λ for loss="subtb"
 
 
 def init_params(key, cfg: GFlowNetConfig, dtype=jnp.float32) -> GFlowNetParams:
@@ -60,6 +62,8 @@ def init_params(key, cfg: GFlowNetConfig, dtype=jnp.float32) -> GFlowNetParams:
             kb, cfg.hidden_dim, cfg.num_actions, dtype=dtype
         ),
         log_z=jnp.zeros((), dtype),
+        flow=(pol.flow_head_init(cfg.num_actions, dtype)
+              if cfg.loss == "subtb" else None),
     )
 
 
@@ -85,9 +89,10 @@ def sample(params: GFlowNetParams, env: spai.SpaiEnv, graph: pol.GraphInputs,
     rollout = gumbel_topk_rollout(batched, key, terminal_action=cfg.num_actions - 1)
     if cfg.temperature != 1.0:
         # re-score the sampled trajectories under the untempered policy so
-        # the TB objective sees the true P_F (off-policy exploration)
-        from .rollout import sequential_logprobs
-        lps = jax.vmap(lambda a: sequential_logprobs(logits, a))(
+        # the TB objective sees the true P_F (off-policy exploration);
+        # trajectory_logprobs is the O(A log A) static-logits evaluator
+        from .rollout import trajectory_logprobs
+        lps = jax.vmap(lambda a: trajectory_logprobs(logits, a))(
             jax.lax.stop_gradient(rollout.actions))
         rollout = rollout._replace(fwd_logprobs=lps)
     rewards = _batched_rewards(env, rollout.actions, alpha)
@@ -95,39 +100,70 @@ def sample(params: GFlowNetParams, env: spai.SpaiEnv, graph: pol.GraphInputs,
 
 
 def loss_fn(params: GFlowNetParams, env: spai.SpaiEnv, graph: pol.GraphInputs,
-            cfg: GFlowNetConfig, key, batch_size: int):
+            cfg: GFlowNetConfig, key, batch_size: int, replay=None):
     """TB loss for one sampled batch; returns (loss, aux dict).
 
     Gradients flow through the forward log-probs (recomputed differentiably
     from the logits along the sampled — stop-gradiented — action order), the
     backward LSTM, α (via the reward mix), and log Z.
+
+    ``replay`` (optional): ``(actions [R,T], valid [R])`` trajectories from
+    the top-k buffer (gfn.replay), re-scored off-policy under the current
+    policy via ``trajectory_logprobs`` and with the reward recomputed at the
+    current α (stored buffer rewards only prioritize what stays in the
+    buffer); invalid slots (buffer not yet filled) are weight-0.
     """
     out = sample(params, env, graph, cfg, key, batch_size)
     # The rollout's per-step log-probs are differentiable w.r.t. the logits
     # (gather along the — discrete, grad-free — sampled order), and rewards
     # are differentiable w.r.t. α: no recomputation needed.
     actions = jax.lax.stop_gradient(out.rollout.actions)
+    fwd_lp = out.rollout.fwd_logprobs
+    log_r = log_reward(out.rewards)
+    lengths = out.rollout.lengths
+    weights = None
+
+    if replay is not None:
+        from .rollout import trajectory_logprobs
+
+        r_actions, r_valid = replay
+        r_fwd = jax.vmap(lambda a: trajectory_logprobs(out.logits, a))(r_actions)
+        r_rewards = _batched_rewards(env, r_actions, out.alpha)
+        actions = jnp.concatenate([actions, r_actions], 0)
+        fwd_lp = jnp.concatenate([fwd_lp, r_fwd], 0)
+        log_r = jnp.concatenate([log_r, log_reward(r_rewards)], 0)
+        lengths = jnp.concatenate(
+            [lengths, (r_actions >= 0).sum(-1).astype(lengths.dtype)], 0)
+        weights = jnp.concatenate(
+            [jnp.ones((batch_size,), fwd_lp.dtype),
+             r_valid.astype(fwd_lp.dtype)], 0)
+
     back_lp = pol.backward_policy_batch(params.backward, actions, cfg.hidden_dim)
 
     if cfg.loss == "vargrad":
         from .loss import vargrad_loss
 
         loss = vargrad_loss(
-            log_reward(out.rewards),
-            out.rollout.fwd_logprobs.sum(-1),
-            back_lp.sum(-1),
+            log_r, fwd_lp.sum(-1), back_lp.sum(-1), weights=weights,
+        )
+    elif cfg.loss == "subtb":
+        from .loss import subtb_loss
+
+        log_flows = pol.flow_head_logF(params.flow, actions)
+        loss = subtb_loss(
+            log_flows, log_r, fwd_lp, back_lp, lengths,
+            lam=cfg.subtb_lambda, weights=weights,
         )
     else:
         loss = trajectory_balance_loss(
-            params.log_z,
-            log_reward(out.rewards),
-            out.rollout.fwd_logprobs.sum(-1),
-            back_lp.sum(-1),
+            params.log_z, log_r, fwd_lp.sum(-1), back_lp.sum(-1),
+            weights=weights,
         )
     aux = {
         "rewards": out.rewards,
         "alpha": out.alpha,
         "lengths": out.rollout.lengths,
         "loss": loss,
+        "actions": jax.lax.stop_gradient(out.rollout.actions),
     }
     return loss, aux

@@ -30,16 +30,25 @@ def log_reward(rewards: jax.Array, floor: float = 1e-9) -> jax.Array:
     return jnp.log(jnp.maximum(rewards, floor))
 
 
+def _weighted_mean(x: jax.Array, weights) -> jax.Array:
+    if weights is None:
+        return jnp.mean(x)
+    w = weights.astype(x.dtype)
+    return jnp.sum(w * x) / jnp.maximum(jnp.sum(w), 1e-30)
+
+
 def trajectory_balance_loss(
     log_z: jax.Array,
     log_rewards: jax.Array,
     fwd_logprob_sum: jax.Array,
     back_logprob_sum: jax.Array,
+    weights: jax.Array | None = None,
 ) -> jax.Array:
     """Mean squared TB discrepancy over a batch.  All inputs [B] except
-    ``log_z`` (scalar)."""
+    ``log_z`` (scalar).  ``weights`` (optional [B]) down-weights entries,
+    e.g. invalid replay-buffer slots (gfn.replay)."""
     delta = log_z + fwd_logprob_sum - log_rewards - back_logprob_sum
-    return jnp.mean(delta * delta)
+    return _weighted_mean(delta * delta, weights)
 
 
 def subtb_loss(
@@ -49,6 +58,7 @@ def subtb_loss(
     back_logprobs: jax.Array,
     lengths: jax.Array,
     lam: float = 0.9,
+    weights: jax.Array | None = None,
 ) -> jax.Array:
     """Sub-trajectory balance, SubTB(λ) (Madan et al. 2022,
     arXiv:2209.12782), in O(T) per trajectory.
@@ -115,13 +125,17 @@ def subtb_loss(
     wmask = (t_ids >= 1) & valid
     total = jnp.sum(jnp.where(wmask, term, 0.0), axis=-1)  # [B]
     wsum = jnp.sum(jnp.where(wmask, s, 0.0), axis=-1)
-    return jnp.mean(total / jnp.maximum(wsum, 1e-38))
+    # guard must be ≥ f32 min-normal: XLA compiles with flush-to-zero, so a
+    # subnormal like 1e-38 becomes 0 and a length-0 (weight-0 replay) entry
+    # would produce 0/0 = NaN that survives 0-weighting
+    return _weighted_mean(total / jnp.maximum(wsum, 1e-30), weights)
 
 
 def vargrad_loss(
     log_rewards: jax.Array,
     fwd_logprob_sum: jax.Array,
     back_logprob_sum: jax.Array,
+    weights: jax.Array | None = None,
 ) -> jax.Array:
     """VarGrad form of TB (Richter et al. 2020; Zhang et al. 2023 for
     GFlowNets): the batch variance of ``δ_b = log R + Σlog P_B − Σlog P_F``.
@@ -131,4 +145,7 @@ def vargrad_loss(
     length (hence |Σlog P_F|) is large, e.g. 10⁵-action SPAI problems where
     plain TB losses reach 1e9 in f32."""
     delta = log_rewards + back_logprob_sum - fwd_logprob_sum
-    return jnp.var(delta)
+    if weights is None:
+        return jnp.var(delta)
+    mean = _weighted_mean(delta, weights)
+    return _weighted_mean((delta - mean) ** 2, weights)

@@ -63,6 +63,36 @@ def gumbel_topk_rollout(logits: jax.Array, key, terminal_action: int) -> Rollout
     return Rollout(actions=actions, fwd_logprobs=fwd_lp, lengths=(k + 1).astype(jnp.int32))
 
 
+def trajectory_logprobs(logits: jax.Array, actions: jax.Array) -> jax.Array:
+    """Per-step log-probs of a given ``-1``-padded trajectory under
+    sequential masked-categorical semantics, in O(A log A).
+
+    Same result as ``sequential_logprobs`` (which is O(A²): a T-step scan
+    each carrying an A-sized taken-mask), but exploiting static logits the
+    same way the Gumbel sampler does: the remaining action set at step t is
+    {a_t, …, a_L} ∪ untaken, so ordering the logits as "trajectory actions
+    in trajectory order, then untaken actions" turns every step's
+    normalizer into one suffix logsumexp.  Used for off-policy re-scoring
+    (temperature sampling, replay buffers) where trajectories were NOT
+    produced by the current policy's Gumbel sort.
+    """
+    A = logits.shape[0]
+    T = actions.shape[0]
+    t_ids = jnp.arange(T)
+    valid = actions >= 0
+    a_safe = jnp.where(valid, actions, 0)
+    # sort key: taken actions get their step index (< A), untaken keep
+    # A + id; invalid (padding) writes lose every .min against both
+    pos = (A + jnp.arange(A)).at[a_safe].min(
+        jnp.where(valid, t_ids, 2 * A)
+    )
+    order = jnp.argsort(pos)                       # [A]
+    sorted_logits = logits[order]
+    denom = _suffix_logsumexp(sorted_logits)       # lse over remaining set
+    lp = sorted_logits[:T] - denom[:T]
+    return jnp.where(valid, lp, 0.0)
+
+
 def sequential_logprobs(logits: jax.Array, actions: jax.Array) -> jax.Array:
     """Oracle: per-step log-probs of a given ``-1``-padded trajectory under
     sequential masked-categorical semantics (the reference's sampler,

@@ -100,6 +100,50 @@ def forward_policy_alpha(p: ForwardPolicyParams) -> jax.Array:
 
 
 # ---------------------------------------------------------------------------
+# State-flow head (SubTB-λ only)
+# ---------------------------------------------------------------------------
+
+class FlowHeadParams(NamedTuple):
+    """log F(s_t) for the SubTB(λ) objective (gfn.loss.subtb_loss).
+
+    A rollout state is fully described by the set of deleted edges
+    (SURVEY.md §3.1 — the graph itself never evolves), so the flow head
+    parameterizes
+
+        log F(s_t) = w · [1, t̂, t̂², t̂³]  +  Σ_{u≤t} d[a_u],   t̂ = t/T
+
+    a smooth depth trend (flows shrink roughly linearly in log-space as
+    edges are deleted) plus a learned per-edge flow delta ``d`` — both
+    O(1)-cheap per step (one cumsum of gathered scalars), which matters at
+    10⁵-step trajectories.  The t=0 intercept doubles as log Z.
+    """
+    poly_w: jax.Array   # [4]
+    edge_d: jax.Array   # [max_num_actions]
+
+
+def flow_head_init(max_num_actions: int, dtype=jnp.float32) -> FlowHeadParams:
+    return FlowHeadParams(
+        poly_w=jnp.zeros((4,), dtype),
+        edge_d=jnp.zeros((max_num_actions,), dtype),
+    )
+
+
+def flow_head_logF(p: FlowHeadParams, actions: jax.Array) -> jax.Array:
+    """[B, T] padded action matrix → [B, T+1] log F(s_t) for t = 0..T."""
+    B, T = actions.shape
+    dtype = p.poly_w.dtype
+    t_hat = (jnp.arange(T + 1, dtype=dtype) / jnp.asarray(T, dtype))[None, :]
+    base = (p.poly_w[0] + p.poly_w[1] * t_hat + p.poly_w[2] * t_hat**2
+            + p.poly_w[3] * t_hat**3)                      # [1, T+1]
+    valid = actions >= 0
+    d = jnp.where(valid, p.edge_d[jnp.maximum(actions, 0)], 0.0)
+    cum = jnp.concatenate(
+        [jnp.zeros((B, 1), dtype), jnp.cumsum(d, axis=-1)], axis=-1
+    )                                                      # [B, T+1]
+    return base + cum
+
+
+# ---------------------------------------------------------------------------
 # Backward policy
 # ---------------------------------------------------------------------------
 

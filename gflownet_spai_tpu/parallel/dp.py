@@ -129,9 +129,9 @@ def make_dp_train_step(mesh: Mesh, env: spai.SpaiEnv, graph: pol.GraphInputs,
         roll = gumbel_topk_rollout(batched, key, terminal_action=cfg.num_actions - 1)
         actions = jax.lax.stop_gradient(roll.actions)
         if cfg.temperature != 1.0:
-            from ..gfn.rollout import sequential_logprobs
+            from ..gfn.rollout import trajectory_logprobs
 
-            lps = jax.vmap(lambda a: sequential_logprobs(logits, a))(actions)
+            lps = jax.vmap(lambda a: trajectory_logprobs(logits, a))(actions)
             roll = roll._replace(fwd_logprobs=lps)
 
         keep = jax.vmap(
@@ -151,6 +151,13 @@ def make_dp_train_step(mesh: Mesh, env: spai.SpaiEnv, graph: pol.GraphInputs,
 
             loss = vargrad_loss(log_reward(rewards),
                                 roll.fwd_logprobs.sum(-1), back_lp.sum(-1))
+        elif cfg.loss == "subtb":
+            from ..gfn.loss import subtb_loss
+
+            log_flows = pol.flow_head_logF(params.flow, actions)
+            loss = subtb_loss(log_flows, log_reward(rewards),
+                              roll.fwd_logprobs, back_lp, roll.lengths,
+                              lam=cfg.subtb_lambda)
         else:
             loss = trajectory_balance_loss(
                 params.log_z, log_reward(rewards),

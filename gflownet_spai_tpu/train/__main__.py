@@ -35,7 +35,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "(GFlowNet100.py:173) instead of the true A")
     p.add_argument("--hidden-dim", type=int, default=d.hidden_dim)
     p.add_argument("--heads", type=int, default=d.heads)
-    p.add_argument("--loss", default=d.loss, choices=["tb", "vargrad"])
+    p.add_argument("--loss", default=d.loss, choices=["tb", "vargrad", "subtb"])
+    p.add_argument("--subtb-lambda", type=float, default=d.subtb_lambda,
+                   help="λ for --loss subtb (sub-trajectory weight decay)")
+    p.add_argument("--replay-size", type=int, default=d.replay_size,
+                   help="top-k reward replay buffer capacity (0 = off)")
+    p.add_argument("--replay-samples", type=int, default=d.replay_samples,
+                   help="replayed trajectories mixed into each epoch's loss")
     p.add_argument("--temperature", type=float, default=d.temperature,
                    help="rollout sampling temperature (>1 explores)")
     p.add_argument("--alpha-fixed", type=float, default=d.alpha_fixed,

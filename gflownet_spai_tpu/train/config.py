@@ -33,9 +33,12 @@ class TrainConfig:
     # model (reference GFlowNet100.py:180, policy.py:19)
     hidden_dim: int = 4
     heads: int = 4
-    loss: str = "tb"                # tb | vargrad
+    loss: str = "tb"                # tb | vargrad | subtb
+    subtb_lambda: float = 0.9       # λ for loss="subtb" (gfn.loss.subtb_loss)
     temperature: float = 1.0        # rollout sampling temperature
     alpha_fixed: float = -1.0       # >=0 pins reward-mix α (else learned)
+    replay_size: int = 0            # top-k reward replay buffer (0 = off)
+    replay_samples: int = 2         # buffer trajectories mixed per epoch
 
     # optimization (reference GFlowNet100.py:32-34, 266-267)
     batch_size: int = 2

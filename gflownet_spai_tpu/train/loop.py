@@ -23,6 +23,7 @@ import optax
 
 from ..env import ilu, spai
 from ..gfn import gflownet as gfn
+from ..gfn.replay import ReplayBuffer, replay_init, replay_sample, replay_update
 from ..models import policies as pol
 from ..sparse import gallery, read_mtx
 from ..sparse.types import COO
@@ -34,6 +35,7 @@ class TrainState(NamedTuple):
     opt_state: optax.OptState
     key: jax.Array
     epoch: jax.Array
+    replay: Optional["ReplayBuffer"] = None   # top-k buffer (replay_size > 0)
 
 
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
@@ -106,6 +108,7 @@ def setup(cfg: TrainConfig):
         hidden_dim=cfg.hidden_dim, heads=cfg.heads,
         num_actions=env.num_actions, loss=cfg.loss,
         temperature=cfg.temperature, alpha_fixed=cfg.alpha_fixed,
+        subtb_lambda=cfg.subtb_lambda,
     )
     params = gfn.init_params(jax.random.PRNGKey(cfg.prng_seed), mcfg, dtype=dtype)
     opt = make_optimizer(cfg)
@@ -114,6 +117,8 @@ def setup(cfg: TrainConfig):
         opt_state=opt.init(params),
         key=jax.random.PRNGKey(cfg.prng_seed + 1),
         epoch=jnp.zeros((), jnp.int32),
+        replay=(replay_init(cfg.replay_size, env.num_actions, dtype)
+                if cfg.replay_size > 0 else None),
     )
     return a, seed, env, graph, mcfg, opt, state
 
@@ -121,10 +126,18 @@ def setup(cfg: TrainConfig):
 def make_train_step(cfg: TrainConfig, env, graph, mcfg, opt):
     """One fully-jitted epoch: rollout + loss + guard + update."""
 
+    use_replay = cfg.replay_size > 0
+
     def step(state: TrainState):
-        key, sub = jax.random.split(state.key)
+        key, sub, rkey = jax.random.split(state.key, 3)
+        replay_arg = None
+        if use_replay:
+            r_actions, _, r_valid = replay_sample(
+                state.replay, rkey, cfg.replay_samples)
+            replay_arg = (r_actions, r_valid)
         (loss, aux), grads = jax.value_and_grad(gfn.loss_fn, has_aux=True)(
-            state.params, env, graph, mcfg, sub, cfg.batch_size
+            state.params, env, graph, mcfg, sub, cfg.batch_size,
+            replay=replay_arg,
         )
         # NaN/Inf guard — reference skips the epoch (GFlowNet100.py:307-309);
         # here bad steps contribute a zero update but still advance LR state.
@@ -137,8 +150,13 @@ def make_train_step(cfg: TrainConfig, env, graph, mcfg, opt):
             value=jnp.where(good, loss, jnp.inf),
         )
         params = optax.apply_updates(state.params, updates)
+        new_replay = state.replay
+        if use_replay:
+            new_replay = replay_update(
+                state.replay, aux["actions"], aux["rewards"])
         new_state = TrainState(
-            params=params, opt_state=opt_state, key=key, epoch=state.epoch + 1
+            params=params, opt_state=opt_state, key=key,
+            epoch=state.epoch + 1, replay=new_replay,
         )
         metrics = {
             "loss": loss,

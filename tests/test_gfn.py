@@ -352,3 +352,195 @@ def test_temperature_rescoring_exact():
         np.testing.assert_allclose(
             np.asarray(out.rollout.fwd_logprobs[b]), np.asarray(want),
             rtol=1e-10)
+
+
+def _subtb_bruteforce(log_flows, log_rewards, fwd_lp, back_lp, lengths, lam):
+    """O(T²) reference for subtb_loss: explicit pair sum per trajectory."""
+    B, T = fwd_lp.shape
+    out = []
+    for b in range(B):
+        L = int(lengths[b])
+        P = np.concatenate([[0.0], np.cumsum(fwd_lp[b] - back_lp[b])])
+        logF = np.array(log_flows[b], np.float64)
+        logF[L] = log_rewards[b]
+        num, den = 0.0, 0.0
+        for i in range(L + 1):
+            for j in range(i + 1, L + 1):
+                A = logF[i] - logF[j] + (P[j] - P[i])
+                w = lam ** (j - i)
+                num += w * A * A
+                den += w
+        out.append(num / den)
+    return float(np.mean(out))
+
+
+@pytest.mark.parametrize("lam", [0.5, 0.9, 1.0])
+def test_subtb_loss_matches_bruteforce(lam):
+    from gflownet_spai_tpu.gfn.loss import subtb_loss
+
+    rng = np.random.default_rng(0)
+    B, T = 3, 7
+    lengths = np.array([3, 7, 1], np.int32)
+    fwd = rng.standard_normal((B, T))
+    back = rng.standard_normal((B, T))
+    for b in range(B):                       # padding beyond length is zero
+        fwd[b, lengths[b]:] = 0.0
+        back[b, lengths[b]:] = 0.0
+    flows = rng.standard_normal((B, T + 1))
+    rewards = rng.standard_normal(B)
+
+    got = float(subtb_loss(
+        jnp.asarray(flows), jnp.asarray(rewards), jnp.asarray(fwd),
+        jnp.asarray(back), jnp.asarray(lengths), lam=lam,
+    ))
+    want = _subtb_bruteforce(flows, rewards, fwd, back, lengths, lam)
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_subtb_zero_at_perfect_flows():
+    """If flows exactly telescope the transition log-probs and terminate at
+    log R, every sub-trajectory is balanced and the loss is 0."""
+    from gflownet_spai_tpu.gfn.loss import subtb_loss
+
+    rng = np.random.default_rng(1)
+    B, T = 2, 5
+    lengths = np.full((B,), T, np.int32)
+    fwd = rng.standard_normal((B, T))
+    back = rng.standard_normal((B, T))
+    log_r = rng.standard_normal(B)
+    P = np.concatenate([np.zeros((B, 1)), np.cumsum(fwd - back, -1)], -1)
+    # logF_t = logR + (P_t − P_T) makes every A_ij = c_i − c_j vanish
+    flows = log_r[:, None] + P - P[:, -1:]
+    loss = float(subtb_loss(
+        jnp.asarray(flows), jnp.asarray(log_r), jnp.asarray(fwd),
+        jnp.asarray(back), jnp.asarray(lengths), lam=0.8,
+    ))
+    assert abs(loss) < 1e-10
+
+
+def test_subtb_gradients_flow_and_trains_on_lf10(tmp_path):
+    from gflownet_spai_tpu.train.config import TrainConfig
+    from gflownet_spai_tpu.train.loop import train
+
+    cfg = TrainConfig(matrix="LF10", num_epochs=8, batch_size=4,
+                      loss="subtb", subtb_lambda=0.9, platform="cpu",
+                      out_dir=str(tmp_path))
+    state, history = train(cfg)
+    assert np.isfinite(history).all()
+    # flow head received gradient updates (non-zero after training)
+    assert float(jnp.abs(state.params.flow.poly_w).sum()) > 0
+    assert float(jnp.abs(state.params.flow.edge_d).sum()) > 0
+
+
+def test_trajectory_logprobs_matches_sequential_oracle():
+    from gflownet_spai_tpu.gfn.rollout import (
+        gumbel_topk_rollout, sequential_logprobs, trajectory_logprobs,
+    )
+
+    A = 12
+    key = jax.random.PRNGKey(3)
+    logits = jax.random.normal(key, (A,))
+    roll = gumbel_topk_rollout(
+        jnp.broadcast_to(logits, (6, A)), jax.random.PRNGKey(4),
+        terminal_action=A - 1,
+    )
+    for b in range(6):
+        fast = trajectory_logprobs(logits, roll.actions[b])
+        slow = sequential_logprobs(logits, roll.actions[b])
+        np.testing.assert_allclose(np.asarray(fast), np.asarray(slow),
+                                   rtol=1e-6, atol=1e-6)
+        # and both match the rollout's own per-step log-probs
+        np.testing.assert_allclose(np.asarray(fast),
+                                   np.asarray(roll.fwd_logprobs[b]),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_trajectory_logprobs_short_padding():
+    """T < A and heavy padding: padded slots contribute exactly 0."""
+    from gflownet_spai_tpu.gfn.rollout import (
+        sequential_logprobs, trajectory_logprobs,
+    )
+
+    A = 9
+    logits = jax.random.normal(jax.random.PRNGKey(5), (A,))
+    actions = jnp.asarray([4, 0, 8, -1, -1], jnp.int32)     # T=5 < A
+    fast = trajectory_logprobs(logits, actions)
+    slow = sequential_logprobs(logits, jnp.pad(actions, (0, A - 5),
+                                               constant_values=-1))[:5]
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(slow),
+                               rtol=1e-6, atol=1e-6)
+    assert float(jnp.abs(fast[3:]).sum()) == 0.0
+
+
+# ---------------------------------------------------------------------------
+# replay buffer
+# ---------------------------------------------------------------------------
+
+def test_replay_buffer_topk_and_dedup():
+    from gflownet_spai_tpu.gfn.replay import (
+        replay_init, replay_sample, replay_update,
+    )
+
+    buf = replay_init(capacity=3, traj_len=4)
+    a1 = jnp.asarray([[0, 3, -1, -1], [1, 3, -1, -1]], jnp.int32)
+    buf = replay_update(buf, a1, jnp.asarray([5.0, 7.0]))
+    r = np.asarray(buf.rewards)
+    assert set(r[np.isfinite(r)].tolist()) == {5.0, 7.0}
+
+    # same trajectories again: dedup keeps the buffer at 2 unique entries
+    buf = replay_update(buf, a1, jnp.asarray([5.0, 7.0]))
+    r = np.asarray(buf.rewards)
+    assert np.isfinite(r).sum() == 2
+
+    # a better trajectory displaces the worst once capacity is exceeded
+    a2 = jnp.asarray([[2, 3, -1, -1], [0, 1, 3, -1]], jnp.int32)
+    buf = replay_update(buf, a2, jnp.asarray([9.0, 6.0]))
+    r = np.asarray(buf.rewards)
+    assert np.isfinite(r).sum() == 3
+    assert set(r.tolist()) == {9.0, 7.0, 6.0}
+
+    # sampling returns only filled slots, marked valid
+    acts, rews, valid = replay_sample(buf, jax.random.PRNGKey(0), 8)
+    assert bool(valid.all())
+    assert all(float(x) in {9.0, 7.0, 6.0} for x in np.asarray(rews))
+
+
+def test_replay_sample_empty_buffer_is_invalid():
+    from gflownet_spai_tpu.gfn.replay import replay_init, replay_sample
+
+    buf = replay_init(capacity=4, traj_len=3)
+    _, _, valid = replay_sample(buf, jax.random.PRNGKey(1), 5)
+    assert not bool(valid.any())
+
+
+def test_replay_training_runs_and_buffer_fills(tmp_path):
+    from gflownet_spai_tpu.train.config import TrainConfig
+    from gflownet_spai_tpu.train.loop import train
+
+    cfg = TrainConfig(matrix="LF10", num_epochs=10, batch_size=4,
+                      replay_size=8, replay_samples=2, platform="cpu",
+                      out_dir=str(tmp_path))
+    state, history = train(cfg)
+    assert np.isfinite(history).all()
+    r = np.asarray(state.replay.rewards)
+    assert np.isfinite(r).sum() >= 4          # buffer accumulated samples
+    # buffer is sorted-by-construction top-k: rewards are the best seen
+    csv = (tmp_path / "detailed_training_log.csv").read_text().splitlines()[1:]
+    seen = [float(line.split(",")[-1]) for line in csv]
+    assert np.isclose(r[np.isfinite(r)].max(), max(seen), rtol=1e-5)
+
+
+def test_subtb_weight_zero_length_zero_entry_is_finite():
+    """Regression: a length-0 weight-0 (empty replay slot) entry used to
+    produce 0/0 = NaN because the 1e-38 divide guard is subnormal in f32
+    and XLA flushes it to zero."""
+    from gflownet_spai_tpu.gfn.loss import subtb_loss
+
+    B, T = 2, 5
+    loss = subtb_loss(
+        jnp.zeros((B, T + 1)), jnp.asarray([1.0, 2.0]),
+        jnp.zeros((B, T)), jnp.zeros((B, T)),
+        jnp.asarray([3, 0], jnp.int32), lam=0.9,
+        weights=jnp.asarray([1.0, 0.0]),
+    )
+    assert np.isfinite(float(loss))
