@@ -73,15 +73,17 @@ def _gmres_impl(
             def do(carry):
                 V, H, cs, sn, g, hist, it, stop = carry
                 w = m_op(a_op(V[j]))
-                # modified Gram–Schmidt
-                def mgs(i, wh):
-                    w, h = wh
-                    hij = jnp.where(i <= j, jnp.dot(V[i], w), 0.0)
-                    return w - hij * V[i] * (i <= j), h.at[i].set(hij)
-
-                w, hcol = jax.lax.fori_loop(
-                    0, restart, mgs, (w, jnp.zeros((restart + 1,), dtype))
-                )
+                # CGS2 (classical Gram–Schmidt with one reorthogonalization):
+                # two [restart+1, n] matmuls against the basis instead of
+                # MGS's `restart` sequential dots — the MXU-friendly form
+                # (unfilled basis rows are exactly zero, so no masking is
+                # needed); backward-stable like MGS for Arnoldi (Giraud et
+                # al. 2005)
+                h1 = V @ w
+                w = w - V.T @ h1
+                h2 = V @ w
+                w = w - V.T @ h2
+                hcol = h1 + h2
                 hlast = jnp.linalg.norm(w)
                 hcol = hcol.at[j + 1].set(hlast)
                 V = V.at[j + 1].set(w / jnp.maximum(hlast, 1e-38))
