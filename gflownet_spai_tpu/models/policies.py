@@ -73,6 +73,21 @@ def forward_policy_init(key, hidden_dim: int, max_num_actions: int,
     )
 
 
+def forward_policy_pooled(p: ForwardPolicyParams, g: GraphInputs,
+                          hidden_dim: int, heads: int = 4) -> jax.Array:
+    """GATv2 ×2 + global mean pool → the [hidden] graph embedding (the part
+    of the forward policy *before* the action head; split out so the head
+    can be sharded over a mesh axis — parallel/tp.py)."""
+    n_nodes = g.x.shape[0]
+    h = gatv2_apply(p.gat1, g.x, g.edge_src, g.edge_dst, g.edge_attr,
+                    n_nodes, heads, hidden_dim)
+    h = jax.nn.relu(h)
+    h = gatv2_apply(p.gat2, h, g.edge_src, g.edge_dst, g.edge_attr,
+                    n_nodes, 1, hidden_dim)
+    h = jax.nn.relu(h)
+    return h.mean(axis=0)                         # global_mean_pool, batch=1
+
+
 def forward_policy_logits(p: ForwardPolicyParams, g: GraphInputs,
                           num_actions: int, hidden_dim: int,
                           heads: int = 4) -> jax.Array:
@@ -83,14 +98,7 @@ def forward_policy_logits(p: ForwardPolicyParams, g: GraphInputs,
     the reference recomputes this identical forward every step
     (gflownet/gflownet.py:145).
     """
-    n_nodes = g.x.shape[0]
-    h = gatv2_apply(p.gat1, g.x, g.edge_src, g.edge_dst, g.edge_attr,
-                    n_nodes, heads, hidden_dim)
-    h = jax.nn.relu(h)
-    h = gatv2_apply(p.gat2, h, g.edge_src, g.edge_dst, g.edge_attr,
-                    n_nodes, 1, hidden_dim)
-    h = jax.nn.relu(h)
-    pooled = h.mean(axis=0)                       # global_mean_pool, batch=1
+    pooled = forward_policy_pooled(p, g, hidden_dim, heads)
     logits = pooled @ p.fc_w + p.fc_b             # [max_num_actions]
     return logits[:num_actions]                   # slice to live nnz+1
 

@@ -159,9 +159,84 @@ def _spmm_bell_pallas(a: BELL, x: jax.Array, block_k: int | None = None) -> jax.
     )(a.bcols, a.data, x)
 
 
+_BELL_VMEM_BUDGET = 10 * 1024 * 1024   # X-tile budget of the 16 MiB/core
+
+
+def _resident_bk(a: BELL, K: int) -> int | None:
+    """Largest 128-multiple K-tile whose [n, bk] X column tile fits VMEM
+    (None → X too tall even at bk=128; use the streaming kernel)."""
+    n = a.shape[1]
+    for bk in (512, 384, 256, 128):
+        if K % bk == 0 and n * bk * 4 <= _BELL_VMEM_BUDGET:
+            return bk
+    return None
+
+
+def _spmm_bell_pallas_resident(a: BELL, x: jax.Array, bk: int) -> jax.Array:
+    """X-resident variant: the whole [n, bk] X column tile sits in VMEM and
+    the W blocks of one block-row are reduced *inside* the kernel with
+    dynamic-slice gathers (block starts are bn-multiples → sublane-aligned).
+
+    Why: the streaming kernel fetches a [bn, bk] X block from HBM per
+    (row, w) grid step — ~bn·bk·4 bytes for 2·bm·bn·bk flops, i.e. ~4
+    flops/byte at bm=8, hopelessly X-traffic-bound.  Resident X is fetched
+    once per K-tile (grid is k-major), so HBM traffic drops to the A blocks
+    (the actual nnz) plus one X/Y pass — measured 13.8× on the v5e at
+    4096², 2% density, K=256: 0.27 vs 3.73 ms, 32 TFLOP/s on the padded
+    blocks (docs/BENCH.md).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    nbr, W, bm, bn = a.data.shape
+    n = a.shape[1]
+    K = x.shape[1]
+
+    def kernel(bcols_ref, a_ref, x_ref, y_ref):
+        i = pl.program_id(1)
+        acc = jnp.zeros((bm, bk), y_ref.dtype)
+        for w in range(W):                       # static unroll over blocks
+            xb = x_ref[pl.ds(bcols_ref[i, w] * bn, bn), :]
+            acc += jnp.dot(a_ref[0, w], xb, preferred_element_type=y_ref.dtype)
+        y_ref[:] = acc
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        # k-major: the X tile's index map is constant across the inner nbr
+        # sweep, so Pallas fetches it once per K-tile
+        grid=(K // bk, nbr),
+        in_specs=[
+            pl.BlockSpec(
+                (1, W, bm, bn), lambda k, i, bcols: (i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (n, bk), lambda k, i, bcols: (0, k), memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (bm, bk), lambda k, i, bcols: (i, k), memory_space=pltpu.VMEM
+        ),
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((nbr * bm, K), a.data.dtype),
+        grid_spec=grid_spec,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nbr * W * bm * bn * K,
+            bytes_accessed=(nbr * W * bm * bn + n * bk + nbr * bm * K) * 4,
+            transcendentals=0,
+        ),
+    )(a.bcols, a.data, x)
+
+
 def spmm_bell(a: BELL, x: jax.Array) -> jax.Array:
-    """Y = A·X.  Pallas/MXU on TPU, jnp elsewhere."""
+    """Y = A·X.  Pallas/MXU on TPU (X-resident kernel when the column tile
+    fits VMEM, streaming scalar-prefetch kernel otherwise), jnp elsewhere."""
     if jax.default_backend() == "tpu":
+        bk = _resident_bk(a, x.shape[1])
+        if bk is not None:
+            return _spmm_bell_pallas_resident(a, x, bk)
         return _spmm_bell_pallas(a, x)
     return spmm_bell_jnp(a, x)
 

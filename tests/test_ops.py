@@ -263,3 +263,28 @@ def test_pallas_bell_interpret_mode():
     with pltpu.force_tpu_interpret_mode():
         got = np.asarray(_spmm_bell_pallas(bell, x))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_bell_resident_interpret_mode():
+    """The X-resident BELL kernel (VMEM column tile, in-kernel W reduction)
+    must match the jnp path; exercises multiple K tiles and dynamic-slice
+    gathers."""
+    from gflownet_spai_tpu.ops.bsr import (
+        _resident_bk, _spmm_bell_pallas_resident, spmm_bell_jnp,
+    )
+    rng = np.random.default_rng(6)
+    A = sp.random(64, 512, density=0.06, random_state=rng, format="coo",
+                  dtype=np.float32)
+    from gflownet_spai_tpu.sparse import scipy_to_coo
+    bell = csr_to_bell(coo_to_csr(scipy_to_coo(A), canonical=True),
+                       blockshape=(8, 128))
+    x = jnp.asarray(rng.standard_normal((512, 256)).astype(np.float32))
+    bk = _resident_bk(bell, 256)
+    assert bk == 256
+    want = np.asarray(spmm_bell_jnp(bell, x))
+    from jax.experimental.pallas import tpu as pltpu
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(_spmm_bell_pallas_resident(bell, x, 128))  # 2 K-tiles
+        got1 = np.asarray(_spmm_bell_pallas_resident(bell, x, bk))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(got1, want, rtol=1e-4, atol=1e-4)

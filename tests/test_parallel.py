@@ -166,3 +166,42 @@ def test_halo_spmv_diagonal_only(rows_mesh):
     x = np.random.default_rng(4).standard_normal(d.n_pad)
     y = np.asarray(halo_spmv(rows_mesh, d, jnp.asarray(x)))
     np.testing.assert_allclose(y[:8192], diagvals * x[:8192], rtol=1e-10)
+
+
+def test_tp_sharded_logits_match_replicated(rows_mesh):
+    """Column-sharded action head must reproduce the replicated logits
+    exactly, including the padded-head case (A not divisible by shards)."""
+    from gflownet_spai_tpu.env import make_env, seed_pattern
+    from gflownet_spai_tpu.gfn import GFlowNetConfig, init_params
+    from gflownet_spai_tpu.models import graph_from_seed
+    from gflownet_spai_tpu.models.policies import forward_policy_logits
+    from gflownet_spai_tpu.parallel import shard_head, sharded_policy_logits
+    from gflownet_spai_tpu.sparse import gallery
+
+    a = gallery.get("LF10")
+    seed = seed_pattern(a, method="ilu0", dtype=jnp.float32)
+    env = make_env(seed, original=a)
+    graph = graph_from_seed(seed)
+    cfg = GFlowNetConfig(hidden_dim=4, heads=4, num_actions=env.num_actions)
+    params = init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    assert env.num_actions % rows_mesh.shape["rows"] != 0  # padding exercised
+
+    want = forward_policy_logits(params.forward, graph, env.num_actions, 4)
+    fwd_sharded = shard_head(rows_mesh, params.forward)
+    got = sharded_policy_logits(rows_mesh, fwd_sharded, graph,
+                                env.num_actions, 4)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
+
+    # the rollout composes with sharded logits under GSPMD
+    from gflownet_spai_tpu.gfn.rollout import gumbel_topk_rollout
+
+    @jax.jit
+    def roll(fwd):
+        logits = sharded_policy_logits(rows_mesh, fwd, graph,
+                                       env.num_actions, 4)
+        batched = jnp.broadcast_to(logits, (4, env.num_actions))
+        return gumbel_topk_rollout(batched, jax.random.PRNGKey(1),
+                                   terminal_action=env.num_actions - 1)
+    r = roll(fwd_sharded)
+    assert np.asarray(r.lengths).min() >= 1

@@ -101,14 +101,23 @@ def test_bell_spmm_correct():
     bell = csr_to_bell(coo_to_csr(scipy_to_coo(A), canonical=True),
                        blockshape=(8, 128))
     x = rng.standard_normal((2048, 256)).astype(np.float32)
-    y = spmm_bell(bell, jnp.asarray(x))
+    y = spmm_bell(bell, jnp.asarray(x))     # dispatches the resident kernel
     # f32 accumulation-order noise vs scipy's f32 ordering: atol covers it
     np.testing.assert_allclose(np.asarray(y), A @ x, rtol=2e-2, atol=6e-2)
-    # and the pallas path must agree exactly with the jnp path
-    from gflownet_spai_tpu.ops.bsr import spmm_bell_jnp
-    np.testing.assert_array_equal(
-        np.asarray(y), np.asarray(spmm_bell_jnp(bell, jnp.asarray(x)))
+    # both pallas kernels must agree tightly with the jnp path (accumulation
+    # order differs → not bit-exact)
+    from gflownet_spai_tpu.ops.bsr import (
+        _resident_bk, _spmm_bell_pallas, _spmm_bell_pallas_resident,
+        spmm_bell_jnp,
     )
+    want = np.asarray(spmm_bell_jnp(bell, jnp.asarray(x)))
+    np.testing.assert_allclose(np.asarray(y), want, rtol=1e-5, atol=1e-4)
+    bk = _resident_bk(bell, 256)
+    assert bk is not None
+    y_res = np.asarray(_spmm_bell_pallas_resident(bell, jnp.asarray(x), bk))
+    y_str = np.asarray(_spmm_bell_pallas(bell, jnp.asarray(x)))
+    np.testing.assert_allclose(y_res, want, rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(y_str, want, rtol=1e-5, atol=1e-4)
 
 
 def test_gmres_with_dia_operator():
