@@ -355,14 +355,9 @@ def _spmv_pallas_stream2(d: DIA, xp: jax.Array, interpret: bool = False) -> jax.
         def _():
             dma(0, s0, sem0).start()
 
-        @pl.when(even)
-        def _():
-            dma(t, s0, sem0).wait()
-
-        @pl.when(~even)
-        def _():
-            dma(t, s1, sem1).wait()
-
+        # issue the next window BEFORE blocking on the current one — the
+        # other slot was last read by iteration t−1's compute, which has
+        # already finished when iteration t begins
         @pl.when((t + 1 < grid) & even)
         def _():
             dma(t + 1, s1, sem1).start()
@@ -370,6 +365,14 @@ def _spmv_pallas_stream2(d: DIA, xp: jax.Array, interpret: bool = False) -> jax.
         @pl.when((t + 1 < grid) & ~even)
         def _():
             dma(t + 1, s0, sem0).start()
+
+        @pl.when(even)
+        def _():
+            dma(t, s0, sem0).wait()
+
+        @pl.when(~even)
+        def _():
+            dma(t, s1, sem1).wait()
 
         ext = jnp.where(even, s0[:], s1[:])
         if center is not None:
