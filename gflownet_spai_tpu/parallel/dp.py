@@ -91,12 +91,19 @@ def sharded_residual_norms(mesh: Mesh, env: spai.SpaiEnv, m_vals: jax.Array,
 
 def make_dp_train_step(mesh: Mesh, env: spai.SpaiEnv, graph: pol.GraphInputs,
                        cfg: gfn.GFlowNetConfig, opt: optax.GradientTransformation,
-                       batch_size: int):
+                       batch_size: int, replay_samples: int = 0):
     """Fully-sharded train step over mesh axes (dp, rows).
 
     Params/opt-state replicated; per-device sub-batches roll out with
     device-folded PRNG keys; reward residuals pair-sharded over ``rows``;
     grads ``pmean``-reduced over ``dp``.  Returns ``(jitted_step, padded_env)``.
+
+    With ``replay_samples > 0`` the step takes two extra arguments
+    ``(replay_actions [R, T], replay_valid [R])`` (replicated — every dp
+    shard re-scores the same replayed trajectories, so relative to the
+    single-device loop replay carries weight R/(b_local+R) instead of
+    R/(batch+R)) and additionally returns the fresh batch's actions so the
+    caller can update the buffer (gfn.replay).
     """
     dp = mesh.shape["dp"]
     rows = mesh.shape["rows"]
@@ -115,7 +122,8 @@ def make_dp_train_step(mesh: Mesh, env: spai.SpaiEnv, graph: pol.GraphInputs,
     n = env.n
     out_nnz = plan.out_nnz
 
-    def local_loss(params, key, seed_data, orig_data, pa, pb, po, orow, ocol):
+    def local_loss(params, key, seed_data, orig_data, pa, pb, po, orow, ocol,
+                   r_actions, r_valid):
         key = jax.random.fold_in(key, jax.lax.axis_index("dp"))
         logits = pol.forward_policy_logits(
             params.forward, graph, cfg.num_actions, cfg.hidden_dim, cfg.heads
@@ -127,12 +135,26 @@ def make_dp_train_step(mesh: Mesh, env: spai.SpaiEnv, graph: pol.GraphInputs,
         sample_logits = logits / cfg.temperature if cfg.temperature != 1.0 else logits
         batched = jnp.broadcast_to(sample_logits, (b_local, cfg.num_actions))
         roll = gumbel_topk_rollout(batched, key, terminal_action=cfg.num_actions - 1)
-        actions = jax.lax.stop_gradient(roll.actions)
+        fresh_actions = jax.lax.stop_gradient(roll.actions)
+        fwd_lp = roll.fwd_logprobs
         if cfg.temperature != 1.0:
             from ..gfn.rollout import trajectory_logprobs
 
-            lps = jax.vmap(lambda a: trajectory_logprobs(logits, a))(actions)
-            roll = roll._replace(fwd_logprobs=lps)
+            fwd_lp = jax.vmap(lambda a: trajectory_logprobs(logits, a))(fresh_actions)
+        actions = fresh_actions
+        lengths = roll.lengths
+        weights = None
+        if replay_samples:
+            from ..gfn.rollout import trajectory_logprobs
+
+            r_fwd = jax.vmap(lambda a: trajectory_logprobs(logits, a))(r_actions)
+            actions = jnp.concatenate([fresh_actions, r_actions], 0)
+            fwd_lp = jnp.concatenate([fwd_lp, r_fwd], 0)
+            lengths = jnp.concatenate(
+                [lengths, (r_actions >= 0).sum(-1).astype(lengths.dtype)], 0)
+            weights = jnp.concatenate(
+                [jnp.ones((b_local,), fwd_lp.dtype),
+                 r_valid.astype(fwd_lp.dtype)], 0)
 
         keep = jax.vmap(
             lambda a: spai.keep_mask_from_actions(a, num_edges)
@@ -150,37 +172,39 @@ def make_dp_train_step(mesh: Mesh, env: spai.SpaiEnv, graph: pol.GraphInputs,
             from ..gfn.loss import vargrad_loss
 
             loss = vargrad_loss(log_reward(rewards),
-                                roll.fwd_logprobs.sum(-1), back_lp.sum(-1))
+                                fwd_lp.sum(-1), back_lp.sum(-1),
+                                weights=weights)
         elif cfg.loss == "subtb":
             from ..gfn.loss import subtb_loss
 
             log_flows = pol.flow_head_logF(params.flow, actions)
             loss = subtb_loss(log_flows, log_reward(rewards),
-                              roll.fwd_logprobs, back_lp, roll.lengths,
-                              lam=cfg.subtb_lambda)
+                              fwd_lp, back_lp, lengths,
+                              lam=cfg.subtb_lambda, weights=weights)
         else:
             loss = trajectory_balance_loss(
                 params.log_z, log_reward(rewards),
-                roll.fwd_logprobs.sum(-1), back_lp.sum(-1),
+                fwd_lp.sum(-1), back_lp.sum(-1), weights=weights,
             )
-        return loss, rewards
+        return loss, (rewards[:b_local], fresh_actions)
 
     def sharded(params, opt_state, key, seed_data, orig_data,
-                pa, pb, po, orow, ocol):
-        (loss, rewards), grads = jax.value_and_grad(
+                pa, pb, po, orow, ocol, r_actions, r_valid):
+        (loss, (rewards, actions)), grads = jax.value_and_grad(
             local_loss, has_aux=True)(params, key, seed_data, orig_data,
-                                      pa, pb, po, orow, ocol)
+                                      pa, pb, po, orow, ocol,
+                                      r_actions, r_valid)
         grads = jax.lax.pmean(grads, "dp")
         loss = jax.lax.pmean(loss, "dp")
         updates, opt_state = opt.update(grads, opt_state, params, value=loss)
         params = optax.apply_updates(params, updates)
-        return params, opt_state, loss, rewards
+        return params, opt_state, loss, rewards, actions
 
     smapped = shard_map(
         sharded, mesh=mesh,
         in_specs=(P(), P(), P(), P(), P(),
-                  P("rows"), P("rows"), P("rows"), P(), P()),
-        out_specs=(P(), P(), P(), P("dp")),
+                  P("rows"), P("rows"), P("rows"), P(), P(), P(), P()),
+        out_specs=(P(), P(), P(), P("dp"), P("dp")),
         check_vma=False,
     )
 
@@ -189,10 +213,20 @@ def make_dp_train_step(mesh: Mesh, env: spai.SpaiEnv, graph: pol.GraphInputs,
     jitted = jax.jit(smapped)
     seed_data_arr = env.seed.data
     orig_data_arr = env.original.data
+    t_len = cfg.num_actions
 
-    def step_fn(params, opt_state, key):
-        return jitted(params, opt_state, key, seed_data_arr, orig_data_arr,
-                      plan.pair_a, plan.pair_b, plan.pair_out,
-                      plan.out_row, plan.out_col)
+    if replay_samples:
+        def step_fn(params, opt_state, key, r_actions, r_valid):
+            return jitted(params, opt_state, key, seed_data_arr, orig_data_arr,
+                          plan.pair_a, plan.pair_b, plan.pair_out,
+                          plan.out_row, plan.out_col, r_actions, r_valid)
+    else:
+        dummy_a = jnp.full((1, t_len), -1, jnp.int32)
+        dummy_v = jnp.zeros((1,), bool)
+
+        def step_fn(params, opt_state, key):
+            return jitted(params, opt_state, key, seed_data_arr, orig_data_arr,
+                          plan.pair_a, plan.pair_b, plan.pair_out,
+                          plan.out_row, plan.out_col, dummy_a, dummy_v)[:4]
 
     return step_fn, env

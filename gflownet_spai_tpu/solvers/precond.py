@@ -45,8 +45,16 @@ def ilu_solve_op(L: COO, U: COO, dense_max_n: int = 4096) -> LinOp:
     return LinOp(data=(L.todense(), U.todense()), fn=_dense_ilu_apply)
 
 
-def spai_op(m: COO) -> LinOp:
-    """x ↦ M x — the sampled sparse approximate inverse."""
+def spai_op(m) -> LinOp:
+    """x ↦ M x — the sampled sparse approximate inverse.  Accepts COO or
+    DIA; pass DIA for banded M so the apply rides the Pallas SpMV instead
+    of the gather-based COO path (measured 40 ms vs sub-ms per CG iteration
+    at 250k rows)."""
+    from ..ops.dia import DIA
+    from .linop import _matvec_dia
+
+    if isinstance(m, DIA):
+        return LinOp(data=m, fn=_matvec_dia)
     return LinOp(data=m, fn=_matvec_sparse)
 
 
@@ -55,10 +63,21 @@ def _sym_apply(data, x):
     return 0.5 * (spmv(m, x) + spmv(mt, x))
 
 
-def spai_op_sym(m: COO) -> LinOp:
+def _sym_apply_dia(data, x):
+    from ..ops.dia import spmv_dia
+
+    m, mt = data
+    return 0.5 * (spmv_dia(m, x) + spmv_dia(mt, x))
+
+
+def spai_op_sym(m) -> LinOp:
     """x ↦ ½(M + Mᵀ)x — symmetrized application for CG, which requires an
     SPD preconditioner (a thinned/classic SPAI M is generally
-    nonsymmetric even for SPD A)."""
+    nonsymmetric even for SPD A).  COO or DIA (see ``spai_op``)."""
+    from ..ops.dia import DIA, dia_transpose
+
+    if isinstance(m, DIA):
+        return LinOp(data=(m, dia_transpose(m)), fn=_sym_apply_dia)
     mt = COO(row=m.col, col=m.row, data=m.data, shape=(m.shape[1], m.shape[0]))
     return LinOp(data=(m, mt), fn=_sym_apply)
 

@@ -102,4 +102,13 @@ GALLERY = {
 
 
 def get(name: str) -> COO:
-    return GALLERY[name]()
+    """Gallery lookup; ``poisson<k>`` / ``convdiff<n>`` are parametric
+    (e.g. ``poisson128`` = 5-point Laplacian on a 128×128 grid,
+    ``poisson1000`` = the BASELINE config-2 1M-row problem)."""
+    if name in GALLERY:
+        return GALLERY[name]()
+    if name.startswith("poisson") and name[len("poisson"):].isdigit():
+        return poisson2d(int(name[len("poisson"):]))
+    if name.startswith("convdiff") and name[len("convdiff"):].isdigit():
+        return conv_diffusion(int(name[len("convdiff"):]))
+    raise KeyError(name)

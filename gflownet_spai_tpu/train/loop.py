@@ -63,14 +63,17 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
 
 
 def load_matrix(cfg: TrainConfig) -> COO:
-    if cfg.matrix in gallery.GALLERY:
-        return gallery.get(cfg.matrix)
+    try:
+        return gallery.get(cfg.matrix)   # fixed names + poisson<k>/convdiff<n>
+    except KeyError:
+        pass
     from pathlib import Path
 
     if not Path(cfg.matrix).exists():
         raise FileNotFoundError(
             f"matrix {cfg.matrix!r}: not a gallery name "
-            f"({', '.join(sorted(gallery.GALLERY))}) and no such .mtx file"
+            f"({', '.join(sorted(gallery.GALLERY))}, poisson<k>, convdiff<n>) "
+            f"and no such .mtx file"
         )
     return read_mtx(cfg.matrix)
 
@@ -179,17 +182,29 @@ def _make_dp_step_adapter(cfg: TrainConfig, env, graph, mcfg, opt):
     from ..parallel import make_dp_train_step, make_mesh
 
     mesh = make_mesh(dp=cfg.dp_devices, rows=1)
+    use_replay = cfg.replay_size > 0
     dp_step, _ = make_dp_train_step(
-        mesh, env, graph, mcfg, opt, batch_size=cfg.batch_size
+        mesh, env, graph, mcfg, opt, batch_size=cfg.batch_size,
+        replay_samples=cfg.replay_samples if use_replay else 0,
     )
 
     def step(state: TrainState):
-        params, opt_state, loss, rewards = dp_step(
-            state.params, state.opt_state, state.key
-        )
-        key, _ = jax.random.split(state.key)
+        key, rkey = jax.random.split(state.key)
+        new_replay = state.replay
+        if use_replay:
+            r_actions, _, r_valid = replay_sample(
+                state.replay, rkey, cfg.replay_samples)
+            params, opt_state, loss, rewards, actions = dp_step(
+                state.params, state.opt_state, state.key, r_actions, r_valid
+            )
+            new_replay = replay_update(state.replay, actions, rewards)
+        else:
+            params, opt_state, loss, rewards = dp_step(
+                state.params, state.opt_state, state.key
+            )
         new_state = TrainState(
-            params=params, opt_state=opt_state, key=key, epoch=state.epoch + 1
+            params=params, opt_state=opt_state, key=key,
+            epoch=state.epoch + 1, replay=new_replay,
         )
         metrics = {
             "loss": loss,

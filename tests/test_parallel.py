@@ -205,3 +205,18 @@ def test_tp_sharded_logits_match_replicated(rows_mesh):
                                    terminal_action=env.num_actions - 1)
     r = roll(fwd_sharded)
     assert np.asarray(r.lengths).min() >= 1
+
+
+def test_dp_train_with_replay_and_subtb(tmp_path):
+    """dp=2 mesh + replay buffer + subTB loss end-to-end via the train CLI
+    path (buffer fills from dp-gathered fresh batches)."""
+    from gflownet_spai_tpu.train.config import TrainConfig
+    from gflownet_spai_tpu.train.loop import train
+
+    cfg = TrainConfig(matrix="LF10", num_epochs=6, batch_size=4,
+                      dp_devices=2, loss="subtb", replay_size=8,
+                      replay_samples=2, platform="cpu",
+                      out_dir=str(tmp_path))
+    state, history = train(cfg)
+    assert np.isfinite(history).all()
+    assert np.isfinite(np.asarray(state.replay.rewards)).sum() >= 4

@@ -264,3 +264,16 @@ def test_linop_is_pytree_with_static_fn():
     rebuilt = jax.tree_util.tree_unflatten(treedef, leaves)
     x = jnp.ones((a.shape[0],), a.data.dtype)
     np.testing.assert_array_equal(np.asarray(rebuilt(x)), np.asarray(lin(x)))
+
+
+def test_spai_ops_accept_dia():
+    from gflownet_spai_tpu.ops.dia import coo_to_dia
+    from gflownet_spai_tpu.solvers.precond import spai_op, spai_op_sym
+
+    a = gallery.get("poisson32")
+    d = coo_to_dia(a)
+    x = jnp.asarray(np.random.default_rng(2).standard_normal(1024))
+    np.testing.assert_allclose(np.asarray(spai_op(d)(x)),
+                               np.asarray(spai_op(a)(x)), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(spai_op_sym(d)(x)),
+                               np.asarray(spai_op_sym(a)(x)), rtol=1e-10)

@@ -200,3 +200,16 @@ def test_delete_edges_flat():
     want[r[0], c[0]] = 0.0
     want[r[5], c[5]] = 0.0
     np.testing.assert_allclose(dense, want)
+
+
+def test_gallery_parametric_names():
+    from gflownet_spai_tpu.sparse import gallery
+
+    a = gallery.get("poisson128")
+    assert a.shape == (128 * 128, 128 * 128)
+    b = gallery.get("convdiff300")
+    assert b.shape == (300, 300)
+    import pytest
+
+    with pytest.raises(KeyError):
+        gallery.get("nosuchmatrix")
