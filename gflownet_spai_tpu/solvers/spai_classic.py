@@ -73,58 +73,103 @@ class _Bucket:
 
 
 class SpaiPlan:
-    """Host-built plan: per-column index sets bucketed by padded size."""
+    """Host-built plan: per-column index sets bucketed by padded size.
+
+    Fully vectorized symbolic phase (no per-column Python loop — measured
+    ~60× at 250k columns, which makes the 1M-row config-2 problem build in
+    seconds instead of ~20 minutes):
+
+    * ``I_j`` (the union of A's row patterns over J_j) is exactly the
+      column pattern of the boolean product ``|A|·|P|`` — one scipy SpGEMM.
+    * the dense ``A[I_j, J_j]`` gathers become one global ``searchsorted``
+      of the (row-major) nnz keys of A per bucket, chunked to bound memory.
+    """
+
+    _CHUNK = 65536   # bucket-fill chunk (bounds the [C, mI, mJ] temporaries)
 
     def __init__(self, a: COO, pattern: COO, pad: int = 8,
                  dtype=jnp.float32):
         A = coo_to_scipy(a).tocsc()
         P = coo_to_scipy(pattern).tocsc()
         n = a.shape[0]
+        ncols = a.shape[1]
         self.shape = a.shape
         self.dtype = dtype
 
-        cols_J: List[np.ndarray] = []
-        cols_I: List[np.ndarray] = []
-        for j in range(n):
-            J = P.indices[P.indptr[j]:P.indptr[j + 1]]
-            if len(J) == 0:
-                J = np.asarray([j], np.int32)
-            I = np.unique(A[:, J].tocoo().row).astype(np.int32)
-            cols_J.append(J.astype(np.int32))
-            cols_I.append(I)
+        # empty pattern columns fall back to {j} (parity with the reference
+        # intent: every column solves at least the diagonal entry)
+        P = P.copy()
+        lenJ0 = np.diff(P.indptr)
+        if (lenJ0 == 0).any():
+            import scipy.sparse as sp
 
-        buckets: Dict[Tuple[int, int], List[int]] = {}
-        for j in range(n):
-            mJ = _round_up(max(len(cols_J[j]), 1), pad)
-            # row budget must fit the live rows PLUS one unit row per padded
-            # column (to keep R full-rank with zero padded solution entries)
-            mI = _round_up(max(len(cols_I[j]), 1) + (mJ - len(cols_J[j])), pad)
-            buckets.setdefault((mI, mJ), []).append(j)
+            empt = np.nonzero(lenJ0 == 0)[0]
+            P = (P + sp.csc_matrix(
+                (np.ones(len(empt)), (empt, empt)), shape=P.shape)).tocsc()
+        S = ((abs(A) @ abs(P)) > 0).tocsc()          # I_j = S[:, j] pattern
 
-        Ad = A.tocsr()
+        lenJ = np.diff(P.indptr)
+        lenI = np.maximum(np.diff(S.indptr), 1)
+        mJ_all = np.maximum(lenJ, 1)
+        mJ_all = -(-mJ_all // pad) * pad
+        # row budget must fit the live rows PLUS one unit row per padded
+        # column (to keep R full-rank with zero padded solution entries)
+        mI_all = lenI + (mJ_all - lenJ)
+        mI_all = -(-mI_all // pad) * pad
+
+        # global row-major nnz keys of A (base ncols+1 leaves room for the
+        # out-of-range sentinels used by padded I rows / J columns)
+        Ar = A.tocsr()
+        Ar.sort_indices()
+        base = np.int64(ncols + 1)
+        a_rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(Ar.indptr))
+        gkeys = a_rows * base + Ar.indices
+        gdata = Ar.data
+
+        sizes = np.stack([mI_all, mJ_all], 1)
+        uniq, inv = np.unique(sizes, axis=0, return_inverse=True)
         self.buckets: List[_Bucket] = []
-        for (mI, mJ), js in sorted(buckets.items()):
-            C = len(js)
-            a_sub = np.zeros((C, mI, mJ), np.float64)
-            rhs = np.zeros((C, mI), np.float64)
-            j_rows = -np.ones((C, mJ), np.int32)
-            for c, j in enumerate(js):
-                I, J = cols_I[j], cols_J[j]
-                sub = Ad[I][:, J].toarray()
-                a_sub[c, :len(I), :len(J)] = sub
-                # padded columns get a unit entry on a dedicated zero row so
-                # QR stays full-rank and the padded solution entries are zero
-                for t in range(len(J), mJ):
-                    a_sub[c, mI - mJ + t, t] = 1.0
-                pos = np.nonzero(I == j)[0]
-                if len(pos):
-                    rhs[c, pos[0]] = 1.0
-                j_rows[c, :len(J)] = J
+        for bi, (mI, mJ) in enumerate(uniq):
+            js_all = np.nonzero(inv == bi)[0].astype(np.int32)
+            subs, rhss, jrs = [], [], []
+            for lo in range(0, len(js_all), self._CHUNK):
+                js = js_all[lo:lo + self._CHUNK]
+                C = len(js)
+                ar = np.arange(mJ)
+                validJ = ar[None, :] < lenJ[js][:, None]            # [C, mJ]
+                Jpos = P.indptr[js][:, None] + np.minimum(
+                    ar[None, :], np.maximum(lenJ[js][:, None] - 1, 0))
+                J_mat = np.where(validJ, P.indices[Jpos], ncols)    # sentinel
+                ai = np.arange(mI)
+                validI = ai[None, :] < lenI[js][:, None]            # [C, mI]
+                Ipos = S.indptr[js][:, None] + np.minimum(
+                    ai[None, :], np.maximum(lenI[js][:, None] - 1, 0))
+                I_mat = np.where(validI, S.indices[Ipos], n)        # sentinel
+
+                keys = (I_mat[:, :, None].astype(np.int64) * base
+                        + J_mat[:, None, :])                        # [C,mI,mJ]
+                pos = np.searchsorted(gkeys, keys.ravel())
+                pos_c = np.minimum(pos, len(gkeys) - 1)
+                hit = (pos < len(gkeys)) & (gkeys[pos_c] == keys.ravel())
+                a_sub = np.where(hit, gdata[pos_c], 0.0).reshape(C, mI, mJ)
+
+                # padded columns: unit entry on a dedicated tail row so QR
+                # stays full-rank and padded solution entries are zero
+                padJ = ~validJ                                      # [C, mJ]
+                tail_rows = (mI - mJ + ar)[None, :]                 # [1, mJ]
+                c_ids = np.broadcast_to(np.arange(C)[:, None], padJ.shape)
+                t_ids = np.broadcast_to(ar[None, :], padJ.shape)
+                r_ids = np.broadcast_to(tail_rows, padJ.shape)
+                a_sub[c_ids[padJ], r_ids[padJ], t_ids[padJ]] = 1.0
+
+                rhs = (I_mat == js[:, None]).astype(np.float64)     # e_j|I
+                j_rows = np.where(validJ, J_mat, -1).astype(np.int32)
+                subs.append(a_sub); rhss.append(rhs); jrs.append(j_rows)
             self.buckets.append(_Bucket(
-                cols=np.asarray(js, np.int32),
-                a_sub=jnp.asarray(a_sub, dtype),
-                rhs=jnp.asarray(rhs, dtype),
-                j_rows=j_rows,
+                cols=js_all,
+                a_sub=jnp.asarray(np.concatenate(subs), dtype),
+                rhs=jnp.asarray(np.concatenate(rhss), dtype),
+                j_rows=np.concatenate(jrs),
             ))
 
     def solve(self) -> COO:
