@@ -81,6 +81,9 @@ def run_sampled(grid: int, epochs: int) -> dict:
         "--matrix", f"poisson{grid}", "--epochs", str(epochs),
         "--batch-size", "8", "--seed-method", "spai", "--method", "cg",
         "--alpha-fixed", "0.98", "--out-dir", out_dir,
+        # ~20k-step trajectories: subTB keeps the loss scale sane, replay
+        # retains the rare high-reward thinnings
+        "--loss", "subtb", "--replay-size", "16",
     ])
     assert rc == 0
     with open(f"{out_dir}/validation.json") as f:

@@ -39,6 +39,11 @@ def main(argv=None) -> int:
     p.add_argument("--platform", default=None)
     p.add_argument("--out-dir", default="runs/validate")
     p.add_argument("--alpha-fixed", type=float, default=-1.0)
+    p.add_argument("--loss", default="tb", choices=["tb", "vargrad", "subtb"])
+    p.add_argument("--subtb-lambda", type=float, default=0.9)
+    p.add_argument("--temperature", type=float, default=1.0)
+    p.add_argument("--replay-size", type=int, default=0)
+    p.add_argument("--replay-samples", type=int, default=2)
     p.add_argument("--from-checkpoint", default=None, metavar="RUN_DIR",
                    help="restore a trained policy from RUN_DIR/checkpoint "
                         "and skip training (still needs matching --matrix/"
@@ -64,6 +69,9 @@ def main(argv=None) -> int:
         matrix=args.matrix, seed_method=args.seed_method,
         batch_size=args.batch_size, num_epochs=args.epochs, lr=args.lr,
         out_dir=args.out_dir, alpha_fixed=args.alpha_fixed,
+        loss=args.loss, subtb_lambda=args.subtb_lambda,
+        temperature=args.temperature, replay_size=args.replay_size,
+        replay_samples=args.replay_samples,
     )
     a, seed, env, graph, mcfg, opt, state = setup(cfg)
     print(f"matrix {args.matrix}: n={env.n}, seed nnz={env.num_edges}")
