@@ -473,9 +473,11 @@ def frobenius_sq_minus_identity_dia(c: DIA) -> jax.Array:
     return s2 - 2.0 * sd + jnp.asarray(c.n, c.data.dtype)
 
 
-def spmm_dia(d: DIA, x: jax.Array) -> jax.Array:
-    """Y = A·X for dense X [n, K] — per-diagonal shifted FMAs over row
-    blocks (jnp; XLA fuses the K columns into wide vector ops)."""
+def spmm_dia_jnp(d: DIA, x: jax.Array) -> jax.Array:
+    """Reference jnp SpMM: per-diagonal shifted FMAs over the padded X.
+    XLA fuses this to full HBM BW up to ~64 RHS columns on the v5e but
+    falls off a cliff beyond (178 GB/s at K=256 — materialized
+    intermediates); the Pallas kernel below covers the wide-K case."""
     h = d.halo
     n, k = d.n, x.shape[1]
     xp = jnp.zeros((h + d.n_pad + h, k), x.dtype)
@@ -485,6 +487,122 @@ def spmm_dia(d: DIA, x: jax.Array) -> jax.Array:
         sl = jax.lax.slice(xp, (h + off, 0), (h + off + n, k))
         acc = acc + d.data[s, :n, None] * sl
     return acc
+
+
+def _spmm_dia_pallas(d: DIA, x: jax.Array, interpret: bool = False) -> jax.Array:
+    """Pallas DIA SpMM (wide K): 2-D grid (row tile × K tile, K inner so
+    each diag tile loads once per row sweep); the overlapping [tr+2h, kb]
+    X window is double-buffered with in-kernel DMAs from the row-padded X
+    (the SpMV stream2 pattern lifted to 2-D; diagonals apply as static
+    sublane-shifted slices).  ``x``: UNPADDED [n, K], K a lane multiple."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    offsets, halo = d.offsets, d.halo
+    n_pad = d.n_pad
+    K = x.shape[1]
+    kb = 128 if K % 128 == 0 else K
+    budget = _MAX_VMEM_BYTES // 4
+    # two X windows [tr+2h, kb], double-buffered diag [nd, tr] + out [tr, kb]
+    tr = _ALIGN
+    while True:
+        nxt = tr + _ALIGN
+        need = (2 * (nxt + 2 * halo) * kb + 2 * d.ndiags * nxt
+                + 2 * nxt * kb)
+        if need > budget or nxt > n_pad or n_pad % nxt:
+            break
+        tr = nxt
+    while n_pad % tr:
+        tr -= _ALIGN
+    grid_i = n_pad // tr
+    grid_k = K // kb
+    win = tr + 2 * halo
+
+    # row-padded X so every window [i·tr, i·tr+win) is in-bounds
+    xp = jnp.zeros((halo + n_pad + halo, K), x.dtype)
+    xp = jax.lax.dynamic_update_slice(xp, x.astype(d.data.dtype), (halo, 0))
+
+    def kernel(d_ref, x_hbm, y_ref, s0, s1, sem0, sem1):
+        i = pl.program_id(0)
+        k = pl.program_id(1)
+        t = i * grid_k + k                   # linear step for slot parity
+        even = jax.lax.rem(t, jnp.asarray(2, t.dtype)) == 0
+
+        def dma(ii, kk, buf, sem):
+            return pltpu.make_async_copy(
+                x_hbm.at[pl.ds(ii * tr, win), pl.ds(kk * kb, kb)], buf, sem)
+
+        @pl.when(t == 0)
+        def _():
+            dma(0, 0, s0, sem0).start()
+
+        # prefetch the next (i, k) window into the other slot
+        nk = jax.lax.rem(k + 1, jnp.asarray(grid_k, k.dtype))
+        ni = i + (k + 1) // grid_k
+
+        @pl.when((t + 1 < grid_i * grid_k) & even)
+        def _():
+            dma(ni, nk, s1, sem1).start()
+
+        @pl.when((t + 1 < grid_i * grid_k) & ~even)
+        def _():
+            dma(ni, nk, s0, sem0).start()
+
+        @pl.when(even)
+        def _():
+            dma(i, k, s0, sem0).wait()
+
+        @pl.when(~even)
+        def _():
+            dma(i, k, s1, sem1).wait()
+
+        ext = jnp.where(even, s0[:], s1[:])          # [win, kb]
+        acc = jnp.zeros((tr, kb), y_ref.dtype)
+        for s, off in enumerate(offsets):
+            sl = jax.lax.slice(ext, (halo + off, 0), (halo + off + tr, kb))
+            acc += d_ref[s, :][:, None] * sl
+        y_ref[:] = acc
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n_pad, K), d.data.dtype),
+        grid=(grid_i, grid_k),
+        in_specs=[
+            pl.BlockSpec((d.ndiags, tr), lambda i, k: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((tr, kb), lambda i, k: (i, k),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((win, kb), d.data.dtype),
+            pltpu.VMEM((win, kb), d.data.dtype),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * d.ndiags * n_pad * K,
+            bytes_accessed=(d.ndiags * n_pad + 2 * n_pad * K) * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(d.data, xp)
+
+
+def spmm_dia(d: DIA, x: jax.Array) -> jax.Array:
+    """Y = A·X for dense X [n, K].  jnp shifted FMAs for narrow K (XLA
+    fuses those to full HBM BW — 811 GB/s measured at K=64); the Pallas
+    kernel for wide K on TPU.  Measured at K=256/n=262k both paths sit at
+    177 GB/s (the kernel's [win, kb] window DMA is row-strided when
+    kb < K), but the kernel streams x in windows while the jnp path
+    materializes a [n+2h, K] padded copy — at large n·K only the kernel
+    fits memory.  docs/ROADMAP.md tracks the [K, n] transposed-RHS layout
+    that would make wide-K windows contiguous."""
+    K = x.shape[1]
+    if (_use_pallas() and K > 64 and K % 128 == 0
+            and 2 * (_ALIGN + 2 * d.halo) * 128 * 4 <= _MAX_VMEM_BYTES):
+        return _spmm_dia_pallas(d, x)[: d.n]
+    return spmm_dia_jnp(d, x)
 
 
 # Public padded-layout API: solvers that call SpMV in a loop should keep the

@@ -288,3 +288,35 @@ def test_pallas_bell_resident_interpret_mode():
         got1 = np.asarray(_spmm_bell_pallas_resident(bell, x, bk))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(got1, want, rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_dia_spmm_interpret_mode():
+    """Wide-K Pallas DIA SpMM (2-D windows, in-kernel DMAs) vs jnp path,
+    multi-tile in both grid dims."""
+    from gflownet_spai_tpu.ops import dia as dia_mod
+    from gflownet_spai_tpu.ops.dia import DIA, _spmm_dia_pallas, spmm_dia_jnp
+
+    k = 64
+    n = k * k
+    i = np.arange(n)
+    r, c = i // k, i % k
+    data = np.zeros((5, 4096), np.float32)
+    data[2, :n] = 4.0
+    data[0, i[r > 0]] = -1.0
+    data[1, i[c > 0]] = -1.0
+    data[3, i[c < k - 1]] = -1.0
+    data[4, i[r < k - 1]] = -1.0
+    d = DIA(data=jnp.asarray(data), offsets=(-k, -1, 0, 1, k),
+            shape=(n, n), nnz=int((data != 0).sum()))
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal((4096, 256)), jnp.float32)
+    want = np.asarray(spmm_dia_jnp(d, x))
+    orig = dia_mod._MAX_VMEM_BYTES
+    try:
+        # force tr = 1024 → 4 row tiles × 2 K tiles
+        dia_mod._MAX_VMEM_BYTES = (2 * (1024 + 2 * d.halo) * 128
+                                   + 2 * 5 * 1024 + 2 * 1024 * 128 + 64) * 4
+        got = np.asarray(_spmm_dia_pallas(d, x, interpret=True))[:n]
+    finally:
+        dia_mod._MAX_VMEM_BYTES = orig
+    np.testing.assert_allclose(got, want[:n], rtol=1e-5, atol=1e-4)
