@@ -13,8 +13,12 @@ from .dia import (
     DIA,
     coo_to_dia,
     dia_pad_x,
+    dia_pad_xt,
     dia_to_coo,
     dia_transpose,
+    spmm_dia,
+    spmm_dia_t,
+    spmm_dia_t_padded,
     spmv_dia,
     spmv_dia_jnp,
     spmv_dia_padded,
@@ -23,7 +27,8 @@ from .rcm import bandwidth, n_diagonals, permute, rcm_permutation, rcm_reorder
 from .bsr import BELL, csr_to_bell, spmm_bell, spmm_bell_jnp, spmv_bell
 
 __all__ = [
-    "DIA", "coo_to_dia", "dia_pad_x", "dia_to_coo", "dia_transpose",
+    "DIA", "coo_to_dia", "dia_pad_x", "dia_pad_xt", "dia_to_coo",
+    "dia_transpose", "spmm_dia", "spmm_dia_t", "spmm_dia_t_padded",
     "spmv_dia", "spmv_dia_jnp", "spmv_dia_padded",
     "bandwidth", "n_diagonals", "permute", "rcm_permutation", "rcm_reorder",
     "BELL", "csr_to_bell", "spmm_bell", "spmm_bell_jnp", "spmv_bell",

@@ -589,6 +589,174 @@ def _spmm_dia_pallas(d: DIA, x: jax.Array, interpret: bool = False) -> jax.Array
     )(d.data, xp)
 
 
+def spmm_dia_t_jnp(d: DIA, xt: jax.Array) -> jax.Array:
+    """Reference jnp transposed-RHS SpMM: ``yt[k, i] = Σ_s data[s,i]·xt[k, i+off_s]``
+    for ``xt`` in [K, n] layout (each RHS a contiguous row)."""
+    h = d.halo
+    n, K = d.n, xt.shape[0]
+    xtp = jnp.zeros((K, h + d.n_pad + h), xt.dtype)
+    xtp = jax.lax.dynamic_update_slice(xtp, xt, (0, h))
+    acc = jnp.zeros((K, n), jnp.promote_types(d.data.dtype, xt.dtype))
+    for s, off in enumerate(d.offsets):
+        sl = jax.lax.slice(xtp, (0, h + off), (K, h + off + n))
+        acc = acc + d.data[s, :n][None, :] * sl
+    return acc
+
+
+def _spmm_t_tiles(d: DIA, kp: int) -> Tuple[int, int]:
+    """(kb, tr) for the transposed kernel: kb RHS rows per step (≤128),
+    lane tile tr maximized in VMEM so the 2·halo window overlap re-read
+    stays small (x traffic ≈ (1 + 2h/tr)·K·n·4 bytes)."""
+    kb = min(kp, 128)
+    budget = _MAX_VMEM_BYTES // 4
+    tr = _ALIGN
+    while True:
+        nxt = tr + _ALIGN
+        need = (2 * kb * (nxt + 2 * d.halo)   # double-buffered x windows
+                + 3 * kb * nxt                # out (double-buffered) + acc
+                + 4 * d.ndiags * nxt)         # diag tile (db) + slice temps
+        if need > budget or nxt > d.n_pad or d.n_pad % nxt:
+            break
+        tr = nxt
+    while d.n_pad % tr:
+        tr -= _ALIGN
+    return kb, tr
+
+
+def _spmm_t_fits(d: DIA, kp: int) -> bool:
+    kb, tr = _spmm_t_tiles(d, kp)
+    need = 2 * kb * (tr + 2 * d.halo) + 3 * kb * tr + 4 * d.ndiags * tr
+    return need <= _MAX_VMEM_BYTES // 4
+
+
+def _spmm_dia_t_pallas(d: DIA, xtp: jax.Array, interpret: bool = False) -> jax.Array:
+    """Transposed-RHS Pallas DIA SpMM.  ``xtp``: halo-padded [K_pad,
+    h + n_pad + h] with K_pad a multiple of the row tile.  Windows
+    [kb, tr + 2h] are double-buffered with in-kernel DMAs (the SpMV stream2
+    pattern); each DMA row is one contiguous (tr+2h)·4-byte burst — this is
+    what the [n, K] layout kernel lacks (row-strided kb·4-byte reads), see
+    ``spmm_dia``.  Diagonals apply as static lane-dim slices."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    offsets, halo = d.offsets, d.halo
+    n_pad = d.n_pad
+    kp = xtp.shape[0]
+    kb, tr = _spmm_t_tiles(d, kp)
+    assert kp % kb == 0 and n_pad % tr == 0, (kp, kb, n_pad, tr)
+    grid_k = kp // kb
+    grid_i = n_pad // tr
+    total = grid_k * grid_i
+    win = tr + 2 * halo
+    center = offsets.index(0) if 0 in offsets else None
+
+    def kernel(d_ref, x_hbm, y_ref, s0, s1, sem0, sem1):
+        k = pl.program_id(0)
+        i = pl.program_id(1)
+        t = k * grid_i + i
+        even = jax.lax.rem(t, jnp.asarray(2, t.dtype)) == 0
+
+        def dma(kk, ii, buf, sem):
+            return pltpu.make_async_copy(
+                x_hbm.at[pl.ds(kk * kb, kb), pl.ds(ii * tr, win)], buf, sem)
+
+        @pl.when(t == 0)
+        def _():
+            dma(0, 0, s0, sem0).start()
+
+        ni = jax.lax.rem(i + 1, jnp.asarray(grid_i, i.dtype))
+        nk = k + (i + 1) // grid_i
+
+        @pl.when((t + 1 < total) & even)
+        def _():
+            dma(nk, ni, s1, sem1).start()
+
+        @pl.when((t + 1 < total) & ~even)
+        def _():
+            dma(nk, ni, s0, sem0).start()
+
+        @pl.when(even)
+        def _():
+            dma(k, i, s0, sem0).wait()
+
+        @pl.when(~even)
+        def _():
+            dma(k, i, s1, sem1).wait()
+
+        ext = jnp.where(even, s0[:], s1[:])               # [kb, win]
+        if center is not None:
+            acc = d_ref[center, :][None, :] * jax.lax.slice(
+                ext, (0, halo), (kb, halo + tr))
+        else:
+            acc = jnp.zeros((kb, tr), y_ref.dtype)
+        for s, off in enumerate(offsets):
+            if s == center:
+                continue
+            acc += d_ref[s, :][None, :] * jax.lax.slice(
+                ext, (0, halo + off), (kb, halo + off + tr))
+        y_ref[:] = acc
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((kp, n_pad), d.data.dtype),
+        grid=(grid_k, grid_i),
+        in_specs=[
+            pl.BlockSpec((d.ndiags, tr), lambda k, i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((kb, tr), lambda k, i: (k, i),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((kb, win), d.data.dtype),
+            pltpu.VMEM((kb, win), d.data.dtype),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * d.ndiags * n_pad * kp,
+            bytes_accessed=(d.ndiags * n_pad + 2 * n_pad * kp) * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(d.data, xtp)
+
+
+def dia_pad_xt(d: DIA, xt: jax.Array) -> jax.Array:
+    """[K, n] → halo/K-padded [K_pad, h + n_pad + h] buffer for the
+    transposed SpMM chain (multi-RHS solvers keep this as their iterate)."""
+    kb, _ = _spmm_t_tiles(d, max(8, _round_up(xt.shape[0], 8)))
+    kp = _round_up(xt.shape[0], kb)
+    h = d.halo
+    buf = jnp.zeros((kp, h + d.n_pad + h), d.data.dtype)
+    return jax.lax.dynamic_update_slice(buf, xt.astype(d.data.dtype), (0, h))
+
+
+def spmm_dia_t_padded(d: DIA, xtp: jax.Array) -> jax.Array:
+    """Transposed SpMM on an already-padded buffer (see ``dia_pad_xt``);
+    returns [K_pad, n_pad]."""
+    if _use_pallas() and _spmm_t_fits(d, xtp.shape[0]):
+        return _spmm_dia_t_pallas(d, xtp)
+    h = d.halo
+    acc = jnp.zeros((xtp.shape[0], d.n_pad),
+                    jnp.promote_types(d.data.dtype, xtp.dtype))
+    for s, off in enumerate(d.offsets):
+        sl = jax.lax.slice(xtp, (0, h + off), (xtp.shape[0], h + off + d.n_pad))
+        acc = acc + d.data[s][None, :] * sl
+    return acc
+
+
+def spmm_dia_t(d: DIA, xt: jax.Array) -> jax.Array:
+    """Y_t = (A·X)ᵀ for RHS in transposed [K, n] layout.  This is the wide-K
+    TPU fast path (docs/ROADMAP.md #SpMM): contiguous window bursts instead
+    of the [n, K] kernel's row-strided DMAs."""
+    K = xt.shape[0]
+    if _use_pallas() and _spmm_t_fits(d, _round_up(max(K, 8), 8)):
+        xtp = dia_pad_xt(d, xt)
+        return _spmm_dia_t_pallas(d, xtp)[:K, : d.n]
+    return spmm_dia_t_jnp(d, xt)
+
+
 def spmm_dia(d: DIA, x: jax.Array) -> jax.Array:
     """Y = A·X for dense X [n, K].  jnp shifted FMAs for narrow K (XLA
     fuses those to full HBM BW — 811 GB/s measured at K=64); the Pallas

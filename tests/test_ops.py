@@ -320,3 +320,56 @@ def test_pallas_dia_spmm_interpret_mode():
     finally:
         dia_mod._MAX_VMEM_BYTES = orig
     np.testing.assert_allclose(got, want[:n], rtol=1e-5, atol=1e-4)
+
+
+def test_pallas_dia_spmm_t_interpret_mode():
+    """Transposed-RHS Pallas DIA SpMM ([K, n] layout, contiguous window
+    bursts) vs the jnp oracle, multi-tile in both grid dims."""
+    from gflownet_spai_tpu.ops import dia as dia_mod
+    from gflownet_spai_tpu.ops.dia import (
+        DIA, _spmm_dia_t_pallas, dia_pad_xt, spmm_dia_t_jnp)
+
+    k = 64
+    n = k * k
+    i = np.arange(n)
+    r, c = i // k, i % k
+    data = np.zeros((5, 4096), np.float32)
+    data[2, :n] = 4.0
+    data[0, i[r > 0]] = -1.0
+    data[1, i[c > 0]] = -1.0
+    data[3, i[c < k - 1]] = -1.0
+    data[4, i[r < k - 1]] = -1.0
+    d = DIA(data=jnp.asarray(data), offsets=(-k, -1, 0, 1, k),
+            shape=(n, n), nnz=int((data != 0).sum()))
+    xt = jnp.asarray(
+        np.random.default_rng(1).standard_normal((200, n)), jnp.float32)
+    want = np.asarray(spmm_dia_t_jnp(d, xt))
+    orig = dia_mod._MAX_VMEM_BYTES
+    try:
+        # shrink the budget so tr = 1024 → 4 lane tiles × 2 K tiles (K
+        # padded 200 → 256 at kb = 128)
+        dia_mod._MAX_VMEM_BYTES = (2 * 128 * (1024 + 2 * d.halo)
+                                   + 3 * 128 * 1024 + 4 * 5 * 1024) * 4
+        xtp = dia_pad_xt(d, xt)
+        assert xtp.shape[0] == 256
+        got = np.asarray(_spmm_dia_t_pallas(d, xtp, interpret=True))[:200, :n]
+    finally:
+        dia_mod._MAX_VMEM_BYTES = orig
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
+
+
+def test_spmm_dia_t_matches_spmm():
+    """Transposed-RHS public entry equals the [n, K] path (CPU jnp route)."""
+    from gflownet_spai_tpu.ops.dia import spmm_dia, spmm_dia_t
+
+    rng = np.random.default_rng(7)
+    n = 300
+    a = sp.diags(
+        [rng.standard_normal(n - 3), rng.standard_normal(n),
+         rng.standard_normal(n - 2)], [-3, 0, 2], format="coo")
+    from gflownet_spai_tpu.sparse.convert import scipy_to_coo
+    d = coo_to_dia(scipy_to_coo(a))
+    x = jnp.asarray(rng.standard_normal((n, 9)), jnp.float32)
+    want = np.asarray(spmm_dia(d, x))
+    got = np.asarray(spmm_dia_t(d, jnp.asarray(x).T)).T
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)

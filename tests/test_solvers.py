@@ -277,3 +277,63 @@ def test_spai_ops_accept_dia():
                                np.asarray(spai_op(a)(x)), rtol=1e-10)
     np.testing.assert_allclose(np.asarray(spai_op_sym(d)(x)),
                                np.asarray(spai_op_sym(a)(x)), rtol=1e-10)
+
+
+def test_cg_multi_matches_single_rhs():
+    """Batched CG over the [K, n] transposed layout reproduces per-column
+    single-RHS CG: same solutions and same per-system iteration counts."""
+    from gflownet_spai_tpu.ops import coo_to_dia
+    from gflownet_spai_tpu.solvers import cg, cg_multi
+
+    coo = gallery.get("poisson16")
+    d = coo_to_dia(coo)
+    rng = np.random.default_rng(3)
+    K = 5
+    bt = jnp.asarray(rng.standard_normal((K, coo.shape[0])), d.data.dtype)
+    multi = cg_multi(d, bt, maxiter=400, rtol=1e-6)
+    assert bool(jnp.all(multi.converged))
+    for k in range(K):
+        single = cg(d, bt[k], maxiter=400, rtol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(multi.xt[k]), np.asarray(single.x[: coo.shape[0]]),
+            rtol=2e-3, atol=2e-4)
+        # iteration counts may differ by the batch's lockstep epsilon but
+        # must match exactly here (independent systems, same arithmetic)
+        assert int(multi.iterations[k]) == int(single.iterations)
+    # residual history: NaN after each system's convergence
+    for k in range(K):
+        it = int(multi.iterations[k])
+        assert np.isnan(np.asarray(multi.residuals)[it:, k]).all()
+
+
+def test_cg_multi_preconditioned():
+    """Jacobi-preconditioned batched CG converges in fewer iterations and
+    solves the systems (checked against the dense solution)."""
+    import dataclasses
+    from gflownet_spai_tpu.ops import coo_to_dia
+    from gflownet_spai_tpu.ops.dia import DIA
+    from gflownet_spai_tpu.solvers import cg_multi
+
+    coo = gallery.get("poisson16")
+    A = coo_to_scipy(coo).toarray()
+    # scale rows/cols to make Jacobi matter
+    s = np.linspace(1.0, 40.0, A.shape[0])
+    As = (A * s).T * s
+    from gflownet_spai_tpu.sparse.types import COO
+    dense_coo = COO.fromdense(jnp.asarray(As))
+    d = coo_to_dia(dense_coo, max_diags=200)
+    # Jacobi M = diag(1/diag(A)) as a single-diagonal DIA
+    inv_diag = 1.0 / np.diag(As)
+    m = DIA(
+        data=jnp.asarray(np.pad(inv_diag, (0, d.n_pad - d.n))[None, :],
+                         d.data.dtype),
+        offsets=(0,), shape=d.shape, nnz=d.n,
+    )
+    rng = np.random.default_rng(4)
+    bt = jnp.asarray(rng.standard_normal((3, d.n)), d.data.dtype)
+    plain = cg_multi(d, bt, maxiter=3000, rtol=1e-6)
+    prec = cg_multi(d, bt, m=m, maxiter=3000, rtol=1e-6)
+    assert bool(jnp.all(prec.converged))
+    want = np.linalg.solve(As, np.asarray(bt).T).T
+    np.testing.assert_allclose(np.asarray(prec.xt), want, rtol=5e-2, atol=5e-4)
+    assert int(jnp.max(prec.iterations)) < int(jnp.max(plain.iterations))
