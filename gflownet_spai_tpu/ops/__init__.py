@@ -12,6 +12,7 @@ Format selection guide (measured on TPU v5e, Poisson-1M, see BENCH):
 from .dia import (
     DIA,
     coo_to_dia,
+    dia_pad_io,
     dia_pad_x,
     dia_pad_xt,
     dia_to_coo,
@@ -22,14 +23,15 @@ from .dia import (
     spmv_dia,
     spmv_dia_jnp,
     spmv_dia_padded,
+    spmv_dia_padded_io,
 )
 from .rcm import bandwidth, n_diagonals, permute, rcm_permutation, rcm_reorder
 from .bsr import BELL, csr_to_bell, spmm_bell, spmm_bell_jnp, spmv_bell
 
 __all__ = [
-    "DIA", "coo_to_dia", "dia_pad_x", "dia_pad_xt", "dia_to_coo",
+    "DIA", "coo_to_dia", "dia_pad_io", "dia_pad_x", "dia_pad_xt", "dia_to_coo",
     "dia_transpose", "spmm_dia", "spmm_dia_t", "spmm_dia_t_padded",
-    "spmv_dia", "spmv_dia_jnp", "spmv_dia_padded",
+    "spmv_dia", "spmv_dia_jnp", "spmv_dia_padded", "spmv_dia_padded_io",
     "bandwidth", "n_diagonals", "permute", "rcm_permutation", "rcm_reorder",
     "BELL", "csr_to_bell", "spmm_bell", "spmm_bell_jnp", "spmv_bell",
 ]

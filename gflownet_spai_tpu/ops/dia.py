@@ -603,30 +603,42 @@ def spmm_dia_t_jnp(d: DIA, xt: jax.Array) -> jax.Array:
     return acc
 
 
+def _spmm_t_need(d: DIA, kb: int, tr: int) -> int:
+    """VMEM floats for the transposed kernel at (kb, tr): two DMA window
+    scratches + the ``jnp.where(even, s0, s1)`` ext copy (3·kb·win), the
+    double-buffered out block + acc + slice temps (5·kb·tr), and the diag
+    tile.  Calibrated against a Mosaic scoped-vmem OOM report (18.27 MB at
+    kb=32, tr=16384, h=1024 — model says 18.9)."""
+    return (3 * kb * (tr + 2 * d.halo) + 5 * kb * tr + 4 * d.ndiags * tr)
+
+
 def _spmm_t_tiles(d: DIA, kp: int) -> Tuple[int, int]:
-    """(kb, tr) for the transposed kernel: kb RHS rows per step (≤128),
-    lane tile tr maximized in VMEM so the 2·halo window overlap re-read
-    stays small (x traffic ≈ (1 + 2h/tr)·K·n·4 bytes)."""
-    kb = min(kp, 128)
+    """(kb, tr) for the transposed kernel, minimizing modeled HBM traffic
+    under the VMEM budget.  Traffic per full product ≈
+    ``kp·n_pad·(1 + 2h/tr) [x windows, overlap re-read] + kp·n_pad [y]
+    + ceil(kp/kb)·ndiags·n_pad [diag tile re-read per K pass]``.
+    Bigger tr shrinks the halo-overlap term; bigger kb shrinks diag
+    re-reads — they compete for VMEM, so scan aligned divisors of n_pad."""
     budget = _MAX_VMEM_BYTES // 4
-    tr = _ALIGN
-    while True:
-        nxt = tr + _ALIGN
-        need = (2 * kb * (nxt + 2 * d.halo)   # double-buffered x windows
-                + 3 * kb * nxt                # out (double-buffered) + acc
-                + 4 * d.ndiags * nxt)         # diag tile (db) + slice temps
-        if need > budget or nxt > d.n_pad or d.n_pad % nxt:
+    best = (min(kp, 8), _ALIGN)
+    best_cost = None
+    for kb in (8, 16, 32, 64, 128):
+        if kb > max(kp, 8):
             break
-        tr = nxt
-    while d.n_pad % tr:
-        tr -= _ALIGN
-    return kb, tr
+        for tr in range(_ALIGN, d.n_pad + 1, _ALIGN):
+            if d.n_pad % tr or _spmm_t_need(d, kb, tr) > budget:
+                continue
+            grid_k = -(-max(kp, kb) // kb)
+            cost = (max(kp, kb) * (2 * d.halo + 2 * tr) // tr
+                    + grid_k * d.ndiags)
+            if best_cost is None or cost < best_cost:
+                best, best_cost = (kb, tr), cost
+    return best
 
 
 def _spmm_t_fits(d: DIA, kp: int) -> bool:
     kb, tr = _spmm_t_tiles(d, kp)
-    need = 2 * kb * (tr + 2 * d.halo) + 3 * kb * tr + 4 * d.ndiags * tr
-    return need <= _MAX_VMEM_BYTES // 4
+    return _spmm_t_need(d, kb, tr) <= _MAX_VMEM_BYTES // 4
 
 
 def _spmm_dia_t_pallas(d: DIA, xtp: jax.Array, interpret: bool = False) -> jax.Array:
@@ -797,6 +809,232 @@ def spmv_dia_padded(d: DIA, xp: jax.Array) -> jax.Array:
         sl = jax.lax.slice(xp, (h + off,), (h + off + d.n_pad,))
         acc = acc + d.data[s] * sl
     return acc
+
+
+# --- padded-IO SpMV: output written directly in the halo-padded layout ----
+#
+# The padded chain above still pays a repack per iteration (y [n_pad] is
+# dynamic-update-sliced back into the padded x buffer: +8 MB/iter on
+# Poisson-1M, capping the chain at ~114 Gnnz/s vs the kernel's ~145).  The
+# padded-IO kernels instead emit y in the SAME [P + n_pad + P] layout as x
+# (P = lane tile ≥ halo), writing the two halo blocks as zeros in-kernel, so
+# iterative drivers (Jacobi/CG/bench chains) feed y straight back as x.
+
+def _spmv_io_tile(d: DIA) -> int:
+    """Lane tile P for the padded-IO kernels: a multiple of ``_ALIGN``
+    dividing n_pad with P ≥ halo (interior windows [j·P − halo, j·P + P +
+    halo) then start in-bounds and 1024-aligned), capped near 16·ALIGN so
+    the two in-kernel halo-zero blocks stay ≪ the real write traffic.
+    Returns 0 when no valid tile exists."""
+    lo = max(d.halo, min(16 * _ALIGN, d.n_pad))
+    tr = _round_up(lo, _ALIGN)
+    while tr <= d.n_pad and d.n_pad % tr:
+        tr += _ALIGN
+    return tr if tr <= d.n_pad else 0
+
+
+def _spmv_io_fits(d: DIA) -> Tuple[bool, bool]:
+    """(resident_ok, streamed_ok) VMEM feasibility for the padded-IO
+    kernels (same per-row models as _pick_tile/_stream2_fits, with the
+    wider 2·P x padding in place of 2·halo)."""
+    tr = _spmv_io_tile(d)
+    if not tr:
+        return False, False
+    budget = _MAX_VMEM_BYTES // 4
+    resident = (d.n_pad + 2 * tr) + (3 * d.ndiags + 4) * tr <= budget
+    streamed = 2 * (tr + 2 * d.halo) + (3 * d.ndiags + 8) * tr <= budget
+    return resident, streamed
+
+
+def _spmv_pallas_io(d: DIA, xq: jax.Array, scale: float = 1.0,
+                    interpret: bool = False) -> jax.Array:
+    """Resident padded-IO SpMV: x [P + n_pad + P] lives whole in VMEM;
+    grid = n_pad/P + 2 with the first/last block writing zeros (the output
+    halo), interior block j computing rows (j−1)·P."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    offsets, halo = d.offsets, d.halo
+    n_pad = d.n_pad
+    tr = _spmv_io_tile(d)
+    assert tr and xq.shape[0] == n_pad + 2 * tr, (tr, xq.shape)
+    grid_i = n_pad // tr
+    grid = grid_i + 2
+    center = offsets.index(0) if 0 in offsets else None
+
+    def kernel(d_ref, x_ref, y_ref):
+        j = pl.program_id(0)
+        interior = (j > 0) & (j < grid - 1)
+
+        @pl.when(~interior)
+        def _():
+            y_ref[:] = jnp.zeros((tr,), y_ref.dtype)
+
+        @pl.when(interior)
+        def _():
+            # window start j·tr − halo ≥ 0 for j ≥ 1 since tr ≥ halo; tr and
+            # halo are _ALIGN multiples but Mosaic can't prove that through
+            # the subtraction — annotate (else: "cannot statically prove
+            # that index in dimension 0 is a multiple of 1024")
+            start = pl.multiple_of(j * tr - halo, _ALIGN)
+            ext = x_ref[pl.ds(start, tr + 2 * halo)]
+            if center is not None:
+                acc = d_ref[center, :] * jax.lax.slice(
+                    ext, (halo,), (halo + tr,))
+            else:
+                acc = jnp.zeros((tr,), y_ref.dtype)
+            for s, off in enumerate(offsets):
+                if s == center:
+                    continue
+                acc += d_ref[s, :] * jax.lax.slice(
+                    ext, (halo + off,), (halo + off + tr,))
+            y_ref[:] = acc * scale if scale != 1.0 else acc
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n_pad + 2 * tr,), d.data.dtype),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((d.ndiags, tr),
+                         lambda j: (0, jnp.clip(j - 1, 0, grid_i - 1)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tr,), lambda j: (j,), memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * d.ndiags * n_pad,
+            bytes_accessed=(d.ndiags + 2) * n_pad * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(d.data, xq)
+
+
+def _spmv_pallas_io_stream(d: DIA, xq: jax.Array, scale: float = 1.0,
+                           interpret: bool = False) -> jax.Array:
+    """Streamed padded-IO SpMV: the stream2 double-buffered in-kernel window
+    DMA pattern over the [P + n_pad + P] layout.  Halo steps (j = 0 and
+    j = grid−1) still run a (clamped, duplicate) window DMA so the slot
+    parity chain stays uniform; they just write zeros."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    offsets, halo = d.offsets, d.halo
+    n_pad = d.n_pad
+    tr = _spmv_io_tile(d)
+    assert tr and xq.shape[0] == n_pad + 2 * tr, (tr, xq.shape)
+    grid_i = n_pad // tr
+    grid = grid_i + 2
+    win = tr + 2 * halo
+    center = offsets.index(0) if 0 in offsets else None
+
+    def start_of(j):
+        # annotate alignment: Mosaic can't prove the clip/subtract keeps the
+        # index a multiple of the 1-D tiling
+        return pl.multiple_of(jnp.clip(j, 1, grid_i) * tr - halo, _ALIGN)
+
+    def kernel(d_ref, x_hbm, y_ref, s0, s1, sem0, sem1):
+        j = pl.program_id(0)
+        even = jax.lax.rem(j, jnp.asarray(2, j.dtype)) == 0
+
+        def dma(jj, buf, sem):
+            return pltpu.make_async_copy(
+                x_hbm.at[pl.ds(start_of(jj), win)], buf, sem)
+
+        @pl.when(j == 0)
+        def _():
+            dma(0, s0, sem0).start()
+
+        @pl.when((j + 1 < grid) & even)
+        def _():
+            dma(j + 1, s1, sem1).start()
+
+        @pl.when((j + 1 < grid) & ~even)
+        def _():
+            dma(j + 1, s0, sem0).start()
+
+        @pl.when(even)
+        def _():
+            dma(j, s0, sem0).wait()
+
+        @pl.when(~even)
+        def _():
+            dma(j, s1, sem1).wait()
+
+        interior = (j > 0) & (j < grid - 1)
+
+        @pl.when(~interior)
+        def _():
+            y_ref[:] = jnp.zeros((tr,), y_ref.dtype)
+
+        @pl.when(interior)
+        def _():
+            ext = jnp.where(even, s0[:], s1[:])
+            if center is not None:
+                acc = d_ref[center, :] * jax.lax.slice(
+                    ext, (halo,), (halo + tr,))
+            else:
+                acc = jnp.zeros((tr,), y_ref.dtype)
+            for s, off in enumerate(offsets):
+                if s == center:
+                    continue
+                acc += d_ref[s, :] * jax.lax.slice(
+                    ext, (halo + off,), (halo + off + tr,))
+            y_ref[:] = acc * scale if scale != 1.0 else acc
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n_pad + 2 * tr,), d.data.dtype),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((d.ndiags, tr),
+                         lambda j: (0, jnp.clip(j - 1, 0, grid_i - 1)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((tr,), lambda j: (j,), memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((win,), d.data.dtype),
+            pltpu.VMEM((win,), d.data.dtype),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * d.ndiags * n_pad,
+            bytes_accessed=(d.ndiags + 2) * n_pad * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(d.data, xq)
+
+
+def dia_pad_io(d: DIA, x: jax.Array) -> jax.Array:
+    """[n] → [P + n_pad + P] buffer for the padded-IO SpMV chain, P =
+    ``_spmv_io_tile(d)`` (falls back to the halo width when no IO tile
+    exists, in which case ``spmv_dia_padded_io`` uses the jnp path)."""
+    tr = _spmv_io_tile(d) or d.halo
+    buf = jnp.zeros((tr + d.n_pad + tr,), d.data.dtype)
+    return jax.lax.dynamic_update_slice(buf, x.astype(d.data.dtype), (tr,))
+
+
+def spmv_dia_padded_io(d: DIA, xq: jax.Array, scale: float = 1.0) -> jax.Array:
+    """SpMV on a ``dia_pad_io`` buffer returning the SAME layout (halo
+    blocks zeroed in-kernel), so chained applies never repack.  ``scale``
+    is folded into the kernel's output write (static)."""
+    tr = _spmv_io_tile(d)
+    if _use_pallas() and tr and xq.shape[0] == d.n_pad + 2 * tr:
+        res_ok, str_ok = _spmv_io_fits(d)
+        if res_ok:
+            return _spmv_pallas_io(d, xq, scale=scale)
+        if str_ok:
+            return _spmv_pallas_io_stream(d, xq, scale=scale)
+    p = (xq.shape[0] - d.n_pad) // 2
+    acc = jnp.zeros((d.n_pad,), jnp.promote_types(d.data.dtype, xq.dtype))
+    for s, off in enumerate(d.offsets):
+        sl = jax.lax.slice(xq, (p + off,), (p + off + d.n_pad,))
+        acc = acc + d.data[s] * sl
+    out = jnp.zeros_like(xq)
+    return jax.lax.dynamic_update_slice(out, acc * scale, (p,))
 
 
 @jax.custom_vjp

@@ -346,12 +346,14 @@ def test_pallas_dia_spmm_t_interpret_mode():
     want = np.asarray(spmm_dia_t_jnp(d, xt))
     orig = dia_mod._MAX_VMEM_BYTES
     try:
-        # shrink the budget so tr = 1024 → 4 lane tiles × 2 K tiles (K
-        # padded 200 → 256 at kb = 128)
-        dia_mod._MAX_VMEM_BYTES = (2 * 128 * (1024 + 2 * d.halo)
-                                   + 3 * 128 * 1024 + 4 * 5 * 1024) * 4
+        # shrink the budget so the grid is multi-tile in both dims: only
+        # (kb=8, tr=2048) fits → 25 K-tiles × 2 lane tiles
+        dia_mod._MAX_VMEM_BYTES = (dia_mod._spmm_t_need(d, 8, 2048) + 64) * 4
+        kb, tr = dia_mod._spmm_t_tiles(d, 200)
+        assert d.n_pad // tr >= 2, (kb, tr)
         xtp = dia_pad_xt(d, xt)
-        assert xtp.shape[0] == 256
+        assert xtp.shape[0] % kb == 0 and xtp.shape[0] // kb >= 2, (
+            xtp.shape, kb)
         got = np.asarray(_spmm_dia_t_pallas(d, xtp, interpret=True))[:200, :n]
     finally:
         dia_mod._MAX_VMEM_BYTES = orig
@@ -373,3 +375,59 @@ def test_spmm_dia_t_matches_spmm():
     want = np.asarray(spmm_dia(d, x))
     got = np.asarray(spmm_dia_t(d, jnp.asarray(x).T)).T
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def _poisson_dia(k, n_pad=None):
+    import gflownet_spai_tpu.ops.dia as dia_mod
+    n = k * k
+    n_pad = n_pad or dia_mod._round_up(n, 1024)
+    i = np.arange(n)
+    r, c = i // k, i % k
+    data = np.zeros((5, n_pad), np.float32)
+    data[2, :n] = 4.0
+    data[0, i[r > 0]] = -1.0
+    data[1, i[c > 0]] = -1.0
+    data[3, i[c < k - 1]] = -1.0
+    data[4, i[r < k - 1]] = -1.0
+    from gflownet_spai_tpu.ops.dia import DIA
+    return DIA(data=jnp.asarray(data), offsets=(-k, -1, 0, 1, k),
+               shape=(n, n), nnz=int((data != 0).sum()))
+
+
+def test_pallas_dia_spmv_io_interpret_mode():
+    """Padded-IO SpMV kernels (resident + streamed): y comes back in the
+    same [P + n_pad + P] layout with zeroed halo blocks, so a chain needs
+    no repack.  Multi-interior-block grid (n_pad = 4·P), static scale."""
+    from gflownet_spai_tpu.ops.dia import (
+        _spmv_io_tile, _spmv_pallas_io, _spmv_pallas_io_stream, dia_pad_io,
+        spmv_dia_jnp,
+    )
+
+    d = _poisson_dia(256)                      # n = n_pad = 65536
+    tr = _spmv_io_tile(d)
+    assert tr == 16384 and d.n_pad // tr == 4
+    x = jnp.asarray(np.random.default_rng(5).standard_normal(d.n), jnp.float32)
+    want = np.asarray(spmv_dia_jnp(d, x)) * 0.5
+    xq = dia_pad_io(d, x)
+    for fn in (_spmv_pallas_io, _spmv_pallas_io_stream):
+        yq = np.asarray(fn(d, xq, scale=0.5, interpret=True))
+        assert yq.shape == xq.shape
+        np.testing.assert_allclose(yq[tr:tr + d.n], want, rtol=2e-6, atol=1e-5)
+        assert not yq[:tr].any() and not yq[tr + d.n_pad:].any()
+
+
+def test_spmv_dia_padded_io_jnp_path_chains():
+    """CPU jnp fallback of the padded-IO API: chained applies equal repeated
+    spmv_dia_jnp, halo blocks stay zero."""
+    from gflownet_spai_tpu.ops.dia import dia_pad_io, spmv_dia_padded_io, spmv_dia_jnp
+
+    d = _poisson_dia(16)
+    x = jnp.asarray(np.random.default_rng(6).standard_normal(d.n), jnp.float32)
+    xq = dia_pad_io(d, x)
+    p = (xq.shape[0] - d.n_pad) // 2
+    for _ in range(3):
+        xq = spmv_dia_padded_io(d, xq, scale=0.2)
+        x = spmv_dia_jnp(d, x) * 0.2
+    np.testing.assert_allclose(np.asarray(xq[p:p + d.n]), np.asarray(x),
+                               rtol=1e-5, atol=1e-6)
+    assert not np.asarray(xq[:p]).any()
