@@ -13,8 +13,10 @@ from .dia import (
     DIA,
     coo_to_dia,
     dia_pad_io,
+    dia_pad_pp,
     dia_pad_x,
     dia_pad_xt,
+    dia_pp_tile,
     dia_to_coo,
     dia_transpose,
     spmm_dia,
@@ -24,14 +26,17 @@ from .dia import (
     spmv_dia_jnp,
     spmv_dia_padded,
     spmv_dia_padded_io,
+    spmv_dia_pingpong,
 )
 from .rcm import bandwidth, n_diagonals, permute, rcm_permutation, rcm_reorder
 from .bsr import BELL, csr_to_bell, spmm_bell, spmm_bell_jnp, spmv_bell
 
 __all__ = [
-    "DIA", "coo_to_dia", "dia_pad_io", "dia_pad_x", "dia_pad_xt", "dia_to_coo",
+    "DIA", "coo_to_dia", "dia_pad_io", "dia_pad_pp", "dia_pad_x",
+    "dia_pad_xt", "dia_pp_tile", "dia_to_coo",
     "dia_transpose", "spmm_dia", "spmm_dia_t", "spmm_dia_t_padded",
     "spmv_dia", "spmv_dia_jnp", "spmv_dia_padded", "spmv_dia_padded_io",
+    "spmv_dia_pingpong",
     "bandwidth", "n_diagonals", "permute", "rcm_permutation", "rcm_reorder",
     "BELL", "csr_to_bell", "spmm_bell", "spmm_bell_jnp", "spmv_bell",
 ]

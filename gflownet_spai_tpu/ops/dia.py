@@ -1037,6 +1037,224 @@ def spmv_dia_padded_io(d: DIA, xq: jax.Array, scale: float = 1.0) -> jax.Array:
     return jax.lax.dynamic_update_slice(out, acc * scale, (p,))
 
 
+# --- ping-pong SpMV: aliased output buffer, zero chain overhead ----------
+#
+# The padded-IO kernels above emit y in the x layout but pay for it: the
+# grid gains two halo steps and the output write grows by 2·P words
+# (measured: best 101.7 Gnnz/s on Poisson-1M vs 104.8 for padded+repack —
+# no win).  The ping-pong kernels instead take a SECOND buffer in the same
+# [P + n_pad + P] layout whose halo blocks are already zero, alias it to
+# the output (``input_output_aliases``), and write only the interior
+# blocks: grid = n_pad/P, traffic identical to the plain resident kernel,
+# no repack.  Iterative drivers carry (x, y) and swap each step:
+#
+#     y = spmv_dia_pingpong(d, x, y, scale);  x, y = y, x
+#
+# The swap preserves the invariant (both buffers' halo blocks stay zero —
+# the kernel never writes them), so a Jacobi/CG/bench chain runs at the
+# kernel's own HBM rate.
+
+def dia_pp_tile(d: DIA) -> int:
+    """Lane tile P for the ping-pong kernels.  P is both the halo pad and
+    the output block, so it must be a multiple of ``_ALIGN`` ≥ halo that
+    divides n_pad.  Prefers the largest VMEM-feasible tile ≤ 64·ALIGN —
+    the measured optimum on the v5e (Poisson-1M resident chain: P=16384
+    → 98.0, 32768 → 105.6, 65536 → 109.6, 131072 → 107.6 Gnnz/s).
+    Returns 0 when none exists."""
+    budget = _MAX_VMEM_BYTES // 4
+    best = 0
+    tr = _round_up(max(d.halo, _ALIGN), _ALIGN)
+    while tr <= min(d.n_pad, 64 * _ALIGN):
+        if d.n_pad % tr == 0:
+            resident = (d.n_pad + 2 * tr) + (3 * d.ndiags + 4) * tr <= budget
+            streamed = 2 * (tr + 2 * d.halo) + (3 * d.ndiags + 8) * tr <= budget
+            if resident or streamed:
+                best = tr
+            else:
+                break
+        tr += _ALIGN
+    return best
+
+
+def _pp_resident_ok(d: DIA, tr: int) -> bool:
+    budget = _MAX_VMEM_BYTES // 4
+    return (d.n_pad + 2 * tr) + (3 * d.ndiags + 4) * tr <= budget
+
+
+def _spmv_pallas_pp(d: DIA, xq: jax.Array, yq: jax.Array, scale: float = 1.0,
+                    interpret: bool = False) -> jax.Array:
+    """Resident ping-pong SpMV: x [P + n_pad + P] whole in VMEM, y aliased
+    to the same-layout second operand, interior blocks only."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    offsets, halo = d.offsets, d.halo
+    n_pad = d.n_pad
+    tr = dia_pp_tile(d)
+    assert tr and xq.shape == yq.shape == (n_pad + 2 * tr,), (tr, xq.shape)
+    grid = n_pad // tr
+    center = offsets.index(0) if 0 in offsets else None
+
+    def kernel(d_ref, x_ref, y_in, y_ref):
+        j = pl.program_id(0)
+        # window for rows j·tr starts at buffer offset (j+1)·tr − halo ≥ 0
+        # (tr ≥ halo); both are _ALIGN multiples — annotate for Mosaic
+        start = pl.multiple_of((j + 1) * tr - halo, _ALIGN)
+        ext = x_ref[pl.ds(start, tr + 2 * halo)]
+        if center is not None:
+            acc = d_ref[center, :] * jax.lax.slice(ext, (halo,), (halo + tr,))
+        else:
+            acc = jnp.zeros((tr,), y_ref.dtype)
+        for s, off in enumerate(offsets):
+            if s == center:
+                continue
+            acc += d_ref[s, :] * jax.lax.slice(
+                ext, (halo + off,), (halo + off + tr,))
+        y_ref[:] = acc * scale if scale != 1.0 else acc
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n_pad + 2 * tr,), d.data.dtype),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((d.ndiags, tr), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((tr,), lambda j: (j + 1,),
+                               memory_space=pltpu.VMEM),
+        input_output_aliases={2: 0},
+        cost_estimate=pl.CostEstimate(
+            flops=2 * d.ndiags * n_pad,
+            bytes_accessed=(d.ndiags + 2) * n_pad * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(d.data, xq, yq)
+
+
+def _spmv_pallas_pp_stream(d: DIA, xq: jax.Array, yq: jax.Array,
+                           scale: float = 1.0,
+                           interpret: bool = False) -> jax.Array:
+    """Streamed ping-pong SpMV: x stays in HBM, in-kernel double-buffered
+    window DMAs (the stream2 pattern), y aliased as in the resident
+    variant.  Compute is duplicated per parity branch instead of the
+    stream2 ``jnp.where(even, s0, s1)`` that reads BOTH scratch buffers."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    offsets, halo = d.offsets, d.halo
+    n_pad = d.n_pad
+    tr = dia_pp_tile(d)
+    assert tr and xq.shape == yq.shape == (n_pad + 2 * tr,), (tr, xq.shape)
+    grid = n_pad // tr
+    win = tr + 2 * halo
+    center = offsets.index(0) if 0 in offsets else None
+
+    def kernel(d_ref, x_hbm, y_in, y_ref, s0, s1, sem0, sem1):
+        j = pl.program_id(0)
+        even = jax.lax.rem(j, jnp.asarray(2, j.dtype)) == 0
+
+        def dma(jj, buf, sem):
+            start = pl.multiple_of((jj + 1) * tr - halo, _ALIGN)
+            return pltpu.make_async_copy(
+                x_hbm.at[pl.ds(start, win)], buf, sem)
+
+        @pl.when(j == 0)
+        def _():
+            dma(0, s0, sem0).start()
+
+        @pl.when((j + 1 < grid) & even)
+        def _():
+            dma(j + 1, s1, sem1).start()
+
+        @pl.when((j + 1 < grid) & ~even)
+        def _():
+            dma(j + 1, s0, sem0).start()
+
+        def compute(buf):
+            ext = buf[:]
+            if center is not None:
+                acc = d_ref[center, :] * jax.lax.slice(
+                    ext, (halo,), (halo + tr,))
+            else:
+                acc = jnp.zeros((tr,), y_ref.dtype)
+            for s, off in enumerate(offsets):
+                if s == center:
+                    continue
+                acc += d_ref[s, :] * jax.lax.slice(
+                    ext, (halo + off,), (halo + off + tr,))
+            y_ref[:] = acc * scale if scale != 1.0 else acc
+
+        @pl.when(even)
+        def _():
+            dma(j, s0, sem0).wait()
+            compute(s0)
+
+        @pl.when(~even)
+        def _():
+            dma(j, s1, sem1).wait()
+            compute(s1)
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n_pad + 2 * tr,), d.data.dtype),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((d.ndiags, tr), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((tr,), lambda j: (j + 1,),
+                               memory_space=pltpu.VMEM),
+        input_output_aliases={2: 0},
+        scratch_shapes=[
+            pltpu.VMEM((win,), d.data.dtype),
+            pltpu.VMEM((win,), d.data.dtype),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * d.ndiags * n_pad,
+            bytes_accessed=(d.ndiags + 2) * n_pad * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(d.data, xq, yq)
+
+
+def dia_pad_pp(d: DIA, x: jax.Array) -> jax.Array:
+    """[n] → [P + n_pad + P] ping-pong buffer, P = ``dia_pp_tile(d)``
+    (falls back to the halo width when no tile exists — the jnp path
+    then handles any P)."""
+    tr = dia_pp_tile(d) or d.halo
+    buf = jnp.zeros((tr + d.n_pad + tr,), d.data.dtype)
+    return jax.lax.dynamic_update_slice(buf, x.astype(d.data.dtype), (tr,))
+
+
+def spmv_dia_pingpong(d: DIA, xq: jax.Array, yq: jax.Array,
+                      scale: float = 1.0) -> jax.Array:
+    """y = scale·(A·x) written into ``yq``'s interior (aliased), both in the
+    ``dia_pad_pp`` layout with zero halo blocks.  Returns the updated y in
+    the SAME layout; chained drivers then swap the two buffers:
+
+        y = spmv_dia_pingpong(d, x, y); x, y = y, x
+    """
+    tr = dia_pp_tile(d)
+    if _use_pallas() and tr and xq.shape[0] == d.n_pad + 2 * tr:
+        if _pp_resident_ok(d, tr):
+            return _spmv_pallas_pp(d, xq, yq, scale=scale)
+        return _spmv_pallas_pp_stream(d, xq, yq, scale=scale)
+    p = (xq.shape[0] - d.n_pad) // 2
+    acc = jnp.zeros((d.n_pad,), jnp.promote_types(d.data.dtype, xq.dtype))
+    for s, off in enumerate(d.offsets):
+        sl = jax.lax.slice(xq, (p + off,), (p + off + d.n_pad,))
+        acc = acc + d.data[s] * sl
+    return jax.lax.dynamic_update_slice(yq, acc * scale, (p,))
+
+
 @jax.custom_vjp
 def spmv_dia(d: DIA, x: jax.Array) -> jax.Array:
     """y = A·x for DIA A.  Pallas on TPU, jnp elsewhere.  VJP: dx = Aᵀ·g,

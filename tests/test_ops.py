@@ -431,3 +431,45 @@ def test_spmv_dia_padded_io_jnp_path_chains():
     np.testing.assert_allclose(np.asarray(xq[p:p + d.n]), np.asarray(x),
                                rtol=1e-5, atol=1e-6)
     assert not np.asarray(xq[:p]).any()
+
+
+def test_pallas_dia_spmv_pingpong_interpret_mode():
+    """Ping-pong SpMV kernels (resident + streamed): y lands in the
+    interior blocks of the aliased second buffer, halo blocks keep its
+    (zero) contents, grid covers interior only."""
+    from gflownet_spai_tpu.ops.dia import (
+        _spmv_pallas_pp, _spmv_pallas_pp_stream, dia_pad_pp, dia_pp_tile,
+        spmv_dia_jnp,
+    )
+
+    d = _poisson_dia(256)                      # n = n_pad = 65536
+    tr = dia_pp_tile(d)
+    assert tr and d.n_pad % tr == 0 and tr >= d.halo
+    x = jnp.asarray(np.random.default_rng(7).standard_normal(d.n), jnp.float32)
+    want = np.asarray(spmv_dia_jnp(d, x)) * 0.5
+    xq = dia_pad_pp(d, x)
+    yq0 = jnp.zeros_like(xq)
+    for fn in (_spmv_pallas_pp, _spmv_pallas_pp_stream):
+        yq = np.asarray(fn(d, xq, yq0, scale=0.5, interpret=True))
+        assert yq.shape == xq.shape
+        np.testing.assert_allclose(yq[tr:tr + d.n], want, rtol=2e-6, atol=1e-5)
+        assert not yq[:tr].any() and not yq[tr + d.n_pad:].any()
+
+
+def test_spmv_dia_pingpong_jnp_path_chains():
+    """CPU jnp fallback of the ping-pong API: the (x, y)-swap chain equals
+    repeated spmv_dia_jnp; both buffers' halo blocks stay zero."""
+    from gflownet_spai_tpu.ops.dia import dia_pad_pp, spmv_dia_pingpong, spmv_dia_jnp
+
+    d = _poisson_dia(16)
+    x = jnp.asarray(np.random.default_rng(8).standard_normal(d.n), jnp.float32)
+    xq = dia_pad_pp(d, x)
+    yq = jnp.zeros_like(xq)
+    p = (xq.shape[0] - d.n_pad) // 2
+    for _ in range(3):
+        yq = spmv_dia_pingpong(d, xq, yq, scale=0.2)
+        xq, yq = yq, xq
+        x = spmv_dia_jnp(d, x) * 0.2
+    np.testing.assert_allclose(np.asarray(xq[p:p + d.n]), np.asarray(x),
+                               rtol=1e-5, atol=1e-6)
+    assert not np.asarray(xq[:p]).any() and not np.asarray(yq[:p]).any()
