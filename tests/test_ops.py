@@ -473,3 +473,70 @@ def test_spmv_dia_pingpong_jnp_path_chains():
     np.testing.assert_allclose(np.asarray(xq[p:p + d.n]), np.asarray(x),
                                rtol=1e-5, atol=1e-6)
     assert not np.asarray(xq[:p]).any() and not np.asarray(yq[:p]).any()
+
+
+@pytest.mark.parametrize("k", [2, 3, 4])
+def test_pallas_dia_spmv_power_interpret_mode(k):
+    """Fused k-step (temporally-blocked) SpMV: z = sᵏ·Aᵏ·x with one
+    widened data window per tile; multi-block grid exercises the window
+    overlap; halo blocks of the aliased buffer stay zero."""
+    from gflownet_spai_tpu.ops import dia as D
+
+    d = _poisson_dia(256)                      # n = n_pad = 65536
+    rng = np.random.default_rng(9)
+    orig = D.dia_pp_tile
+    D.dia_pp_tile = lambda dd: 8192            # 8 blocks, tr = 8·halo
+    try:
+        x = jnp.asarray(rng.standard_normal(d.n), jnp.float32)
+        from gflownet_spai_tpu.ops.dia import spmv_dia_jnp
+        want = x
+        for _ in range(k):
+            want = spmv_dia_jnp(d, want) * 0.3
+        want = np.asarray(want)
+        xq = D.dia_pad_pp(d, x)
+        zq = jnp.zeros_like(xq)
+        dk = D.dia_power_data(d, k)
+        z = np.asarray(D._spmv_pallas_power(d, dk, xq, zq, scale=0.3, k=k,
+                                            interpret=True))
+        tr = 8192
+        np.testing.assert_allclose(z[tr:tr + d.n], want, rtol=3e-6, atol=1e-4)
+        assert not z[:tr].any() and not z[tr + d.n_pad:].any()
+        # jnp fallback (public entry on CPU) matches too
+        zj = np.asarray(D.spmv_dia_power(d, dk, xq, zq, scale=0.3, k=k))
+        np.testing.assert_allclose(zj[tr:tr + d.n], want, rtol=3e-6, atol=1e-4)
+    finally:
+        D.dia_pp_tile = orig
+
+
+def test_pallas_dia_spmv_power_affine_interpret_mode():
+    """Affine fused k-step kernel: each pass is cur ← s·A·cur + c (the
+    weighted-Jacobi sweep shape); matches k explicit affine jnp passes."""
+    from gflownet_spai_tpu.ops import dia as D
+
+    k = 3
+    d = _poisson_dia(256)
+    rng = np.random.default_rng(10)
+    orig = D.dia_pp_tile
+    D.dia_pp_tile = lambda dd: 8192
+    try:
+        from gflownet_spai_tpu.ops.dia import spmv_dia_jnp
+        x = jnp.asarray(rng.standard_normal(d.n), jnp.float32)
+        c = jnp.asarray(rng.standard_normal(d.n), jnp.float32)
+        want = x
+        for _ in range(k):
+            want = spmv_dia_jnp(d, want) * 0.3 + c
+        want = np.asarray(want)
+        xq = D.dia_pad_pp(d, x)
+        cq = D.dia_pad_pp(d, c)
+        zq = jnp.zeros_like(xq)
+        dk = D.dia_power_data(d, k)
+        tr = 8192
+        z = np.asarray(D._spmv_pallas_power(d, dk, xq, zq, scale=0.3, k=k,
+                                            cq=cq, interpret=True))
+        np.testing.assert_allclose(z[tr:tr + d.n], want, rtol=3e-6, atol=1e-4)
+        assert not z[:tr].any() and not z[tr + d.n_pad:].any()
+        zj = np.asarray(D.spmv_dia_power(d, dk, xq, zq, scale=0.3, k=k,
+                                         add=cq))
+        np.testing.assert_allclose(zj[tr:tr + d.n], want, rtol=3e-6, atol=1e-4)
+    finally:
+        D.dia_pp_tile = orig

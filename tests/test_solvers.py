@@ -337,3 +337,44 @@ def test_cg_multi_preconditioned():
     want = np.linalg.solve(As, np.asarray(bt).T).T
     np.testing.assert_allclose(np.asarray(prec.xt), want, rtol=5e-2, atol=5e-4)
     assert int(jnp.max(prec.iterations)) < int(jnp.max(plain.iterations))
+
+
+def test_jacobi_weighted_converges_on_poisson():
+    """Weighted Jacobi (fused affine chain) matches the textbook iteration
+    and reduces the Poisson residual; the fused k>1 path is exercised in
+    interpret-mode kernels elsewhere — here the public entry on CPU."""
+    from gflownet_spai_tpu.ops import coo_to_dia
+    from gflownet_spai_tpu.solvers import jacobi, jacobi_iteration_matrix
+
+    A = gallery.get("poisson32")
+    d = coo_to_dia(A)
+    As = coo_to_scipy(A).tocsr()
+    rng = np.random.default_rng(11)
+    b = rng.standard_normal(A.shape[0]).astype(np.float32)
+
+    res = jacobi(d, jnp.asarray(b), omega=2.0 / 3.0, iters=64)
+    # textbook sweep oracle
+    Dinv = 1.0 / As.diagonal()
+    x = np.zeros_like(b)
+    for _ in range(res.iterations):
+        x = x + (2.0 / 3.0) * Dinv * (b - As @ x)
+    np.testing.assert_allclose(np.asarray(res.x), x, rtol=2e-4, atol=2e-5)
+    r0 = np.linalg.norm(b)
+    assert float(res.residual) < 0.5 * r0   # smoother actually smooths
+    assert res.iterations >= 64
+
+
+def test_jacobi_iteration_matrix_identity_on_zero_diag():
+    """Rows with a zero diagonal become identity rows (x passes through)."""
+    from gflownet_spai_tpu.ops import coo_to_dia
+    from gflownet_spai_tpu.solvers import jacobi_iteration_matrix
+
+    A = gallery.get("poisson32")
+    d = coo_to_dia(A)
+    c = d.offsets.index(0)
+    data = d.data.at[c, 3].set(0.0)
+    import dataclasses as dc
+    d0 = dc.replace(d, data=data)
+    m = jacobi_iteration_matrix(d0, omega=0.5)
+    dense = np.asarray(m.todense())
+    np.testing.assert_allclose(dense[3], np.eye(d.n)[3], atol=1e-7)
