@@ -1400,6 +1400,153 @@ def _spmv_pallas_power(d: DIA, datak: jax.Array, xq: jax.Array,
     )(*operands)
 
 
+def dia_power_stream_ok(d: DIA, k: int = 2) -> bool:
+    """Whether the STREAMED fused k-step kernel supports this matrix/tile
+    (x stays in HBM; double-buffered manual window DMAs)."""
+    tr = dia_pp_tile(d)
+    if not tr or tr < k * d.halo or k < 2:
+        return False
+    budget = _MAX_VMEM_BYTES // 4
+    rows8 = _round_up(d.ndiags, 8)
+    win_d = tr + 2 * (k - 1) * d.halo
+    win_x = tr + 2 * k * d.halo
+    # two x windows + two c windows (affine worst case) + double-buffered
+    # data blocks + out + pass temps
+    need = (4 * win_x + (2 * rows8 + 2 * d.ndiags + 6) * win_d + 2 * tr)
+    return need <= budget
+
+
+def _spmv_pallas_power_stream(d: DIA, datak: jax.Array, xq: jax.Array,
+                              zq: jax.Array, scale: float = 1.0, k: int = 2,
+                              cq: jax.Array | None = None,
+                              interpret: bool = False) -> jax.Array:
+    """Streamed fused k-step SpMV: x (and the affine constant) stay in HBM
+    and are window-DMA'd with double buffering (the stream2 pattern); data
+    windows stay grid-mapped; z aliased.  Compute duplicated per parity
+    branch (a jnp.where over both scratch buffers reads twice)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    offsets, h = d.offsets, d.halo
+    n_pad = d.n_pad
+    tr = dia_pp_tile(d)
+    grid = n_pad // tr
+    m = (k - 1) * h
+    win_d = tr + 2 * m
+    win_x = tr + 2 * k * h
+    assert tr and tr >= k * h and xq.shape == zq.shape == (n_pad + 2 * tr,)
+    assert datak.shape == (grid, d.ndiags, win_d), (datak.shape, grid, win_d)
+    affine = cq is not None
+    if affine:
+        assert cq.shape == xq.shape
+    center = offsets.index(0) if 0 in offsets else None
+
+    def passes(d_ref, z_ref, xbuf, cbuf):
+        cur = xbuf[:]
+        cext = cbuf[:] if affine else None
+        for p in range(1, k + 1):
+            out_len = tr + 2 * (k - p) * h
+            dlo = (p - 1) * h
+
+            def dia_row(s, dlo=dlo, out_len=out_len):
+                return jax.lax.slice(d_ref[0, s, :], (dlo,), (dlo + out_len,))
+
+            if center is not None:
+                y = dia_row(center) * jax.lax.slice(cur, (h,), (h + out_len,))
+            else:
+                y = jnp.zeros((out_len,), z_ref.dtype)
+            for s, off in enumerate(offsets):
+                if s == center:
+                    continue
+                y += dia_row(s) * jax.lax.slice(
+                    cur, (h + off,), (h + off + out_len,))
+            cur = y * scale if scale != 1.0 else y
+            if affine:
+                # cext covers rows j·tr ± (k−1)h; pass p's rows start (p−1)h in
+                cur = cur + jax.lax.slice(cext, (dlo,), (dlo + out_len,))
+        z_ref[:] = cur
+
+    def kernel(d_ref, x_hbm, c_hbm, z_in, z_ref,
+               x0, x1, c0, c1, semx0, semx1, semc0, semc1):
+        j = pl.program_id(0)
+        even = jax.lax.rem(j, jnp.asarray(2, j.dtype)) == 0
+
+        def dma_x(jj, buf, sem):
+            start = pl.multiple_of((jj + 1) * tr - k * h, _ALIGN)
+            return pltpu.make_async_copy(
+                x_hbm.at[pl.ds(start, win_x)], buf, sem)
+
+        def dma_c(jj, buf, sem):
+            start = pl.multiple_of((jj + 1) * tr - m, _ALIGN)
+            return pltpu.make_async_copy(
+                c_hbm.at[pl.ds(start, win_d)], buf, sem)
+
+        def start_all(jj, xbuf, semx, cbuf, semc):
+            dma_x(jj, xbuf, semx).start()
+            if affine:
+                dma_c(jj, cbuf, semc).start()
+
+        @pl.when(j == 0)
+        def _():
+            start_all(0, x0, semx0, c0, semc0)
+
+        @pl.when((j + 1 < grid) & even)
+        def _():
+            start_all(j + 1, x1, semx1, c1, semc1)
+
+        @pl.when((j + 1 < grid) & ~even)
+        def _():
+            start_all(j + 1, x0, semx0, c0, semc0)
+
+        @pl.when(even)
+        def _():
+            dma_x(j, x0, semx0).wait()
+            if affine:
+                dma_c(j, c0, semc0).wait()
+            passes(d_ref, z_ref, x0, c0)
+
+        @pl.when(~even)
+        def _():
+            dma_x(j, x1, semx1).wait()
+            if affine:
+                dma_c(j, c1, semc1).wait()
+            passes(d_ref, z_ref, x1, c1)
+
+    c_arg = cq if affine else jnp.zeros((1024,), d.data.dtype)
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n_pad + 2 * tr,), d.data.dtype),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((1, d.ndiags, win_d), lambda j: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((tr,), lambda j: (j + 1,),
+                               memory_space=pltpu.VMEM),
+        input_output_aliases={3: 0},
+        scratch_shapes=[
+            pltpu.VMEM((win_x,), d.data.dtype),
+            pltpu.VMEM((win_x,), d.data.dtype),
+            pltpu.VMEM((win_d,), d.data.dtype),
+            pltpu.VMEM((win_d,), d.data.dtype),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * k * d.ndiags * n_pad,
+            bytes_accessed=(d.ndiags + 2) * n_pad * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(datak, xq, c_arg, zq)
+
+
 def spmv_dia_power(d: DIA, datak: jax.Array, xq: jax.Array, zq: jax.Array,
                    scale: float = 1.0, k: int = 2,
                    add: jax.Array | None = None) -> jax.Array:
@@ -1415,9 +1562,13 @@ def spmv_dia_power(d: DIA, datak: jax.Array, xq: jax.Array, zq: jax.Array,
     (the invariant is preserved); ``datak`` from ``dia_power_data(d, k)``.
     Falls back to k jnp applies when the Pallas path is unavailable."""
     tr = dia_pp_tile(d)
-    if (_use_pallas() and dia_power_ok(d, k)
-            and xq.shape[0] == d.n_pad + 2 * tr):
-        return _spmv_pallas_power(d, datak, xq, zq, scale=scale, k=k, cq=add)
+    if _use_pallas() and tr and xq.shape[0] == d.n_pad + 2 * tr:
+        if dia_power_ok(d, k):
+            return _spmv_pallas_power(d, datak, xq, zq, scale=scale, k=k,
+                                      cq=add)
+        if dia_power_stream_ok(d, k):
+            return _spmv_pallas_power_stream(d, datak, xq, zq, scale=scale,
+                                             k=k, cq=add)
     p = (xq.shape[0] - d.n_pad) // 2
     h = d.halo
     dt = jnp.promote_types(d.data.dtype, xq.dtype)

@@ -4,7 +4,9 @@ from .gmres import GMRESResult, gmres, gmres_matrix, solve_with_gmres
 from .cg import CGResult, cg, cg_matrix, solve_with_cg
 from .bicgstab import BiCGStabResult, bicgstab, solve_with_bicgstab
 from .multirhs import CGMultiResult, cg_multi
-from .jacobi import JacobiResult, jacobi, jacobi_iteration_matrix
+from .jacobi import (
+    JacobiResult, jacobi, jacobi_iteration_matrix, jacobi_sweeps_op,
+)
 from .precond import ilu_solve_op, jacobi_op, spai_op
 from .trisolve import TriSolvePlan, sparse_ilu_solve_op
 from .validate import SolveReport, best_sampled_matrix, validate_preconditioners
@@ -14,7 +16,7 @@ __all__ = [
     "CGResult", "cg", "cg_matrix", "solve_with_cg",
     "BiCGStabResult", "bicgstab", "solve_with_bicgstab",
     "CGMultiResult", "cg_multi",
-    "JacobiResult", "jacobi", "jacobi_iteration_matrix",
+    "JacobiResult", "jacobi", "jacobi_iteration_matrix", "jacobi_sweeps_op",
     "ilu_solve_op", "jacobi_op", "spai_op",
     "TriSolvePlan", "sparse_ilu_solve_op",
     "SolveReport", "best_sampled_matrix", "validate_preconditioners",

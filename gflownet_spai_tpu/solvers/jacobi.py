@@ -27,6 +27,7 @@ from ..ops.dia import (
     dia_pad_pp,
     dia_power_data,
     dia_power_ok,
+    dia_power_stream_ok,
     dia_pp_tile,
     spmv_dia,
     spmv_dia_power,
@@ -74,7 +75,13 @@ def jacobi(d: DIA, b: jax.Array, x0: jax.Array | None = None,
     2·fuse_k so the fused ping-pong chain stays fixed-role), then report
     the true residual.  jit-safe; ``iters``/``fuse_k``/``omega`` static."""
     m = jacobi_iteration_matrix(d, omega)
-    k = fuse_k if dia_power_ok(m, fuse_k) else 1
+    k = 1
+    kk = fuse_k
+    while kk >= 2:          # largest feasible fusion ≤ fuse_k
+        if dia_power_ok(m, kk) or dia_power_stream_ok(m, kk):
+            k = kk
+            break
+        kk //= 2
     c = jacobi_constant(d, b, omega)
     tr = dia_pp_tile(m) or m.halo
     cq = dia_pad_pp(m, c[: d.n])
@@ -117,3 +124,62 @@ def spmv_dia_pingpong_affine(m: DIA, xq: jax.Array, zq: jax.Array,
         acc = acc + m.data[s] * sl
     acc = acc + jax.lax.slice(cq, (p,), (p + m.n_pad,))
     return jax.lax.dynamic_update_slice(zq, acc, (p,))
+
+
+# --- polynomial-Jacobi preconditioner operator ---------------------------
+
+def _jacobi_sweeps_apply(data, r, *, k: int, pairs: int, n: int):
+    m, datak, c_scale = data
+    c = c_scale * jnp.pad(r.astype(m.data.dtype), (0, m.n_pad - r.shape[0]))
+    tr = dia_pp_tile(m) or m.halo
+    cq = dia_pad_pp(m, c[: n])
+    xq = jnp.zeros_like(cq)
+    zq = jnp.zeros_like(cq)
+
+    if k > 1:
+        def body(_, cbuf):
+            x, z = cbuf
+            z = spmv_dia_power(m, datak, x, z, k=k, add=cq)
+            x = spmv_dia_power(m, datak, z, x, k=k, add=cq)
+            return (x, z)
+    else:
+        def body(_, cbuf):
+            x, z = cbuf
+            z = spmv_dia_pingpong_affine(m, x, z, cq)
+            x = spmv_dia_pingpong_affine(m, z, x, cq)
+            return (x, z)
+
+    xq, _ = jax.lax.fori_loop(0, pairs, body, (xq, zq))
+    return jax.lax.slice(xq, (tr,), (tr + n,)).astype(r.dtype)
+
+
+def jacobi_sweeps_op(d: DIA, omega: float = 2.0 / 3.0, sweeps: int = 16,
+                     fuse_k: int = 8):
+    """LinOp r ↦ x_sweeps — a fixed number of weighted-Jacobi sweeps from a
+    zero initial guess, i.e. the POLYNOMIAL preconditioner
+    P = Σ_{i<sweeps} Mⁱ·ωD⁻¹ (M = I − ωD⁻¹A).  A fixed linear operator, so
+    valid for GMRES/BiCGStab (generally nonsymmetric — CG wants a
+    symmetrized variant).  Rides the fused affine kernel at k sweeps per
+    diagonal read (solvers/jacobi.py header; measured 9 µs/sweep on
+    Poisson-1M)."""
+    from functools import partial
+    from .linop import LinOp
+
+    m = jacobi_iteration_matrix(d, omega)
+    k = 1
+    kk = fuse_k
+    while kk >= 2:
+        if dia_power_ok(m, kk) or dia_power_stream_ok(m, kk):
+            k = kk
+            break
+        kk //= 2
+    pairs = max(1, -(-sweeps // (2 * k)))
+    datak = dia_power_data(m, k) if k > 1 else jnp.zeros((0,), m.data.dtype)
+    c0 = d.offsets.index(0)
+    diag = d.data[c0]
+    c_scale = jnp.where(jnp.abs(diag) > 0, omega / jnp.where(
+        jnp.abs(diag) > 0, diag, 1.0), 0.0)
+    return LinOp(
+        data=(m, datak, c_scale),
+        fn=partial(_jacobi_sweeps_apply, k=k, pairs=pairs, n=d.n),
+    )

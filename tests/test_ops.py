@@ -540,3 +540,40 @@ def test_pallas_dia_spmv_power_affine_interpret_mode():
         np.testing.assert_allclose(zj[tr:tr + d.n], want, rtol=3e-6, atol=1e-4)
     finally:
         D.dia_pp_tile = orig
+
+
+def test_pallas_dia_spmv_power_stream_interpret_mode():
+    """Streamed fused k-step kernel (x/c window DMAs from HBM): matches
+    the resident kernel's oracle, plain and affine."""
+    from gflownet_spai_tpu.ops import dia as D
+
+    k = 3
+    d = _poisson_dia(256)
+    rng = np.random.default_rng(12)
+    orig = D.dia_pp_tile
+    D.dia_pp_tile = lambda dd: 8192
+    try:
+        from gflownet_spai_tpu.ops.dia import spmv_dia_jnp
+        x = jnp.asarray(rng.standard_normal(d.n), jnp.float32)
+        c = jnp.asarray(rng.standard_normal(d.n), jnp.float32)
+        want_p = x
+        want_a = x
+        for _ in range(k):
+            want_p = spmv_dia_jnp(d, want_p) * 0.3
+            want_a = spmv_dia_jnp(d, want_a) * 0.3 + c
+        xq = D.dia_pad_pp(d, x)
+        cq = D.dia_pad_pp(d, c)
+        zq = jnp.zeros_like(xq)
+        dk = D.dia_power_data(d, k)
+        tr = 8192
+        z = np.asarray(D._spmv_pallas_power_stream(
+            d, dk, xq, zq, scale=0.3, k=k, interpret=True))
+        np.testing.assert_allclose(z[tr:tr + d.n], np.asarray(want_p),
+                                   rtol=3e-6, atol=1e-4)
+        assert not z[:tr].any() and not z[tr + d.n_pad:].any()
+        za = np.asarray(D._spmv_pallas_power_stream(
+            d, dk, xq, zq, scale=0.3, k=k, cq=cq, interpret=True))
+        np.testing.assert_allclose(za[tr:tr + d.n], np.asarray(want_a),
+                                   rtol=3e-6, atol=1e-4)
+    finally:
+        D.dia_pp_tile = orig

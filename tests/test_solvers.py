@@ -378,3 +378,25 @@ def test_jacobi_iteration_matrix_identity_on_zero_diag():
     m = jacobi_iteration_matrix(d0, omega=0.5)
     dense = np.asarray(m.todense())
     np.testing.assert_allclose(dense[3], np.eye(d.n)[3], atol=1e-7)
+
+
+def test_gmres_with_polynomial_jacobi_preconditioner():
+    """jacobi_sweeps_op (fixed sweeps from zero guess = polynomial
+    preconditioner) cuts GMRES iterations on Poisson."""
+    from gflownet_spai_tpu.ops import coo_to_dia
+    from gflownet_spai_tpu.solvers.jacobi import jacobi_sweeps_op
+
+    A = gallery.get("poisson32")
+    d = coo_to_dia(A)
+    As = coo_to_scipy(A).tocsr()
+    rng = np.random.default_rng(13)
+    b = jnp.asarray(rng.standard_normal(A.shape[0]).astype(np.float32))
+
+    base = gmres(d, b, maxiter=400, rtol=1e-6)
+    op = jacobi_sweeps_op(d, sweeps=8)
+    pre = gmres(d, b, m_op=op, maxiter=400, rtol=1e-6)
+    # both must actually solve the system
+    for res in (base, pre):
+        x = np.asarray(res.x)
+        assert np.linalg.norm(As @ x - np.asarray(b)) <= 1e-4 * np.linalg.norm(np.asarray(b))
+    assert int(pre.iterations) < int(base.iterations)
