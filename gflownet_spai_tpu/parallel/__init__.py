@@ -1,14 +1,14 @@
 """Multi-chip execution: meshes, halo-exchange SpMV, DP training, TP head."""
 
 from .mesh import make_mesh, single_device_mesh
-from .halo_spmv import halo_spmv, partition_dia, spmv_allgather
+from .halo_spmv import halo_spmv, halo_spmv_power, partition_dia, spmv_allgather
 from .dp import make_dp_train_step, sharded_residual_norms
 from .solvers import distributed_cg, distributed_gmres
 from .tp import pad_head, shard_head, sharded_policy_logits
 
 __all__ = [
     "make_mesh", "single_device_mesh",
-    "halo_spmv", "partition_dia", "spmv_allgather",
+    "halo_spmv", "halo_spmv_power", "partition_dia", "spmv_allgather",
     "make_dp_train_step", "sharded_residual_norms",
     "distributed_cg", "distributed_gmres",
     "pad_head", "shard_head", "sharded_policy_logits",

@@ -75,6 +75,61 @@ def halo_spmv(mesh: Mesh, d: DIA, x: jax.Array, axis: str = "rows") -> jax.Array
     )(d.data, x)
 
 
+def halo_spmv_power(mesh: Mesh, d: DIA, x: jax.Array, k: int = 4,
+                    scale: float = 1.0, axis: str = "rows") -> jax.Array:
+    """z = (scale·A)ᵏ·x with A row-partitioned — COMMUNICATION-AVOIDING
+    temporal blocking: ONE bidirectional ``ppermute`` of k·halo boundary
+    entries per k dependent applies (same total bytes as k separate
+    h-exchanges, but k× fewer communication rounds / sync points), then
+    each shard runs the fused k-step kernel on its extended segment.
+
+    Each shard extends its row block by k·halo rows of BOTH x and the
+    diagonal data (the data exchange is loop-invariant under jit and gets
+    hoisted out of solver loops); the fused intermediates near shard
+    boundaries then use the true neighbor rows, and the garbage edge rows
+    of the extended computation are discarded.  Jacobi/power iterations
+    over a pod slice ride this at the single-chip fused rate between
+    exchanges."""
+    n_shards = mesh.shape[axis]
+    n_total = d.n_pad
+    n_local = n_total // n_shards
+    h = _round_up(max(max((abs(o) for o in d.offsets), default=1), 1), _ALIGN)
+    kh = k * h
+    if kh > n_local:
+        raise ValueError(f"k·halo {kh} exceeds shard size {n_local}")
+
+    from ..ops.dia import dia_pad_pp, dia_power_data, dia_pp_tile, spmv_dia_power
+
+    pairs_r = [(i, i + 1) for i in range(n_shards - 1)]
+    pairs_l = [(i + 1, i) for i in range(n_shards - 1)]
+
+    def local_power(data_local, x_local):
+        # one exchange of k·halo boundary entries (x) + the matching
+        # diagonal rows (data; static → hoisted by XLA in solver loops)
+        xl = jax.lax.ppermute(x_local[n_local - kh:], axis, pairs_r)
+        xr = jax.lax.ppermute(x_local[:kh], axis, pairs_l)
+        dl = jax.lax.ppermute(data_local[:, n_local - kh:], axis, pairs_r)
+        dr = jax.lax.ppermute(data_local[:, :kh], axis, pairs_l)
+        xe = jnp.concatenate([xl, x_local, xr])
+        de = jnp.concatenate([dl, data_local, dr], axis=1)
+        n_ext = n_local + 2 * kh
+        d_ext = DIA(data=de, offsets=d.offsets, shape=(n_ext, n_ext),
+                    nnz=d.nnz // n_shards)
+        datak = dia_power_data(d_ext, k)
+        tr = dia_pp_tile(d_ext) or d_ext.halo
+        xq = dia_pad_pp(d_ext, xe)
+        zq = spmv_dia_power(d_ext, datak, xq, jnp.zeros_like(xq),
+                            scale=scale, k=k)
+        # center rows only: the ext-edge rows lack their own halo context
+        return jax.lax.slice(zq, (tr + kh,), (tr + kh + n_local,))
+
+    return shard_map(
+        local_power, mesh=mesh,
+        in_specs=(P(None, axis), P(axis)),
+        out_specs=P(axis),
+    )(d.data, x)
+
+
 def spmv_allgather(mesh: Mesh, d: DIA, x: jax.Array, axis: str = "rows") -> jax.Array:
     """Baseline distributed SpMV: all-gather x then local rows — correct for
     any bandwidth, O(n) comm.  Used as the oracle for halo_spmv and for

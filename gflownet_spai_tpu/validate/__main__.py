@@ -50,6 +50,9 @@ def main(argv=None) -> int:
                         "--seed-method/--hidden-dim)")
     p.add_argument("--classic-k", type=int, default=1,
                    help="power-pattern order for the classic-SPAI column")
+    p.add_argument("--jacobi-poly", type=int, default=0, metavar="SWEEPS",
+                   help="add a polynomial-Jacobi preconditioner row with "
+                        "that many sweeps (GMRES only)")
     args = p.parse_args(argv)
 
     if args.platform:
@@ -158,6 +161,15 @@ def main(argv=None) -> int:
 
     mc = spai_classic(a, k=args.classic_k, dtype=a.data.dtype)
     report["classic_spai"] = solve_row(as_op(mc)) | {"nnz": mc.nnz}
+
+    if args.jacobi_poly > 0 and args.method == "gmres":
+        # polynomial preconditioner rides the fused k-step kernel; only
+        # for GMRES (the operator is nonsymmetric in general)
+        from ..ops.dia import coo_to_dia
+        from ..solvers.jacobi import jacobi_sweeps_op
+
+        op = jacobi_sweeps_op(coo_to_dia(a), sweeps=args.jacobi_poly)
+        report["jacobi_poly"] = solve_row(op) | {"sweeps": args.jacobi_poly}
 
     out_dir = Path(args.out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)

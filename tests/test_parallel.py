@@ -220,3 +220,27 @@ def test_dp_train_with_replay_and_subtb(tmp_path):
     state, history = train(cfg)
     assert np.isfinite(history).all()
     assert np.isfinite(np.asarray(state.replay.rewards)).sum() >= 4
+
+
+def test_halo_spmv_power_matches_sequential(rows_mesh):
+    """Communication-avoiding fused k-step: one k·halo exchange per k
+    applies equals k sequential halo_spmv applies (and the scipy oracle)."""
+    from gflownet_spai_tpu.parallel import halo_spmv_power
+
+    coo = gallery.get("poisson128")        # 16384 rows → 2048/shard
+    d = partition_dia(coo_to_dia(coo), 8)
+    A = coo_to_scipy(coo)
+    n = coo.shape[0]
+    x = np.zeros(d.n_pad)
+    x[:n] = np.random.default_rng(2).standard_normal(n)
+
+    k, s = 2, 0.3
+    z = halo_spmv_power(rows_mesh, d, jnp.asarray(x), k=k, scale=s)
+    want = x[:n]
+    for _ in range(k):
+        want = s * (A @ want)
+    np.testing.assert_allclose(np.asarray(z)[:n], want, rtol=2e-5, atol=1e-7)
+
+    # k·halo exceeding the shard size must raise, not corrupt
+    with pytest.raises(ValueError, match="halo"):
+        halo_spmv_power(rows_mesh, d, jnp.asarray(x), k=4)
