@@ -28,6 +28,7 @@ from .dia import (
     spmv_dia_jnp,
     spmv_dia_padded,
     spmv_dia_padded_io,
+    spmv_dia_cheby,
     spmv_dia_pingpong,
     spmv_dia_power,
 )
@@ -40,7 +41,7 @@ __all__ = [
     "dia_to_coo",
     "dia_transpose", "spmm_dia", "spmm_dia_t", "spmm_dia_t_padded",
     "spmv_dia", "spmv_dia_jnp", "spmv_dia_padded", "spmv_dia_padded_io",
-    "spmv_dia_pingpong", "spmv_dia_power",
+    "spmv_dia_cheby", "spmv_dia_pingpong", "spmv_dia_power",
     "bandwidth", "n_diagonals", "permute", "rcm_permutation", "rcm_reorder",
     "BELL", "csr_to_bell", "spmm_bell", "spmm_bell_jnp", "spmv_bell",
 ]

@@ -1547,6 +1547,185 @@ def _spmv_pallas_power_stream(d: DIA, datak: jax.Array, xq: jax.Array,
     )(datak, xq, c_arg, zq)
 
 
+def dia_cheby_ok(d: DIA, k: int) -> bool:
+    """VMEM feasibility of the fused Chebyshev kernel (z resident, dd/r
+    double-buffered window DMAs, data windows grid-mapped)."""
+    tr = dia_pp_tile(d)
+    if not tr or tr < k * d.halo or k < 2:
+        return False
+    budget = _MAX_VMEM_BYTES // 4
+    rows8 = _round_up(d.ndiags, 8)
+    win_d = tr + 2 * (k - 1) * d.halo
+    need = ((d.n_pad + 2 * tr)                      # z resident
+            + (2 * rows8 + 2 * d.ndiags + 6) * win_d  # data dbuf + temps
+            + 4 * win_d                               # dd/r window dbuf
+            + 4 * tr)                                 # two dbuf outputs
+    return need <= budget
+
+
+def _spmv_pallas_cheby(d: DIA, datak: jax.Array, zq: jax.Array,
+                       ddq: jax.Array, rq: jax.Array,
+                       z_dead: jax.Array, dd_dead: jax.Array,
+                       coeffs: tuple, k: int,
+                       interpret: bool = False):
+    """Fused k steps of the Chebyshev semi-iteration (solvers/stationary.py
+    ``chebyshev_coeffs``): per pass p with STATIC (aₚ, bₚ)
+
+        dd ← aₚ·dd + bₚ·(r − A·z);   z ← z + dd
+
+    z is whole-VMEM (its matvec needs halos); dd and r stream as
+    double-buffered ±(k−1)h windows; data windows grid-map
+    (``dia_power_data(d, k)``).  Returns (z_out, dd_out) aliased into
+    ``z_dead``/``dd_dead`` — the same fixed-role ping-pong discipline as
+    ``spmv_dia_power``, with two buffer pairs."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    offsets, h = d.offsets, d.halo
+    n_pad = d.n_pad
+    tr = dia_pp_tile(d)
+    grid = n_pad // tr
+    m = (k - 1) * h
+    win_d = tr + 2 * m
+    assert tr and tr >= k * h and len(coeffs) == k
+    assert zq.shape == ddq.shape == rq.shape == (n_pad + 2 * tr,)
+    assert datak.shape == (grid, d.ndiags, win_d), (datak.shape, grid, win_d)
+    center = offsets.index(0) if 0 in offsets else None
+
+    def passes(d_ref, z_ref, dd_ref, zcur, ddcur, rcur):
+        for p in range(1, k + 1):
+            out_len = tr + 2 * (k - p) * h
+            dlo = (p - 1) * h
+            a_p, b_p = coeffs[p - 1]
+
+            def dia_row(s, dlo=dlo, out_len=out_len):
+                return jax.lax.slice(d_ref[0, s, :], (dlo,), (dlo + out_len,))
+
+            if center is not None:
+                t = dia_row(center) * jax.lax.slice(zcur, (h,), (h + out_len,))
+            else:
+                t = jnp.zeros((out_len,), z_ref.dtype)
+            for s, off in enumerate(offsets):
+                if s == center:
+                    continue
+                t += dia_row(s) * jax.lax.slice(
+                    zcur, (h + off,), (h + off + out_len,))
+            # p=1 consumes the full dd/r windows (offset 0 / dlo=0);
+            # later passes slice the shrinking center
+            ddc = ddcur if p == 1 else jax.lax.slice(
+                ddcur, (h,), (h + out_len,))
+            rc = jax.lax.slice(rcur, (dlo,), (dlo + out_len,))
+            dd_new = a_p * ddc + b_p * (rc - t)
+            zcur = jax.lax.slice(zcur, (h,), (h + out_len,)) + dd_new
+            ddcur = dd_new
+        z_ref[:] = zcur
+        dd_ref[:] = ddcur
+
+    def kernel(d_ref, z_in, dd_hbm, r_hbm, z_a, dd_a, z_ref, dd_ref,
+               s_dd0, s_dd1, s_r0, s_r1, sem0, sem1, sem2, sem3):
+        j = pl.program_id(0)
+        even = jax.lax.rem(j, jnp.asarray(2, j.dtype)) == 0
+
+        def dma(hbm, jj, buf, sem):
+            start = pl.multiple_of((jj + 1) * tr - m, _ALIGN)
+            return pltpu.make_async_copy(hbm.at[pl.ds(start, win_d)], buf, sem)
+
+        @pl.when(j == 0)
+        def _():
+            dma(dd_hbm, 0, s_dd0, sem0).start()
+            dma(r_hbm, 0, s_r0, sem2).start()
+
+        @pl.when((j + 1 < grid) & even)
+        def _():
+            dma(dd_hbm, j + 1, s_dd1, sem1).start()
+            dma(r_hbm, j + 1, s_r1, sem3).start()
+
+        @pl.when((j + 1 < grid) & ~even)
+        def _():
+            dma(dd_hbm, j + 1, s_dd0, sem0).start()
+            dma(r_hbm, j + 1, s_r0, sem2).start()
+
+        zstart = pl.multiple_of((j + 1) * tr - k * h, _ALIGN)
+        zcur = z_in[pl.ds(zstart, tr + 2 * k * h)]
+
+        @pl.when(even)
+        def _():
+            dma(dd_hbm, j, s_dd0, sem0).wait()
+            dma(r_hbm, j, s_r0, sem2).wait()
+            passes(d_ref, z_ref, dd_ref, zcur, s_dd0[:], s_r0[:])
+
+        @pl.when(~even)
+        def _():
+            dma(dd_hbm, j, s_dd1, sem1).wait()
+            dma(r_hbm, j, s_r1, sem3).wait()
+            passes(d_ref, z_ref, dd_ref, zcur, s_dd1[:], s_r1[:])
+
+    shp = jax.ShapeDtypeStruct((n_pad + 2 * tr,), d.data.dtype)
+    return pl.pallas_call(
+        kernel,
+        out_shape=(shp, shp),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((1, d.ndiags, win_d), lambda j: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec((tr,), lambda j: (j + 1,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tr,), lambda j: (j + 1,), memory_space=pltpu.VMEM),
+        ),
+        input_output_aliases={4: 0, 5: 1},
+        scratch_shapes=[
+            pltpu.VMEM((win_d,), d.data.dtype),
+            pltpu.VMEM((win_d,), d.data.dtype),
+            pltpu.VMEM((win_d,), d.data.dtype),
+            pltpu.VMEM((win_d,), d.data.dtype),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * k * (d.ndiags + 3) * n_pad,
+            bytes_accessed=(d.ndiags + 4) * n_pad * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(datak, zq, ddq, rq, z_dead, dd_dead)
+
+
+def spmv_dia_cheby(d: DIA, datak: jax.Array, zq: jax.Array, ddq: jax.Array,
+                   rq: jax.Array, z_dead: jax.Array, dd_dead: jax.Array,
+                   coeffs: tuple, k: int):
+    """Fused k Chebyshev semi-iteration steps (see ``_spmv_pallas_cheby``)
+    with a jnp fallback of identical semantics."""
+    tr = dia_pp_tile(d)
+    if (_use_pallas() and dia_cheby_ok(d, k)
+            and zq.shape[0] == d.n_pad + 2 * tr):
+        return _spmv_pallas_cheby(d, datak, zq, ddq, rq, z_dead, dd_dead,
+                                  coeffs, k)
+    p = (zq.shape[0] - d.n_pad) // 2
+    h = d.halo
+    z = jax.lax.slice(zq, (p - h,), (p + d.n_pad + h,))
+    dd = jax.lax.slice(ddq, (p,), (p + d.n_pad,))
+    r = jax.lax.slice(rq, (p,), (p + d.n_pad,))
+    for (a, b) in coeffs:
+        t = jnp.zeros((d.n_pad,), z.dtype)
+        for s, off in enumerate(d.offsets):
+            t = t + d.data[s] * jax.lax.slice(z, (h + off,),
+                                              (h + off + d.n_pad,))
+        dd = a * dd + b * (r - t)
+        z = jnp.pad(jax.lax.slice(z, (h,), (h + d.n_pad,)) + dd, (h, h))
+    z_out = jax.lax.dynamic_update_slice(
+        z_dead, jax.lax.slice(z, (h,), (h + d.n_pad,)), (p,))
+    dd_out = jax.lax.dynamic_update_slice(dd_dead, dd, (p,))
+    return z_out, dd_out
+
+
 def spmv_dia_power(d: DIA, datak: jax.Array, xq: jax.Array, zq: jax.Array,
                    scale: float = 1.0, k: int = 2,
                    add: jax.Array | None = None) -> jax.Array:
@@ -1555,7 +1734,7 @@ def spmv_dia_power(d: DIA, datak: jax.Array, xq: jax.Array, zq: jax.Array,
     by re-reading the diagonals, so the fused chain runs ~k× the plain
     chain until compute-bound).  With ``add`` (same padded layout) each
     pass is the AFFINE map cur ← scale·A·cur + add — k weighted-Jacobi
-    sweeps when A = I − ωD⁻¹A₀ and add = ωD⁻¹b (see solvers/jacobi.py).
+    sweeps when A = I − ωD⁻¹A₀ and add = ωD⁻¹b (see solvers/stationary.py).
     Valid for Jacobi smoothers / power iterations / chained-apply
     benchmarks — NOT for Krylov steps that need a dot product between
     applies.  Buffers in the ``dia_pad_pp`` layout with zero halo blocks

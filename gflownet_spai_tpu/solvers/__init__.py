@@ -4,8 +4,9 @@ from .gmres import GMRESResult, gmres, gmres_matrix, solve_with_gmres
 from .cg import CGResult, cg, cg_matrix, solve_with_cg
 from .bicgstab import BiCGStabResult, bicgstab, solve_with_bicgstab
 from .multirhs import CGMultiResult, cg_multi
-from .jacobi import (
-    JacobiResult, jacobi, jacobi_iteration_matrix, jacobi_sweeps_op,
+from .stationary import (
+    JacobiResult, chebyshev_op, estimate_lmax, jacobi,
+    jacobi_iteration_matrix, jacobi_sweeps_op,
 )
 from .precond import ilu_solve_op, jacobi_op, spai_op
 from .trisolve import TriSolvePlan, sparse_ilu_solve_op
@@ -16,7 +17,8 @@ __all__ = [
     "CGResult", "cg", "cg_matrix", "solve_with_cg",
     "BiCGStabResult", "bicgstab", "solve_with_bicgstab",
     "CGMultiResult", "cg_multi",
-    "JacobiResult", "jacobi", "jacobi_iteration_matrix", "jacobi_sweeps_op",
+    "JacobiResult", "chebyshev_op", "estimate_lmax", "jacobi",
+    "jacobi_iteration_matrix", "jacobi_sweeps_op",
     "ilu_solve_op", "jacobi_op", "spai_op",
     "TriSolvePlan", "sparse_ilu_solve_op",
     "SolveReport", "best_sampled_matrix", "validate_preconditioners",

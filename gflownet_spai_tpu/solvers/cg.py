@@ -44,6 +44,11 @@ def _cg_impl(
 
     r0 = b - a_op(x0)
     z0 = m_op(r0)
+    # promote the whole carry to one dtype up front: a float64 operator on
+    # a float32 b otherwise flips the carry dtype inside the loop body
+    # (while_loop requires identical input/output carry types)
+    dt = jnp.result_type(r0.dtype, z0.dtype)
+    x0, r0, z0 = x0.astype(dt), r0.astype(dt), z0.astype(dt)
     p0 = z0
 
     def body(state):

@@ -76,7 +76,7 @@ def jacobi(d: DIA, b: jax.Array, x0: jax.Array | None = None,
     the true residual.  jit-safe; ``iters``/``fuse_k``/``omega`` static."""
     m = jacobi_iteration_matrix(d, omega)
     k = 1
-    kk = fuse_k
+    kk = min(fuse_k, max(1, iters // 2))   # don't inflate small iters
     while kk >= 2:          # largest feasible fusion ≤ fuse_k
         if dia_power_ok(m, kk) or dia_power_stream_ok(m, kk):
             k = kk
@@ -131,8 +131,8 @@ def spmv_dia_pingpong_affine(m: DIA, xq: jax.Array, zq: jax.Array,
 def _jacobi_sweeps_apply(data, r, *, k: int, pairs: int, n: int):
     m, datak, c_scale = data
     c = c_scale * jnp.pad(r.astype(m.data.dtype), (0, m.n_pad - r.shape[0]))
-    tr = dia_pp_tile(m) or m.halo
     cq = dia_pad_pp(m, c[: n])
+    tr = (cq.shape[0] - m.n_pad) // 2             # derive P from the buffer
     xq = jnp.zeros_like(cq)
     zq = jnp.zeros_like(cq)
 
@@ -157,17 +157,22 @@ def jacobi_sweeps_op(d: DIA, omega: float = 2.0 / 3.0, sweeps: int = 16,
                      fuse_k: int = 8):
     """LinOp r ↦ x_sweeps — a fixed number of weighted-Jacobi sweeps from a
     zero initial guess, i.e. the POLYNOMIAL preconditioner
-    P = Σ_{i<sweeps} Mⁱ·ωD⁻¹ (M = I − ωD⁻¹A).  A fixed linear operator, so
-    valid for GMRES/BiCGStab (generally nonsymmetric — CG wants a
-    symmetrized variant).  Rides the fused affine kernel at k sweeps per
-    diagonal read (solvers/jacobi.py header; measured 9 µs/sweep on
+    P = Σ_{i<sweeps} Mⁱ·ωD⁻¹ (M = I − ωD⁻¹A).  A fixed linear operator;
+    for symmetric A it is itself symmetric (D⁻¹(I−ωAD⁻¹)ⁱ = (I−ωD⁻¹A)ⁱD⁻¹)
+    and SPD for 0 < ω·λmax(D⁻¹A) < 2 (verified numerically: eigs of P on
+    poisson32 ∈ [0.125, 0.99] at ω=2/3, sweeps=6) — so valid for CG as
+    well as GMRES/BiCGStab.  Rides the fused affine kernel at k sweeps per
+    diagonal read (solvers/stationary.py header; measured 9 µs/sweep on
     Poisson-1M)."""
     from functools import partial
     from .linop import LinOp
 
     m = jacobi_iteration_matrix(d, omega)
     k = 1
-    kk = fuse_k
+    # fusion granularity is 2·k sweeps (fixed-role call pair); cap k at
+    # sweeps//2 so small sweep counts aren't silently inflated (a k=8
+    # op asked for 4 sweeps would otherwise run 16)
+    kk = min(fuse_k, max(1, sweeps // 2))
     while kk >= 2:
         if dia_power_ok(m, kk) or dia_power_stream_ok(m, kk):
             k = kk
@@ -183,3 +188,119 @@ def jacobi_sweeps_op(d: DIA, omega: float = 2.0 / 3.0, sweeps: int = 16,
         data=(m, datak, c_scale),
         fn=partial(_jacobi_sweeps_apply, k=k, pairs=pairs, n=d.n),
     )
+
+
+# --- Chebyshev polynomial preconditioner ----------------------------------
+
+def estimate_lmax(d: DIA, iters: int = 20, seed: int = 0) -> jax.Array:
+    """Power-iteration estimate of λmax(A) (scalar, jit-safe).  A few
+    percent over-estimation is fine for Chebyshev bounds — callers
+    typically scale by 1.05."""
+    import jax.random as jr
+
+    v = jr.normal(jr.PRNGKey(seed), (d.n,), d.data.dtype)
+
+    def body(_, v):
+        w = spmv_dia(d, v)[: d.n]
+        return w / (jnp.linalg.norm(w) + 1e-30)
+
+    v = jax.lax.fori_loop(0, iters, body, v / jnp.linalg.norm(v))
+    w = spmv_dia(d, v)[: d.n]
+    return jnp.dot(v, w) / jnp.dot(v, v)
+
+
+def chebyshev_coeffs(lmin: float, lmax: float, degree: int):
+    """Per-step (aᵢ, bᵢ) for the Chebyshev semi-iteration solving A·z = r
+    from z₀ = 0 (Saad, Iterative Methods, Alg. 12.1):
+
+        d₀ = r/θ,  z₁ = d₀
+        ρᵢ = 1/(2σ₁ − ρᵢ₋₁);  dᵢ = ρᵢρᵢ₋₁·dᵢ₋₁ + (2ρᵢ/δ)(r − A·zᵢ)
+        zᵢ₊₁ = zᵢ + dᵢ
+
+    expressed uniformly as dᵢ = aᵢ·dᵢ₋₁ + bᵢ·(r − A·zᵢ) with a₀ = 0,
+    b₀ = 1/θ."""
+    theta = (lmax + lmin) / 2.0
+    delta = (lmax - lmin) / 2.0
+    sigma1 = theta / delta
+    coeffs = [(0.0, 1.0 / theta)]
+    rho_prev = 1.0 / sigma1
+    for _ in range(1, degree):
+        rho = 1.0 / (2.0 * sigma1 - rho_prev)
+        coeffs.append((rho * rho_prev, 2.0 * rho / delta))
+        rho_prev = rho
+    return coeffs
+
+
+def _chebyshev_apply(data, r, *, coeffs, n: int):
+    d, _ = data
+    rr = r[: n]
+    z = jnp.zeros_like(rr)
+    dd = jnp.zeros_like(rr)
+    for (a, b) in coeffs:
+        resid = rr - spmv_dia(d, z)[: n]
+        dd = a * dd + b * resid
+        z = z + dd
+    return z.astype(r.dtype)
+
+
+def _chebyshev_apply_fused(data, r, *, coeff_calls, k: int, n: int):
+    from ..ops.dia import spmv_dia_cheby
+
+    from ..ops.dia import dia_pad_pp as _pad_pp   # late: respects test patches
+
+    d, datak = data
+    rq = _pad_pp(d, r[: n].astype(d.data.dtype))
+    tr = (rq.shape[0] - d.n_pad) // 2             # derive P from the buffer
+    bufs = [jnp.zeros_like(rq) for _ in range(4)]   # zA, ddA, zB, ddB
+    for i, cc in enumerate(coeff_calls):            # unrolled: static coeffs
+        src, dst = (0, 2) if i % 2 == 0 else (2, 0)
+        z_out, dd_out = spmv_dia_cheby(
+            d, datak, bufs[src], bufs[src + 1], rq,
+            bufs[dst], bufs[dst + 1], cc, k)
+        bufs[dst], bufs[dst + 1] = z_out, dd_out
+    final = 0 if len(coeff_calls) % 2 == 0 else 2
+    return jax.lax.slice(bufs[final if len(coeff_calls) else 0],
+                         (tr,), (tr + n,)).astype(r.dtype)
+
+
+def chebyshev_op(d: DIA, lmax: float, lmin: float | None = None,
+                 degree: int = 16, fuse_k: int = 4):
+    """LinOp r ↦ z_degree — the degree-``degree`` Chebyshev polynomial
+    approximation of A⁻¹r over [lmin, lmax] (a polynomial in A: symmetric,
+    and SPD when the polynomial is positive on the spectrum — the standard
+    Chebyshev preconditioner).  Near-optimal iteration cuts for CG:
+    κ(P·A) ≈ ((1+ε)/(1−ε))² with ε = exp(−2·degree/√(lmax/lmin)).
+    ``lmin`` defaults to lmax/30 (the usual smoother heuristic; pass the
+    true λmin for full preconditioning strength).  ``lmax``/``lmin`` are
+    python floats (static).
+
+    When the fused Chebyshev kernel fits (``dia_cheby_ok``), the apply
+    runs ``fuse_k`` semi-iteration steps per diagonal-data read (degree
+    rounds UP to a multiple of fuse_k — a slightly higher degree only
+    strengthens P)."""
+    from functools import partial
+    from ..ops.dia import dia_cheby_ok
+    from .linop import LinOp
+
+    if lmin is None:
+        lmin = lmax / 30.0
+    k = 1
+    kk = min(fuse_k, max(1, degree // 2))
+    while kk >= 2:
+        if dia_cheby_ok(d, kk):
+            k = kk
+            break
+        kk //= 2
+    if k > 1:
+        degree_eff = -(-degree // k) * k
+        coeffs = chebyshev_coeffs(float(lmin), float(lmax), degree_eff)
+        coeff_calls = tuple(tuple(coeffs[i:i + k])
+                            for i in range(0, degree_eff, k))
+        datak = dia_power_data(d, k)
+        return LinOp(data=(d, datak),
+                     fn=partial(_chebyshev_apply_fused,
+                                coeff_calls=coeff_calls, k=k, n=d.n))
+    coeffs = tuple(chebyshev_coeffs(float(lmin), float(lmax), degree))
+    dummy = jnp.zeros((0,), d.data.dtype)
+    return LinOp(data=(d, dummy),
+                 fn=partial(_chebyshev_apply, coeffs=coeffs, n=d.n))

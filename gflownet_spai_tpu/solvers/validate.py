@@ -59,8 +59,8 @@ def validate_preconditioners(
 ) -> Dict[str, SolveReport]:
     """Run the reference comparison: none vs ILU vs (optionally) sampled
     SPAI.  ``jacobi_poly`` > 0 adds a polynomial-Jacobi row (that many
-    weighted-Jacobi sweeps as the preconditioner — GMRES/BiCGStab only,
-    CG needs an SPD operator)."""
+    weighted-Jacobi sweeps as the preconditioner; symmetric & SPD for
+    symmetric A, so valid for CG too)."""
     n = a.shape[0]
     if b is None:
         b = jnp.ones((n,), a.data.dtype)
@@ -80,9 +80,9 @@ def validate_preconditioners(
     if sampled_m is not None:
         out["spai"] = _report(a, b, *solve(a, b, spai_op(sampled_m), **kw),
                               rtol=100 * rtol)
-    if jacobi_poly > 0 and method == "gmres":
+    if jacobi_poly > 0:
         from ..ops.dia import coo_to_dia
-        from .jacobi import jacobi_sweeps_op
+        from .stationary import jacobi_sweeps_op
 
         op = jacobi_sweeps_op(coo_to_dia(a), sweeps=jacobi_poly)
         out["jacobi_poly"] = _report(a, b, *solve(a, b, op, **kw),

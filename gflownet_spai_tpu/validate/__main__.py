@@ -52,7 +52,13 @@ def main(argv=None) -> int:
                    help="power-pattern order for the classic-SPAI column")
     p.add_argument("--jacobi-poly", type=int, default=0, metavar="SWEEPS",
                    help="add a polynomial-Jacobi preconditioner row with "
-                        "that many sweeps (GMRES only)")
+                        "that many sweeps (SPD for symmetric A — works "
+                        "with CG and GMRES)")
+    p.add_argument("--chebyshev", type=int, default=0, metavar="DEGREE",
+                   help="add a Chebyshev polynomial preconditioner row "
+                        "(λmax via power iteration; λmin = λmax/"
+                        "--cheby-lmin-ratio)")
+    p.add_argument("--cheby-lmin-ratio", type=float, default=30.0)
     args = p.parse_args(argv)
 
     if args.platform:
@@ -162,14 +168,27 @@ def main(argv=None) -> int:
     mc = spai_classic(a, k=args.classic_k, dtype=a.data.dtype)
     report["classic_spai"] = solve_row(as_op(mc)) | {"nnz": mc.nnz}
 
-    if args.jacobi_poly > 0 and args.method == "gmres":
-        # polynomial preconditioner rides the fused k-step kernel; only
-        # for GMRES (the operator is nonsymmetric in general)
+    if args.jacobi_poly > 0:
+        # polynomial preconditioner rides the fused k-step kernel;
+        # symmetric & SPD for symmetric A (jacobi_sweeps_op docstring),
+        # so it serves CG as well as GMRES
         from ..ops.dia import coo_to_dia
-        from ..solvers.jacobi import jacobi_sweeps_op
+        from ..solvers.stationary import jacobi_sweeps_op
 
         op = jacobi_sweeps_op(coo_to_dia(a), sweeps=args.jacobi_poly)
         report["jacobi_poly"] = solve_row(op) | {"sweeps": args.jacobi_poly}
+
+    if args.chebyshev > 0:
+        from ..ops.dia import coo_to_dia
+        from ..solvers.stationary import chebyshev_op, estimate_lmax
+
+        dd = coo_to_dia(a)
+        lmax = 1.05 * float(estimate_lmax(dd, iters=30))
+        op = chebyshev_op(dd, lmax=lmax,
+                          lmin=lmax / args.cheby_lmin_ratio,
+                          degree=args.chebyshev)
+        report["chebyshev"] = solve_row(op) | {
+            "degree": args.chebyshev, "lmax_est": lmax}
 
     out_dir = Path(args.out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)

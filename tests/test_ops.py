@@ -577,3 +577,71 @@ def test_pallas_dia_spmv_power_stream_interpret_mode():
                                    rtol=3e-6, atol=1e-4)
     finally:
         D.dia_pp_tile = orig
+
+
+def test_pallas_dia_cheby_interpret_mode():
+    """Fused Chebyshev kernel: k semi-iteration steps with static per-pass
+    coefficients match the explicit recurrence (z/dd carried, r constant),
+    in interpret mode and via the public dispatcher's jnp fallback."""
+    from gflownet_spai_tpu.ops import dia as D
+    from gflownet_spai_tpu.solvers.stationary import chebyshev_coeffs
+
+    k = 3
+    d = _poisson_dia(256)
+    rng = np.random.default_rng(16)
+    orig = D.dia_pp_tile
+    D.dia_pp_tile = lambda dd: 8192
+    try:
+        from gflownet_spai_tpu.ops.dia import spmv_dia_jnp
+        r = jnp.asarray(rng.standard_normal(d.n), jnp.float32)
+        coeffs = tuple(chebyshev_coeffs(0.5, 8.0, k))
+        # oracle: explicit recurrence
+        z = jnp.zeros_like(r)
+        dd = jnp.zeros_like(r)
+        for (a, b) in coeffs:
+            dd = a * dd + b * (r - spmv_dia_jnp(d, z))
+            z = z + dd
+        want_z, want_dd = np.asarray(z), np.asarray(dd)
+
+        tr = 8192
+        rq = D.dia_pad_pp(d, r)
+        z0 = jnp.zeros_like(rq)
+        dk = D.dia_power_data(d, k)
+        zo, ddo = D._spmv_pallas_cheby(
+            d, dk, z0, jnp.zeros_like(rq), rq,
+            jnp.zeros_like(rq), jnp.zeros_like(rq), coeffs, k,
+            interpret=True)
+        np.testing.assert_allclose(np.asarray(zo)[tr:tr + d.n], want_z,
+                                   rtol=3e-5, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(ddo)[tr:tr + d.n], want_dd,
+                                   rtol=3e-5, atol=1e-3)
+        assert not np.asarray(zo)[:tr].any()
+        # public dispatcher (jnp fallback on CPU) agrees
+        zj, ddj = D.spmv_dia_cheby(
+            d, dk, z0, jnp.zeros_like(rq), rq,
+            jnp.zeros_like(rq), jnp.zeros_like(rq), coeffs, k)
+        np.testing.assert_allclose(np.asarray(zj)[tr:tr + d.n], want_z,
+                                   rtol=3e-5, atol=1e-3)
+    finally:
+        D.dia_pp_tile = orig
+
+
+def test_chebyshev_fused_apply_matches_plain():
+    """chebyshev_op's fused multi-call apply (padded ping-pong chain over
+    spmv_dia_cheby) equals the plain per-step recurrence apply."""
+    import gflownet_spai_tpu.solvers.stationary as J
+    from gflownet_spai_tpu.ops import dia as D
+
+    d = _poisson_dia(256)
+    rng = np.random.default_rng(17)
+    orig = D.dia_pp_tile
+    D.dia_pp_tile = lambda dd: 8192     # tr = 8·halo → fuse_k up to 8
+    try:
+        r = jnp.asarray(rng.standard_normal(d.n), jnp.float32)
+        op_fused = J.chebyshev_op(d, lmax=8.0, lmin=0.5, degree=8, fuse_k=4)
+        op_plain = J.chebyshev_op(d, lmax=8.0, lmin=0.5, degree=8, fuse_k=1)
+        np.testing.assert_allclose(np.asarray(op_fused(r)),
+                                   np.asarray(op_plain(r)),
+                                   rtol=3e-5, atol=1e-3)
+    finally:
+        D.dia_pp_tile = orig

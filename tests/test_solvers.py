@@ -384,7 +384,7 @@ def test_gmres_with_polynomial_jacobi_preconditioner():
     """jacobi_sweeps_op (fixed sweeps from zero guess = polynomial
     preconditioner) cuts GMRES iterations on Poisson."""
     from gflownet_spai_tpu.ops import coo_to_dia
-    from gflownet_spai_tpu.solvers.jacobi import jacobi_sweeps_op
+    from gflownet_spai_tpu.solvers.stationary import jacobi_sweeps_op
 
     A = gallery.get("poisson32")
     d = coo_to_dia(A)
@@ -400,3 +400,64 @@ def test_gmres_with_polynomial_jacobi_preconditioner():
         x = np.asarray(res.x)
         assert np.linalg.norm(As @ x - np.asarray(b)) <= 1e-4 * np.linalg.norm(np.asarray(b))
     assert int(pre.iterations) < int(base.iterations)
+
+
+def test_cg_with_polynomial_jacobi_preconditioner():
+    """For symmetric A the polynomial-Jacobi operator is SPD (see
+    jacobi_sweeps_op docstring), so preconditioned CG converges in fewer
+    iterations to the same solution."""
+    from gflownet_spai_tpu.ops import coo_to_dia
+    from gflownet_spai_tpu.solvers.stationary import jacobi_sweeps_op
+
+    A = gallery.get("poisson32")
+    d = coo_to_dia(A)
+    As = coo_to_scipy(A).tocsr()
+    rng = np.random.default_rng(14)
+    # f32 b against the f64 matrix also exercises the carry-dtype
+    # promotion in _cg_impl (mixed dtypes used to break while_loop)
+    b = jnp.asarray(rng.standard_normal(A.shape[0]).astype(np.float32))
+
+    base = cg(d, b, maxiter=400, rtol=1e-6)
+    pre = cg(d, b, m_op=jacobi_sweeps_op(d, sweeps=8), maxiter=400, rtol=1e-6)
+    for res in (base, pre):
+        x = np.asarray(res.x)
+        assert np.linalg.norm(As @ x - np.asarray(b)) <= 1e-4 * np.linalg.norm(np.asarray(b))
+    assert int(pre.iterations) < int(base.iterations)
+
+
+def test_chebyshev_preconditioner_cuts_cg_iterations():
+    """Chebyshev op: converges to A⁻¹r with degree, is symmetric, and
+    preconditioned CG needs far fewer iterations (near-optimal polynomial
+    over the true spectral interval)."""
+    from gflownet_spai_tpu.ops import coo_to_dia
+    from gflownet_spai_tpu.solvers.stationary import chebyshev_op, estimate_lmax
+
+    A = gallery.get("poisson32")
+    d = coo_to_dia(A)
+    As = coo_to_scipy(A).tocsr()
+    n = A.shape[0]
+    w = np.linalg.eigvalsh(As.toarray())
+    lmin, lmax = float(w[0]), float(w[-1])
+
+    # power iteration approximates lmax
+    est = float(estimate_lmax(d, iters=50))
+    assert 0.8 * lmax <= est <= 1.02 * lmax
+
+    rng = np.random.default_rng(15)
+    r = rng.standard_normal(n)
+    op = chebyshev_op(d, lmax=1.05 * lmax, lmin=lmin, degree=64)
+    z = np.asarray(op(jnp.asarray(r, d.data.dtype)))
+    z_true = np.linalg.solve(As.toarray(), r)
+    # degree-64 Chebyshev over the true interval: tight approximation
+    assert np.linalg.norm(z - z_true) <= 1e-2 * np.linalg.norm(z_true)
+
+    b = jnp.asarray(rng.standard_normal(n), d.data.dtype)
+    base = cg(d, b, maxiter=600, rtol=1e-8)
+    pre = cg(d, b, m_op=chebyshev_op(d, lmax=1.05 * lmax, lmin=lmin,
+                                     degree=8),
+             maxiter=600, rtol=1e-8)
+    for res in (base, pre):
+        x = np.asarray(res.x)
+        assert (np.linalg.norm(As @ x - np.asarray(b))
+                <= 1e-6 * np.linalg.norm(np.asarray(b)))
+    assert int(pre.iterations) * 3 < int(base.iterations)

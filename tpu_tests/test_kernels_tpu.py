@@ -349,3 +349,60 @@ def test_dia_spmv_power_fused_on_chip():
     print(f"\nfused k={k}: {d.nnz/t_fused/1e9:.1f} Gnnz/s, "
           f"ping-pong: {d.nnz/t_pp/1e9:.1f} Gnnz/s")
     assert t_fused < t_pp  # temporal blocking must win
+
+
+def test_chebyshev_fused_on_chip():
+    """Fused Chebyshev kernel (z resident, dd/r window DMAs, two aliased
+    outputs) matches the explicit recurrence on the real chip, and the
+    chebyshev_op preconditioner cuts Poisson-1M CG iterations ~degree×."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from bench import poisson_dia
+    from gflownet_spai_tpu.ops import dia as D
+    from gflownet_spai_tpu.solvers import cg
+    from gflownet_spai_tpu.solvers.stationary import (
+        chebyshev_coeffs, chebyshev_op,
+    )
+
+    d = poisson_dia(1000)
+    k = 2
+    assert D.dia_cheby_ok(d, k)
+    coeffs = tuple(chebyshev_coeffs(2e-5, 8.4, k))
+    rng = np.random.default_rng(20)
+    r = jnp.asarray(rng.standard_normal(d.n).astype(np.float32))
+    tr = D.dia_pp_tile(d)
+    rq = D.dia_pad_pp(d, r)
+    dk = D.dia_power_data(d, k)
+    z0 = jnp.zeros_like(rq)
+
+    @jax.jit
+    def fused(d, dk, rq):
+        return D.spmv_dia_cheby(d, dk, jnp.zeros_like(rq),
+                                jnp.zeros_like(rq), rq,
+                                jnp.zeros_like(rq), jnp.zeros_like(rq),
+                                coeffs, k)
+
+    @jax.jit
+    def oracle(d, r):
+        z = jnp.zeros_like(r)
+        dd = jnp.zeros_like(r)
+        for (a, b) in coeffs:
+            dd = a * dd + b * (r - D.spmv_dia_jnp(d, z))
+            z = z + dd
+        return z, dd
+
+    zo, ddo = fused(d, dk, rq)
+    zw, ddw = oracle(d, r)
+    scale = float(jnp.abs(zw).max())
+    assert float(jnp.abs(zo[tr:tr + d.n] - zw).max()) / scale < 1e-5
+    assert float(jnp.abs(zo[:tr]).max()) == 0.0
+
+    b = jnp.ones((d.n,), jnp.float32)
+    base = cg(d, b, maxiter=2500, rtol=1e-5)
+    lmin = 8.0 * np.sin(np.pi / 2002.0) ** 2
+    pre = cg(d, b, m_op=chebyshev_op(d, lmax=8.4, lmin=lmin, degree=32),
+             maxiter=2500, rtol=1e-5)
+    print(f"\nCG iters: none {int(base.iterations)}, "
+          f"chebyshev(32) {int(pre.iterations)}")
+    assert bool(pre.converged)
+    assert int(pre.iterations) * 10 < int(base.iterations)
