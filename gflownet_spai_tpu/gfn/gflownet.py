@@ -50,21 +50,41 @@ class GFlowNetConfig(NamedTuple):
     temperature: float = 1.0     # rollout sampling temperature (>1 explores)
     alpha_fixed: float = -1.0    # >=0 pins the reward mix α (learned if <0)
     subtb_lambda: float = 0.9    # λ for loss="subtb"
+    backward: str = "lstm"       # lstm (reference parity) | linear | uniform
+                                 # — see models/policies "TPU-native
+                                 # backward policies" (lstm is O(T) serial)
 
 
 def init_params(key, cfg: GFlowNetConfig, dtype=jnp.float32) -> GFlowNetParams:
     kf, kb = jax.random.split(key)
+    if cfg.backward == "linear":
+        backward = pol.linear_backward_init(
+            kb, cfg.hidden_dim, cfg.num_actions, dtype=dtype)
+    elif cfg.backward == "uniform":
+        backward = None
+    else:
+        backward = pol.backward_policy_init(
+            kb, cfg.hidden_dim, cfg.num_actions, dtype=dtype)
     return GFlowNetParams(
         forward=pol.forward_policy_init(
             kf, cfg.hidden_dim, cfg.num_actions, heads=cfg.heads, dtype=dtype
         ),
-        backward=pol.backward_policy_init(
-            kb, cfg.hidden_dim, cfg.num_actions, dtype=dtype
-        ),
+        backward=backward,
         log_z=jnp.zeros((), dtype),
         flow=(pol.flow_head_init(cfg.num_actions, dtype)
               if cfg.loss == "subtb" else None),
     )
+
+
+def backward_logprobs(params: GFlowNetParams, cfg: GFlowNetConfig,
+                      actions: jax.Array) -> jax.Array:
+    """[B, T] actions → [B, T] log P_B under the configured backward policy."""
+    if cfg.backward == "linear":
+        return pol.linear_backward_batch(params.backward, actions)
+    if cfg.backward == "uniform":
+        return pol.uniform_backward_logprobs(
+            actions, terminal_action=cfg.num_actions - 1)
+    return pol.backward_policy_batch(params.backward, actions, cfg.hidden_dim)
 
 
 class SampleOut(NamedTuple):
@@ -138,7 +158,7 @@ def loss_fn(params: GFlowNetParams, env: spai.SpaiEnv, graph: pol.GraphInputs,
             [jnp.ones((batch_size,), fwd_lp.dtype),
              r_valid.astype(fwd_lp.dtype)], 0)
 
-    back_lp = pol.backward_policy_batch(params.backward, actions, cfg.hidden_dim)
+    back_lp = backward_logprobs(params, cfg, actions)
 
     if cfg.loss == "vargrad":
         from .loss import vargrad_loss

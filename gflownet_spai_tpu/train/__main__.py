@@ -38,6 +38,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--loss", default=d.loss, choices=["tb", "vargrad", "subtb"])
     p.add_argument("--subtb-lambda", type=float, default=d.subtb_lambda,
                    help="λ for --loss subtb (sub-trajectory weight decay)")
+    p.add_argument("--backward", default=d.backward,
+                   choices=["lstm", "linear", "uniform"],
+                   help="backward policy: lstm = reference parity (O(T) "
+                        "serial scan), linear = learned gated linear "
+                        "recurrence (O(log T) associative scan), uniform = "
+                        "closed-form uniform-parent")
     p.add_argument("--replay-size", type=int, default=d.replay_size,
                    help="top-k reward replay buffer capacity (0 = off)")
     p.add_argument("--replay-samples", type=int, default=d.replay_samples,

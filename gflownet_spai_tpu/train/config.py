@@ -35,6 +35,7 @@ class TrainConfig:
     heads: int = 4
     loss: str = "tb"                # tb | vargrad | subtb
     subtb_lambda: float = 0.9       # λ for loss="subtb" (gfn.loss.subtb_loss)
+    backward: str = "lstm"          # lstm (parity) | linear | uniform
     temperature: float = 1.0        # rollout sampling temperature
     alpha_fixed: float = -1.0       # >=0 pins reward-mix α (else learned)
     replay_size: int = 0            # top-k reward replay buffer (0 = off)

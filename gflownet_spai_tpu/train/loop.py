@@ -111,7 +111,7 @@ def setup(cfg: TrainConfig):
         hidden_dim=cfg.hidden_dim, heads=cfg.heads,
         num_actions=env.num_actions, loss=cfg.loss,
         temperature=cfg.temperature, alpha_fixed=cfg.alpha_fixed,
-        subtb_lambda=cfg.subtb_lambda,
+        subtb_lambda=cfg.subtb_lambda, backward=cfg.backward,
     )
     params = gfn.init_params(jax.random.PRNGKey(cfg.prng_seed), mcfg, dtype=dtype)
     opt = make_optimizer(cfg)

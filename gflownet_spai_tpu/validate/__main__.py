@@ -41,6 +41,8 @@ def main(argv=None) -> int:
     p.add_argument("--alpha-fixed", type=float, default=-1.0)
     p.add_argument("--loss", default="tb", choices=["tb", "vargrad", "subtb"])
     p.add_argument("--subtb-lambda", type=float, default=0.9)
+    p.add_argument("--backward", default="lstm",
+                   choices=["lstm", "linear", "uniform"])
     p.add_argument("--temperature", type=float, default=1.0)
     p.add_argument("--replay-size", type=int, default=0)
     p.add_argument("--replay-samples", type=int, default=2)
@@ -79,6 +81,7 @@ def main(argv=None) -> int:
         batch_size=args.batch_size, num_epochs=args.epochs, lr=args.lr,
         out_dir=args.out_dir, alpha_fixed=args.alpha_fixed,
         loss=args.loss, subtb_lambda=args.subtb_lambda,
+        backward=args.backward,
         temperature=args.temperature, replay_size=args.replay_size,
         replay_samples=args.replay_samples,
     )
