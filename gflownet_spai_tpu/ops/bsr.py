@@ -117,6 +117,10 @@ def _spmm_bell_pallas(a: BELL, x: jax.Array, block_k: int | None = None) -> jax.
         if bk is None:
             bk = max(c for c in range(1, 513) if K % c == 0)
 
+    # f32 storage gets true-f32 matmuls (the TPU default is ONE bf16 pass,
+    # ~1e-3 relative — measured); bf16 storage keeps the fast path
+    prec = "highest" if a.data.dtype == jnp.float32 else "default"
+
     def kernel(bcols_ref, a_ref, x_ref, y_ref):
         # w is the innermost grid dim so each output block's visits are
         # consecutive (accumulation stays resident in VMEM)
@@ -127,7 +131,8 @@ def _spmm_bell_pallas(a: BELL, x: jax.Array, block_k: int | None = None) -> jax.
             y_ref[:] = jnp.zeros_like(y_ref)
 
         y_ref[:] += jnp.dot(
-            a_ref[0, 0], x_ref[:], preferred_element_type=y_ref.dtype
+            a_ref[0, 0], x_ref[:], preferred_element_type=y_ref.dtype,
+            precision=prec,
         )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -192,13 +197,20 @@ def _spmm_bell_pallas_resident(a: BELL, x: jax.Array, bk: int) -> jax.Array:
     n = a.shape[1]
     K = x.shape[1]
 
+    # f32 storage gets true-f32 matmuls (the TPU default is ONE bf16 pass,
+    # ~1e-3 relative — measured); bf16 storage keeps the fast path
+    prec = "highest" if a.data.dtype == jnp.float32 else "default"
+
     def kernel(bcols_ref, a_ref, x_ref, y_ref):
         i = pl.program_id(1)
-        acc = jnp.zeros((bm, bk), y_ref.dtype)
+        # f32 accumulator regardless of storage dtype (bf16 blocks still
+        # accumulate exactly; MXU emits f32 partials either way)
+        acc = jnp.zeros((bm, bk), jnp.float32)
         for w in range(W):                       # static unroll over blocks
             xb = x_ref[pl.ds(bcols_ref[i, w] * bn, bn), :]
-            acc += jnp.dot(a_ref[0, w], xb, preferred_element_type=y_ref.dtype)
-        y_ref[:] = acc
+            acc += jnp.dot(a_ref[0, w], xb, preferred_element_type=jnp.float32,
+                           precision=prec)
+        y_ref[:] = acc.astype(y_ref.dtype)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

@@ -79,10 +79,14 @@ def _gmres_impl(
                 # (unfilled basis rows are exactly zero, so no masking is
                 # needed); backward-stable like MGS for Arnoldi (Giraud et
                 # al. 2005)
-                h1 = V @ w
-                w = w - V.T @ h1
-                h2 = V @ w
-                w = w - V.T @ h2
+                # precision=highest: TPU matmuls default to one bf16 pass
+                # (~1e-3 relative — measured on the BELL kernel), which is
+                # not acceptable for orthogonalization
+                mm = lambda a, b: jnp.matmul(a, b, precision="highest")
+                h1 = mm(V, w)
+                w = w - mm(V.T, h1)
+                h2 = mm(V, w)
+                w = w - mm(V.T, h2)
                 hcol = h1 + h2
                 hlast = jnp.linalg.norm(w)
                 hcol = hcol.at[j + 1].set(hlast)

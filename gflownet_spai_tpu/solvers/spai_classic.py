@@ -179,7 +179,9 @@ class SpaiPlan:
         @jax.jit
         def solve_bucket(a_sub, rhs):
             q, r = jnp.linalg.qr(a_sub)                 # [C,mI,mJ],[C,mJ,mJ]
-            qtb = jnp.einsum("cij,ci->cj", q, rhs)
+            # TPU matmul default is one bf16 pass — not enough for the
+            # least-squares projection (the QR itself runs full f32)
+            qtb = jnp.einsum("cij,ci->cj", q, rhs, precision="highest")
             return jax.scipy.linalg.solve_triangular(r, qtb[..., None],
                                                      lower=False)[..., 0]
 
