@@ -92,10 +92,12 @@ def csr_to_bell(csr: CSR, blockshape=(8, 128)) -> BELL:
 
 
 def spmm_bell_jnp(a: BELL, x: jax.Array) -> jax.Array:
-    """Reference jnp path (CPU / autodiff): gather X blocks + batched matmul."""
+    """Reference jnp path (CPU / autodiff): gather X blocks + batched matmul.
+    precision="highest": it is the semantic oracle, and the TPU default is
+    one bf16 pass (docs/BENCH.md precision trap)."""
     nbr, W, bm, bn = a.data.shape
     xb = x.reshape(-1, bn, x.shape[1])[a.bcols]          # [nbr, W, bn, K]
-    yb = jnp.einsum("rwij,rwjk->rik", a.data, xb)
+    yb = jnp.einsum("rwij,rwjk->rik", a.data, xb, precision="highest")
     return yb.reshape(nbr * bm, x.shape[1])
 
 

@@ -44,7 +44,8 @@ def spmv_bsr(a: BSR, x: jax.Array) -> jax.Array:
         total_repeat_length=a.nblocks,
     )
     xb = x.reshape(-1, bn)[a.indices]          # [nblocks, bn]
-    yb = jnp.einsum("kij,kj->ki", a.data, xb)  # MXU-able per-block matvec
+    yb = jnp.einsum("kij,kj->ki", a.data, xb,
+                    precision="highest")  # MXU per-block matvec, true f32
     out = jax.ops.segment_sum(yb, brow, num_segments=a.shape[0] // bm)
     return out.reshape(a.shape[0])
 
@@ -73,7 +74,8 @@ def spmm_coo(a: COO, b: jax.Array) -> jax.Array:
 
 def spmm_ell(a: ELL, b: jax.Array) -> jax.Array:
     # [nrows, width, ncols_b] gather — contiguous in the lane dim.
-    return jnp.einsum("rw,rwc->rc", a.data, b[a.cols])
+    return jnp.einsum("rw,rwc->rc", a.data, b[a.cols],
+                      precision="highest")
 
 
 def spmm_bsr(a: BSR, b: jax.Array) -> jax.Array:
@@ -85,7 +87,8 @@ def spmm_bsr(a: BSR, b: jax.Array) -> jax.Array:
         total_repeat_length=a.nblocks,
     )
     bb = b.reshape(-1, bn, b.shape[1])[a.indices]      # [nblocks, bn, k]
-    yb = jnp.einsum("kij,kjc->kic", a.data, bb)        # MXU block matmuls
+    yb = jnp.einsum("kij,kjc->kic", a.data, bb,
+                    precision="highest")  # MXU block matmuls, true f32
     out = jax.ops.segment_sum(yb, brow, num_segments=a.shape[0] // bm)
     return out.reshape(a.shape[0], b.shape[1])
 
