@@ -28,7 +28,8 @@ class GMRESResult(NamedTuple):
     x: jax.Array
     residuals: jax.Array   # [maxiter] preconditioned residual norms, NaN-padded
     iterations: jax.Array  # int32 — number of inner iterations executed
-    converged: jax.Array   # bool
+    converged: jax.Array   # bool — recurrence hit tol OR true residual ≤ tol
+    final_residual: jax.Array = jnp.nan  # recomputed ‖M(b − A·x)‖ at exit
 
 
 def _identity(x):
@@ -144,8 +145,16 @@ def _gmres_impl(
         cond, cycle, (x0, hist0, jnp.asarray(0, jnp.int32), jnp.asarray(False))
     )
     final_res = jnp.linalg.norm(m_op(b - a_op(x)))
+    # scipy-parity convergence: the Givens recurrence reaching tol counts
+    # (the f32 recomputed residual can land a few ulps above tol and used
+    # to flip this flag false on runs scipy reports as converged); the
+    # recomputed ‖M(b−Ax)‖ is still exposed for honest acceptance checks
+    # (validate/ uses a solver-independent true residual on top).
+    rec_ok = jnp.where(it > 0, hist[jnp.maximum(it - 1, 0)] <= tol, False)
     return GMRESResult(
-        x=x, residuals=hist, iterations=it, converged=final_res <= tol
+        x=x, residuals=hist, iterations=it,
+        converged=rec_ok | (final_res <= tol),
+        final_residual=final_res,
     )
 
 
