@@ -461,3 +461,65 @@ def test_chebyshev_preconditioner_cuts_cg_iterations():
         assert (np.linalg.norm(As @ x - np.asarray(b))
                 <= 1e-6 * np.linalg.norm(np.asarray(b)))
     assert int(pre.iterations) * 3 < int(base.iterations)
+
+
+def test_trisolve_bidiagonal_scan_path():
+    """Tridiagonal-class factors (olm/convdiff) take the associative-scan
+    bidiagonal path and match scipy; plan detection is exact."""
+    import scipy.linalg as sla
+    from gflownet_spai_tpu.solvers.trisolve import (
+        TriSolvePlan, sparse_ilu_solve_op, _tri_apply_fns, _bidiag_solve_data,
+    )
+
+    a = gallery.get("olm500")
+    L, U = ilu0(a)
+    pl_, pu = TriSolvePlan(L, lower=True), TriSolvePlan(U, lower=False)
+    assert pl_.bidiagonal() is not None and pu.bidiagonal() is not None
+    fn_l, _ = _tri_apply_fns(pl_)
+    assert fn_l.func is _bidiag_solve_data
+
+    b = np.random.default_rng(3).standard_normal(500)
+    op = sparse_ilu_solve_op(L, U)
+    want = sla.solve_triangular(
+        np.asarray(U.todense()),
+        sla.solve_triangular(np.asarray(L.todense()), b, lower=True),
+        lower=False)
+    np.testing.assert_allclose(np.asarray(op(jnp.asarray(b))), want,
+                               rtol=1e-9, atol=1e-12)
+
+
+def test_trisolve_scan_levels_path():
+    """>64-level non-bidiagonal factors take the lax.scan level schedule
+    (memory-safe at any level count) and match the unrolled solve."""
+    from gflownet_spai_tpu.solvers.trisolve import (
+        TriSolvePlan, _scan_levels_solve, _tri_apply_fns,
+        _scan_levels_solve_data,
+    )
+
+    a = gallery.get("poisson64")               # 127 levels, 2 deps/row
+    L, U = ilu0(a)
+    pl_ = TriSolvePlan(L, lower=True)
+    assert pl_.num_levels > 64 and pl_.bidiagonal() is None
+    fn, data = _tri_apply_fns(pl_)
+    assert fn is _scan_levels_solve_data
+
+    b = jnp.asarray(np.random.default_rng(4).standard_normal(4096))
+    got = np.asarray(_scan_levels_solve(pl_.padded(), b))
+    want = np.asarray(pl_.solve(b))            # unrolled oracle
+    np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-12)
+
+
+def test_ilu_op_large_tridiagonal_never_dense():
+    """20k-row tridiagonal ILU application stays sparse (the dense
+    fallback would allocate O(n²) — it hung a 100k-row validation run at
+    9.6 GB RSS before the scan/bidiag paths) and solves via GMRES."""
+    from gflownet_spai_tpu.solvers import gmres, ilu_solve_op
+
+    a = gallery.get("convdiff20000")
+    L, U = ilu0(a)
+    op = ilu_solve_op(L, U)
+    b = jnp.ones((a.shape[0],), jnp.float64)
+    res = gmres(partial(spmv, a), b, m_op=op, maxiter=200, rtol=1e-8)
+    assert bool(res.converged)
+    # tridiagonal ⇒ ILU(0) exact ⇒ couple of iterations
+    assert int(res.iterations) <= 3
