@@ -13,7 +13,6 @@ out-of-range zero semantics the DIA kernel already assumes.
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

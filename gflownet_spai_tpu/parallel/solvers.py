@@ -56,3 +56,76 @@ def distributed_cg(mesh: Mesh, d: DIA, b: jax.Array, axis: str = "rows",
     res = cg(LinOp(data=d, fn=partial(op, mesh, axis=axis)), bp,
              maxiter=maxiter, rtol=rtol)
     return res._replace(x=res.x[:n])
+
+
+def distributed_jacobi(mesh: Mesh, d: DIA, b: jax.Array, axis: str = "rows",
+                       omega: float = 2.0 / 3.0, iters: int = 100,
+                       k: int = 4):
+    """Communication-avoiding weighted Jacobi over a row-partitioned DIA
+    matrix: ONE k·halo ``ppermute`` per k sweeps (the data/constant
+    boundary exchanges are loop-invariant and hoisted), with the k local
+    sweeps fused through the affine temporal-blocking kernel
+    (``spmv_dia_power(add=…)``) on each shard's extended segment.
+
+    Returns (x [n], residual_norm) — the true ‖b − A·x‖₂ computed with the
+    halo SpMV.  ``iters`` rounds up to a multiple of k."""
+    from ..solvers.stationary import jacobi_constant, jacobi_iteration_matrix
+    from .halo_spmv import halo_spmv
+    from ..ops.dia import dia_pad_pp, dia_power_data, dia_pp_tile, spmv_dia_power
+
+    n = b.shape[0]
+    n_shards = mesh.shape[axis]
+    m = jacobi_iteration_matrix(d, omega)
+    m = partition_dia(m, n_shards)
+    d_part = partition_dia(d, n_shards)
+    c = jacobi_constant(d, b, omega)                  # [n_pad of d]
+    cp = jnp.zeros((m.n_pad,), c.dtype).at[: c.shape[0]].set(c)
+    bp = jnp.zeros((m.n_pad,), b.dtype).at[: n].set(b)
+    xp = jnp.zeros((m.n_pad,), c.dtype)
+    sh = NamedSharding(mesh, P(axis))
+    cp, bp, xp = (jax.device_put(a, sh) for a in (cp, bp, xp))
+
+    n_local = m.n_pad // n_shards
+    h = _round_up(max((abs(o) for o in m.offsets), default=1), _ALIGN)
+    kh = k * h
+    if kh > n_local:
+        raise ValueError(f"k·halo {kh} exceeds shard size {n_local}")
+    rounds = max(1, -(-iters // k))
+    pairs_r = [(i, i + 1) for i in range(n_shards - 1)]
+    pairs_l = [(i + 1, i) for i in range(n_shards - 1)]
+
+    def local_sweeps(data_local, c_local, x_local):
+        def exchange(v):
+            vl = jax.lax.ppermute(v[n_local - kh:], axis, pairs_r)
+            vr = jax.lax.ppermute(v[:kh], axis, pairs_l)
+            return jnp.concatenate([vl, v, vr])
+
+        dl = jax.lax.ppermute(data_local[:, n_local - kh:], axis, pairs_r)
+        dr = jax.lax.ppermute(data_local[:, :kh], axis, pairs_l)
+        de = jnp.concatenate([dl, data_local, dr], axis=1)   # hoisted
+        ce = exchange(c_local)                                # hoisted
+        n_ext = n_local + 2 * kh
+        m_ext = DIA(data=de, offsets=m.offsets, shape=(n_ext, n_ext),
+                    nnz=m.nnz // n_shards)
+        datak = dia_power_data(m_ext, k)                      # hoisted
+        tr = dia_pp_tile(m_ext) or m_ext.halo
+        cq = dia_pad_pp(m_ext, ce)                            # hoisted
+
+        def body(_, x_local):
+            xe = exchange(x_local)                            # per k sweeps
+            xq = dia_pad_pp(m_ext, xe)
+            zq = spmv_dia_power(m_ext, datak, xq, jnp.zeros_like(xq),
+                                k=k, add=cq)
+            return jax.lax.slice(zq, (tr + kh,), (tr + kh + n_local,))
+
+        return jax.lax.fori_loop(0, rounds, body, x_local)
+
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as PS
+    x = shard_map(
+        local_sweeps, mesh=mesh,
+        in_specs=(PS(None, axis), PS(axis), PS(axis)),
+        out_specs=PS(axis),
+    )(m.data, cp, xp)
+    r = bp - halo_spmv(mesh, d_part, x, axis=axis)
+    return x[:n], jnp.linalg.norm(r[: n])
