@@ -18,6 +18,7 @@ from .dia import (
     dia_pad_xt,
     dia_power_data,
     dia_power_ok,
+    dia_power_tile,
     dia_pp_tile,
     dia_to_coo,
     dia_transpose,
@@ -37,7 +38,8 @@ from .bsr import BELL, csr_to_bell, spmm_bell, spmm_bell_jnp, spmv_bell
 
 __all__ = [
     "DIA", "coo_to_dia", "dia_pad_io", "dia_pad_pp", "dia_pad_x",
-    "dia_pad_xt", "dia_power_data", "dia_power_ok", "dia_pp_tile",
+    "dia_pad_xt", "dia_power_data", "dia_power_ok", "dia_power_tile",
+    "dia_pp_tile",
     "dia_to_coo",
     "dia_transpose", "spmm_dia", "spmm_dia_t", "spmm_dia_t_padded",
     "spmv_dia", "spmv_dia_jnp", "spmv_dia_padded", "spmv_dia_padded_io",

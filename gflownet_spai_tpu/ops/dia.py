@@ -1225,11 +1225,13 @@ def _spmv_pallas_pp_stream(d: DIA, xq: jax.Array, yq: jax.Array,
     )(d.data, xq, yq)
 
 
-def dia_pad_pp(d: DIA, x: jax.Array) -> jax.Array:
+def dia_pad_pp(d: DIA, x: jax.Array, tr: int | None = None) -> jax.Array:
     """[n] → [P + n_pad + P] ping-pong buffer, P = ``dia_pp_tile(d)``
     (falls back to the halo width when no tile exists — the jnp path
-    then handles any P)."""
-    tr = dia_pp_tile(d) or d.halo
+    then handles any P).  Pass ``tr`` to build the buffer for a
+    non-default tile (e.g. ``dia_power_tile(d, k)``)."""
+    if tr is None:
+        tr = dia_pp_tile(d) or d.halo
     buf = jnp.zeros((tr + d.n_pad + tr,), d.data.dtype)
     return jax.lax.dynamic_update_slice(buf, x.astype(d.data.dtype), (tr,))
 
@@ -1271,16 +1273,18 @@ def spmv_dia_pingpong(d: DIA, xq: jax.Array, yq: jax.Array,
 # dot product between applies.  Same ping-pong buffer/alias discipline as
 # spmv_dia_pingpong; needs P = dia_pp_tile(d) ≥ 2·halo.
 
-def dia_power_data(d: DIA, k: int = 2) -> jax.Array:
+def dia_power_data(d: DIA, k: int = 2, tr: int | None = None) -> jax.Array:
     """Per-tile widened data windows for the fused k-step kernel:
     [grid, ndiags, tr + 2(k−1)h] where window j holds diagonal rows
     [j·tr − (k−1)h, j·tr + tr + (k−1)h) (zeros beyond the edges).  Build
     ONCE outside any loop (it's a +2(k−1)h/tr-overlapped copy of the
     diagonals).  Grid-mapped blocks avoid the Mosaic restriction that
     MANUAL DMA slices along a sublane-tiled dim be 8-aligned (ndiags is
-    5 for a 5-point stencil)."""
+    5 for a 5-point stencil).  ``tr`` overrides the tile (must match the
+    buffers the kernel is later called with — e.g. ``dia_power_tile``)."""
     h = d.halo
-    tr = dia_pp_tile(d)
+    if tr is None:
+        tr = dia_pp_tile(d)
     if not tr:
         return jnp.zeros((0, d.ndiags, 0), d.data.dtype)
     m = (k - 1) * h
@@ -1292,9 +1296,11 @@ def dia_power_data(d: DIA, k: int = 2) -> jax.Array:
          for j in range(grid)])
 
 
-def dia_power_ok(d: DIA, k: int = 2) -> bool:
-    """Whether the fused k-step kernel supports this matrix/tile."""
-    tr = dia_pp_tile(d)
+def dia_power_ok(d: DIA, k: int = 2, tr: int | None = None) -> bool:
+    """Whether the fused k-step kernel supports this matrix at tile ``tr``
+    (default: the matrix-global ping-pong tile)."""
+    if tr is None:
+        tr = dia_pp_tile(d)
     if not tr or tr < k * d.halo or k < 2:
         return False
     budget = _MAX_VMEM_BYTES // 4
@@ -1324,11 +1330,12 @@ def _spmv_pallas_power(d: DIA, datak: jax.Array, xq: jax.Array,
 
     offsets, h = d.offsets, d.halo
     n_pad = d.n_pad
-    tr = dia_pp_tile(d)
+    tr = (xq.shape[0] - n_pad) // 2      # tile = the buffers' pad width
     grid = n_pad // tr
     m = (k - 1) * h
     win_d = tr + 2 * m
     assert tr and tr >= k * h and xq.shape == zq.shape == (n_pad + 2 * tr,)
+    assert tr % _ALIGN == 0 and n_pad % tr == 0, tr
     assert datak.shape == (grid, d.ndiags, win_d), (datak.shape, grid, win_d)
     affine = cq is not None
     if affine:
@@ -1400,10 +1407,11 @@ def _spmv_pallas_power(d: DIA, datak: jax.Array, xq: jax.Array,
     )(*operands)
 
 
-def dia_power_stream_ok(d: DIA, k: int = 2) -> bool:
-    """Whether the STREAMED fused k-step kernel supports this matrix/tile
-    (x stays in HBM; double-buffered manual window DMAs)."""
-    tr = dia_pp_tile(d)
+def dia_power_stream_ok(d: DIA, k: int = 2, tr: int | None = None) -> bool:
+    """Whether the STREAMED fused k-step kernel supports this matrix at
+    tile ``tr`` (x stays in HBM; double-buffered manual window DMAs)."""
+    if tr is None:
+        tr = dia_pp_tile(d)
     if not tr or tr < k * d.halo or k < 2:
         return False
     budget = _MAX_VMEM_BYTES // 4
@@ -1414,6 +1422,29 @@ def dia_power_stream_ok(d: DIA, k: int = 2) -> bool:
     # data blocks + out + pass temps
     need = (4 * win_x + (2 * rows8 + 2 * d.ndiags + 6) * win_d + 2 * tr)
     return need <= budget
+
+
+def dia_power_tile(d: DIA, k: int = 2) -> int:
+    """Largest ping-pong tile P feasible for the fused k-step kernel at
+    THIS k (resident or streamed) — smaller than ``dia_pp_tile`` when a
+    big halo inflates the ±(k−1)·h data windows past the VMEM model (the
+    k=8 / halo-4096 case: the matrix-global tile fails both _ok checks
+    and the solver used to fall back to a lower k).  0 when no tile
+    supports this k.  P must be a multiple of ``_ALIGN`` ≥ k·halo that
+    divides n_pad (window starts (j+1)·P − k·h then stay 1024-aligned
+    because halo is _ALIGN-rounded)."""
+    if k < 2:
+        return 0
+    best = 0
+    tr = _round_up(max(k * d.halo, _ALIGN), _ALIGN)
+    while tr <= min(d.n_pad, 64 * _ALIGN):
+        if d.n_pad % tr == 0:
+            if dia_power_ok(d, k, tr) or dia_power_stream_ok(d, k, tr):
+                best = tr
+            else:
+                break          # need is monotone increasing in tr
+        tr += _ALIGN
+    return best
 
 
 def _spmv_pallas_power_stream(d: DIA, datak: jax.Array, xq: jax.Array,
@@ -1429,12 +1460,13 @@ def _spmv_pallas_power_stream(d: DIA, datak: jax.Array, xq: jax.Array,
 
     offsets, h = d.offsets, d.halo
     n_pad = d.n_pad
-    tr = dia_pp_tile(d)
+    tr = (xq.shape[0] - n_pad) // 2      # tile = the buffers' pad width
     grid = n_pad // tr
     m = (k - 1) * h
     win_d = tr + 2 * m
     win_x = tr + 2 * k * h
     assert tr and tr >= k * h and xq.shape == zq.shape == (n_pad + 2 * tr,)
+    assert tr % _ALIGN == 0 and n_pad % tr == 0, tr
     assert datak.shape == (grid, d.ndiags, win_d), (datak.shape, grid, win_d)
     affine = cq is not None
     if affine:
@@ -1738,14 +1770,19 @@ def spmv_dia_power(d: DIA, datak: jax.Array, xq: jax.Array, zq: jax.Array,
     Valid for Jacobi smoothers / power iterations / chained-apply
     benchmarks — NOT for Krylov steps that need a dot product between
     applies.  Buffers in the ``dia_pad_pp`` layout with zero halo blocks
-    (the invariant is preserved); ``datak`` from ``dia_power_data(d, k)``.
-    Falls back to k jnp applies when the Pallas path is unavailable."""
-    tr = dia_pp_tile(d)
-    if _use_pallas() and tr and xq.shape[0] == d.n_pad + 2 * tr:
-        if dia_power_ok(d, k):
+    (the invariant is preserved); ``datak`` from ``dia_power_data(d, k)``
+    built at the SAME tile as the buffers' pad width (the kernel derives
+    the tile from the shapes, so per-k tiles from ``dia_power_tile`` ride
+    the same entry point).  Falls back to k jnp applies when the Pallas
+    path is unavailable."""
+    tr = (xq.shape[0] - d.n_pad) // 2
+    if (_use_pallas() and tr > 0 and xq.shape[0] == d.n_pad + 2 * tr
+            and tr % _ALIGN == 0 and d.n_pad % tr == 0
+            and datak.ndim == 3 and datak.shape[0] == d.n_pad // tr):
+        if dia_power_ok(d, k, tr):
             return _spmv_pallas_power(d, datak, xq, zq, scale=scale, k=k,
                                       cq=add)
-        if dia_power_stream_ok(d, k):
+        if dia_power_stream_ok(d, k, tr):
             return _spmv_pallas_power_stream(d, datak, xq, zq, scale=scale,
                                              k=k, cq=add)
     p = (xq.shape[0] - d.n_pad) // 2

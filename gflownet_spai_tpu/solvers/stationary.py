@@ -26,12 +26,34 @@ from ..ops.dia import (
     DIA,
     dia_pad_pp,
     dia_power_data,
-    dia_power_ok,
-    dia_power_stream_ok,
+    dia_power_tile,
     dia_pp_tile,
     spmv_dia,
     spmv_dia_power,
 )
+
+
+def _pick_power_config(m: DIA, fuse_k: int, sweeps: int) -> tuple[int, int]:
+    """(k, tile) for the fused affine kernel: among feasible fused configs
+    (per-k tiles from ``dia_power_tile``, so a big halo shrinks the tile
+    instead of forcing a lower k), pick the one minimizing modeled HBM
+    elements per sweep per row — data windows re-read 2(k−1)h/tr
+    redundantly, so the largest k is NOT always cheapest at small tiles.
+    Returns (1, 0) when no fused config beats the unfused affine sweep."""
+    h, nd = m.halo, m.ndiags
+    best_k, best_tr = 1, 0
+    best_cost = float(nd + 3)          # unfused: data + x + c + out per row
+    kk = min(fuse_k, max(1, sweeps // 2))
+    while kk >= 2:
+        tr = dia_power_tile(m, kk)
+        if tr:
+            win_d = tr + 2 * (kk - 1) * h
+            win_x = tr + 2 * kk * h
+            cost = (nd * win_d + win_x + win_d + tr) / (kk * tr)
+            if cost < best_cost:
+                best_k, best_tr, best_cost = kk, tr, cost
+        kk //= 2
+    return best_k, best_tr
 
 
 class JacobiResult(NamedTuple):
@@ -75,24 +97,18 @@ def jacobi(d: DIA, b: jax.Array, x0: jax.Array | None = None,
     2·fuse_k so the fused ping-pong chain stays fixed-role), then report
     the true residual.  jit-safe; ``iters``/``fuse_k``/``omega`` static."""
     m = jacobi_iteration_matrix(d, omega)
-    k = 1
-    kk = min(fuse_k, max(1, iters // 2))   # don't inflate small iters
-    while kk >= 2:          # largest feasible fusion ≤ fuse_k
-        if dia_power_ok(m, kk) or dia_power_stream_ok(m, kk):
-            k = kk
-            break
-        kk //= 2
+    k, trk = _pick_power_config(m, fuse_k, iters)
     c = jacobi_constant(d, b, omega)
-    tr = dia_pp_tile(m) or m.halo
-    cq = dia_pad_pp(m, c[: d.n])
+    tr = trk or dia_pp_tile(m) or m.halo
+    cq = dia_pad_pp(m, c[: d.n], tr=tr)
     x_init = jnp.zeros((d.n,), d.data.dtype) if x0 is None else x0
-    xq = dia_pad_pp(m, x_init)
+    xq = dia_pad_pp(m, x_init, tr=tr)
     zq = jnp.zeros_like(xq)
 
     pairs = max(1, -(-iters // (2 * k)))
 
     if k > 1:
-        mk = dia_power_data(m, k)
+        mk = dia_power_data(m, k, tr=tr)
 
         def body(_, cbuf):
             x, z = cbuf
@@ -128,10 +144,11 @@ def spmv_dia_pingpong_affine(m: DIA, xq: jax.Array, zq: jax.Array,
 
 # --- polynomial-Jacobi preconditioner operator ---------------------------
 
-def _jacobi_sweeps_apply(data, r, *, k: int, pairs: int, n: int):
+def _jacobi_sweeps_apply(data, r, *, k: int, pairs: int, n: int,
+                         tile: int | None = None):
     m, datak, c_scale = data
     c = c_scale * jnp.pad(r.astype(m.data.dtype), (0, m.n_pad - r.shape[0]))
-    cq = dia_pad_pp(m, c[: n])
+    cq = dia_pad_pp(m, c[: n], tr=tile)
     tr = (cq.shape[0] - m.n_pad) // 2             # derive P from the buffer
     xq = jnp.zeros_like(cq)
     zq = jnp.zeros_like(cq)
@@ -168,25 +185,21 @@ def jacobi_sweeps_op(d: DIA, omega: float = 2.0 / 3.0, sweeps: int = 16,
     from .linop import LinOp
 
     m = jacobi_iteration_matrix(d, omega)
-    k = 1
     # fusion granularity is 2·k sweeps (fixed-role call pair); cap k at
     # sweeps//2 so small sweep counts aren't silently inflated (a k=8
     # op asked for 4 sweeps would otherwise run 16)
-    kk = min(fuse_k, max(1, sweeps // 2))
-    while kk >= 2:
-        if dia_power_ok(m, kk) or dia_power_stream_ok(m, kk):
-            k = kk
-            break
-        kk //= 2
+    k, trk = _pick_power_config(m, fuse_k, sweeps)
     pairs = max(1, -(-sweeps // (2 * k)))
-    datak = dia_power_data(m, k) if k > 1 else jnp.zeros((0,), m.data.dtype)
+    datak = (dia_power_data(m, k, tr=trk) if k > 1
+             else jnp.zeros((0,), m.data.dtype))
     c0 = d.offsets.index(0)
     diag = d.data[c0]
     c_scale = jnp.where(jnp.abs(diag) > 0, omega / jnp.where(
         jnp.abs(diag) > 0, diag, 1.0), 0.0)
     return LinOp(
         data=(m, datak, c_scale),
-        fn=partial(_jacobi_sweeps_apply, k=k, pairs=pairs, n=d.n),
+        fn=partial(_jacobi_sweeps_apply, k=k, pairs=pairs, n=d.n,
+                   tile=trk or None),
     )
 
 
