@@ -4,7 +4,7 @@ Loads/generates a matrix, builds the ILU seed pattern, trains the GFlowNet,
 extracts the best sampled preconditioner, and validates with GMRES — the
 whole reference workflow (GFlowNet100.py) in ~40 lines of library calls.
 
-Run:  PYTHONPATH=. python examples/spai_pipeline.py [--matrix olm500]
+Run:  PYTHONPATH=. python examples/spai_pipeline.py [--matrix olm500_like]
 """
 
 import argparse
@@ -14,7 +14,7 @@ import jax
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--matrix", default="olm500")
+    ap.add_argument("--matrix", default="olm500_like")
     ap.add_argument("--epochs", type=int, default=150)
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()

@@ -21,7 +21,7 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="gflownet_spai_tpu.sample")
     p.add_argument("--run-dir", required=True,
                    help="training out-dir containing checkpoint/")
-    p.add_argument("--matrix", default="LF10")
+    p.add_argument("--matrix", default="LF10_like")
     p.add_argument("--seed-method", default="ilu0")
     p.add_argument("--env-format", default="auto")
     p.add_argument("--hidden-dim", type=int, default=4)

@@ -45,21 +45,31 @@ def _gmres_impl(
     maxiter: int = 1000,
     rtol: float = 1e-5,
     atol: float = 0.0,
+    side: str = "left",
 ) -> GMRESResult:
-    """Left-preconditioned restarted GMRES(m), scipy-compatible semantics:
-    solves ``M A x = M b``; convergence on ``‖M(b − A x)‖ ≤ max(rtol·‖M b‖,
-    atol)``; one residual-history entry per inner iteration."""
+    """Preconditioned restarted GMRES(m), scipy-compatible semantics.
+
+    ``side='left'`` solves ``M A x = M b``; convergence on
+    ``‖M(b − A x)‖ ≤ max(rtol·‖M b‖, atol)`` (the scipy/reference-harness
+    form, GFlowNet100.py:61-93).  ``side='right'`` solves ``A M u = b``
+    with ``x = M u`` — the Krylov process runs on A∘M, the residual history
+    is the TRUE residual ``‖b − A x‖`` (no M distortion), the standard
+    choice when the residual norm itself is the acceptance metric.
+    One residual-history entry per inner iteration either way."""
     n = b.shape[0]
     dtype = b.dtype
     m_op = m_op or _identity
+    left = side == "left"
+    pre = m_op if left else _identity           # applied to b / residuals
+    inner = (lambda v: m_op(a_op(v))) if left else (lambda v: a_op(m_op(v)))
     x0 = jnp.zeros_like(b) if x0 is None else x0
-    mb = m_op(b)
+    mb = pre(b)
     bnorm = jnp.linalg.norm(mb)
     tol = jnp.maximum(rtol * bnorm, atol)
 
     def cycle(state):
         x, hist, it, done = state
-        r = m_op(b - a_op(x))
+        r = pre(b - a_op(x))
         beta = jnp.linalg.norm(r)
 
         V = jnp.zeros((restart + 1, n), dtype).at[0].set(r / jnp.maximum(beta, 1e-38))
@@ -73,7 +83,7 @@ def _gmres_impl(
 
             def do(carry):
                 V, H, cs, sn, g, hist, it, stop = carry
-                w = m_op(a_op(V[j]))
+                w = inner(V[j])
                 # CGS2 (classical Gram–Schmidt with one reorthogonalization):
                 # two [restart+1, n] matmuls against the basis instead of
                 # MGS's `restart` sequential dots — the MXU-friendly form
@@ -133,7 +143,8 @@ def _gmres_impl(
             return jax.lax.cond(i >= 0, do, lambda y: y, y)
 
         y = jax.lax.fori_loop(0, restart, backsub, jnp.zeros((restart,), dtype))
-        x = x + V[:restart].T @ y
+        dx = V[:restart].T @ y
+        x = x + (dx if left else m_op(dx))
         return x, hist, it2, stop
 
     def cond(state):
@@ -144,7 +155,7 @@ def _gmres_impl(
     x, hist, it, _ = jax.lax.while_loop(
         cond, cycle, (x0, hist0, jnp.asarray(0, jnp.int32), jnp.asarray(False))
     )
-    final_res = jnp.linalg.norm(m_op(b - a_op(x)))
+    final_res = jnp.linalg.norm(pre(b - a_op(x)))
     # scipy-parity convergence: the Givens recurrence reaching tol counts
     # (the f32 recomputed residual can land a few ulps above tol and used
     # to flip this flag false on runs scipy reports as converged); the
@@ -165,10 +176,10 @@ def _gmres_impl(
 #   arguments (required for big operands: the closure path re-ships them in
 #   the remote-compile payload, HTTP 413 at ~300 MB — see CLAUDE.md).
 _gmres_static = partial(
-    jax.jit, static_argnames=("a_op", "m_op", "restart", "maxiter")
+    jax.jit, static_argnames=("a_op", "m_op", "restart", "maxiter", "side")
 )(_gmres_impl)
 _gmres_dynamic = partial(
-    jax.jit, static_argnames=("restart", "maxiter")
+    jax.jit, static_argnames=("restart", "maxiter", "side")
 )(_gmres_impl)
 
 _as_op = as_linop  # back-compat alias (containers now become LinOps)
@@ -183,8 +194,10 @@ def gmres(
     maxiter: int = 1000,
     rtol: float = 1e-5,
     atol: float = 0.0,
+    side: str = "left",
 ) -> GMRESResult:
-    """Left-preconditioned restarted GMRES(m) — see ``_gmres_impl``.
+    """Preconditioned restarted GMRES(m) — see ``_gmres_impl``
+    (``side='left'`` scipy-compatible, ``side='right'`` true-residual).
     ``a_op``/``m_op`` may be callables, LinOps, or sparse containers."""
     a_op = as_linop(a_op)
     m_op = as_linop(m_op) if m_op is not None else None
@@ -200,7 +213,7 @@ def gmres(
     else:
         run = _gmres_static
     return run(a_op, b, x0, m_op, restart=restart, maxiter=maxiter,
-               rtol=rtol, atol=atol)
+               rtol=rtol, atol=atol, side=side)
 
 
 def gmres_matrix(a, b, m=None, restart: int = 30, maxiter: int = 1000,
@@ -210,16 +223,18 @@ def gmres_matrix(a, b, m=None, restart: int = 30, maxiter: int = 1000,
                  restart=restart, maxiter=maxiter, rtol=rtol)
 
 
-def solve_with_gmres(a, b, m=None, maxiter: int = 10260, restart: int = 30,
-                     rtol: float = 1e-5):
+def solve_with_gmres(a, b, m=None, maxiter: int = 10260, restart: int = 20,
+                     rtol: float = 1e-5, side: str = "left"):
     """Reference-harness wrapper (GFlowNet100.py:61-93): x0 = 0, residual
     history, iteration count, wall-clock time.  ``a``/``m`` may be sparse
     containers or LinOps (operand arrays travel as jit args) or plain
-    callables."""
+    callables.  Defaults are reference-exact: the reference passes no
+    restart to scipy ``gmres`` (GFlowNet100.py:81) whose default is 20."""
     import time
 
     t0 = time.time()
-    res = gmres(a, b, m_op=m, restart=restart, maxiter=maxiter, rtol=rtol)
+    res = gmres(a, b, m_op=m, restart=restart, maxiter=maxiter, rtol=rtol,
+                side=side)
     jax.block_until_ready(res.x)
     elapsed = time.time() - t0
     residuals = res.residuals[: int(res.iterations)]

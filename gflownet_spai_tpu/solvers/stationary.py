@@ -50,7 +50,11 @@ def _pick_power_config(m: DIA, fuse_k: int, sweeps: int) -> tuple[int, int]:
             win_d = tr + 2 * (kk - 1) * h
             win_x = tr + 2 * kk * h
             cost = (nd * win_d + win_x + win_d + tr) / (kk * tr)
-            if cost < best_cost:
+            # a modeled tie against the UNFUSED baseline prefers the fused
+            # kernel (at the minimal tile nd·win_d ≈ (nd+3)·k·tr exactly, so
+            # strict '<' used to reject a feasible fused config); among fused
+            # configs the first (largest-k) winner keeps priority
+            if cost < best_cost or (best_k == 1 and cost == best_cost):
                 best_k, best_tr, best_cost = kk, tr, cost
         kk //= 2
     return best_k, best_tr

@@ -25,7 +25,7 @@ import numpy as np
 
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="gflownet_spai_tpu.validate")
-    p.add_argument("--matrix", default="LF10")
+    p.add_argument("--matrix", default="LF10_like")
     p.add_argument("--epochs", type=int, default=150)
     p.add_argument("--batch-size", type=int, default=16)
     p.add_argument("--lr", type=float, default=5e-3)
@@ -34,7 +34,7 @@ def main(argv=None) -> int:
     p.add_argument("--method", default="gmres", choices=["gmres", "cg"],
                    help="cg for SPD systems")
     p.add_argument("--maxiter", type=int, default=10260)
-    p.add_argument("--restart", type=int, default=30)
+    p.add_argument("--restart", type=int, default=20)  # scipy default (reference-exact)
     p.add_argument("--rtol", type=float, default=1e-5)
     p.add_argument("--platform", default=None)
     p.add_argument("--out-dir", default="runs/validate")

@@ -166,7 +166,7 @@ def test_forward_policy_shapes_and_alpha():
     from gflownet_spai_tpu.sparse import gallery
     from gflownet_spai_tpu.env import seed_pattern
 
-    seed = seed_pattern(gallery.get("LF10"), method="ilu0", dtype=jnp.float64)
+    seed = seed_pattern(gallery.get("LF10_like"), method="ilu0", dtype=jnp.float64)
     g = graph_from_seed(seed)
     A = seed.nnz + 1
     p = forward_policy_init(jax.random.PRNGKey(7), 4, A, dtype=jnp.float64)
@@ -236,7 +236,7 @@ def test_gradients_flow_to_all_parameter_groups():
     from gflownet_spai_tpu.models import graph_from_seed
     from gflownet_spai_tpu.sparse import gallery
 
-    a = gallery.get("LF10")
+    a = gallery.get("LF10_like")
     seed = seed_pattern(a, method="ilu0", dtype=jnp.float32)
     env = make_env(seed, original=a)
     graph = graph_from_seed(seed)
@@ -268,7 +268,7 @@ def test_reward_f32_f64_consistency():
     from gflownet_spai_tpu.sparse import gallery
     from gflownet_spai_tpu.sparse.types import COO
 
-    a64 = gallery.get("olm500")
+    a64 = gallery.get("olm500_like")
     seed64 = seed_pattern(a64, method="ilu0", dtype=jnp.float64)
     env64 = make_env(seed64, original=a64)
     a32 = COO(row=a64.row, col=a64.col, data=a64.data.astype(jnp.float32),
@@ -303,7 +303,7 @@ def test_vargrad_training_improves_on_lf10():
     from gflownet_spai_tpu.models import graph_from_seed
     from gflownet_spai_tpu.sparse import gallery
 
-    a = gallery.get("LF10")
+    a = gallery.get("LF10_like")
     seed = seed_pattern(a, method="ilu0", dtype=jnp.float32)
     env = make_env(seed, original=a)
     graph = graph_from_seed(seed)
@@ -338,7 +338,7 @@ def test_temperature_rescoring_exact():
     from gflownet_spai_tpu.models import graph_from_seed, forward_policy_logits
     from gflownet_spai_tpu.sparse import gallery
 
-    a = gallery.get("LF10")
+    a = gallery.get("LF10_like")
     seed = seed_pattern(a, method="ilu0", dtype=jnp.float64)
     env = make_env(seed, original=a)
     graph = graph_from_seed(seed)
@@ -422,7 +422,7 @@ def test_subtb_gradients_flow_and_trains_on_lf10(tmp_path):
     from gflownet_spai_tpu.train.config import TrainConfig
     from gflownet_spai_tpu.train.loop import train
 
-    cfg = TrainConfig(matrix="LF10", num_epochs=8, batch_size=4,
+    cfg = TrainConfig(matrix="LF10_like", num_epochs=8, batch_size=4,
                       loss="subtb", subtb_lambda=0.9, platform="cpu",
                       out_dir=str(tmp_path))
     state, history = train(cfg)
@@ -517,7 +517,7 @@ def test_replay_training_runs_and_buffer_fills(tmp_path):
     from gflownet_spai_tpu.train.config import TrainConfig
     from gflownet_spai_tpu.train.loop import train
 
-    cfg = TrainConfig(matrix="LF10", num_epochs=10, batch_size=4,
+    cfg = TrainConfig(matrix="LF10_like", num_epochs=10, batch_size=4,
                       replay_size=8, replay_samples=2, platform="cpu",
                       out_dir=str(tmp_path))
     state, history = train(cfg)
@@ -595,7 +595,7 @@ def test_training_with_tpu_native_backward(backward):
     backward policies (lstm parity is covered by the rest of the suite)."""
     from gflownet_spai_tpu.train import TrainConfig, make_train_step, setup
 
-    cfg = TrainConfig(matrix="LF10", batch_size=4, num_epochs=3,
+    cfg = TrainConfig(matrix="LF10_like", batch_size=4, num_epochs=3,
                       backward=backward)
     a, seed, env, graph, mcfg, opt, state = setup(cfg)
     step = make_train_step(cfg, env, graph, mcfg, opt)

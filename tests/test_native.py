@@ -78,7 +78,7 @@ def test_native_rcm_quality():
     from gflownet_spai_tpu.sparse.types import COO
 
     rng = np.random.default_rng(0)
-    base = coo_to_scipy(gallery.get("olm500")).toarray()[:200, :200]
+    base = coo_to_scipy(gallery.get("olm500_like")).toarray()[:200, :200]
     p = rng.permutation(200)
     coo = COO.fromdense(base[np.ix_(p, p)])
     G = coo_to_scipy(coo)
@@ -91,7 +91,7 @@ def test_native_rcm_quality():
 def test_native_spgemm_plan_matches_python():
     from gflownet_spai_tpu.sparse.ops import SpGEMMPlan, spgemm
 
-    a = gallery.get("LF10")
+    a = gallery.get("LF10_like")
     A = coo_to_scipy(a)
     got = spgemm(a, a)   # uses native plan when available
     np.testing.assert_allclose(
@@ -101,3 +101,57 @@ def test_native_spgemm_plan_matches_python():
     # pair_out sorted ascending (required by segment_sum indices_are_sorted)
     po = np.asarray(plan.pair_out)
     assert (np.diff(po) >= 0).all()
+
+
+def test_parser_skew_symmetric_both_paths(tmp_path):
+    """Skew-symmetric coordinate files mirror off-diagonals with -v
+    (native parser and the Python fallback, both vs scipy's reader)."""
+    import scipy.io
+
+    path = tmp_path / "skew.mtx"
+    with open(path, "w") as f:
+        f.write("%%MatrixMarket matrix coordinate real skew-symmetric\n")
+        f.write("% a comment line\n")
+        f.write("4 4 3\n2 1 1.5\n3 1 -2.0\n4 3 0.25\n")
+    want = scipy.io.mmread(str(path)).toarray()
+    got_native = np.asarray(sparse.read_mtx(path).todense())
+    np.testing.assert_allclose(got_native, want)
+    # force the Python fallback by gzipping (read_mtx routes .gz to Python)
+    import gzip, shutil
+
+    gzpath = tmp_path / "skew.mtx.gz"
+    with open(path, "rb") as src, gzip.open(gzpath, "wb") as dst:
+        shutil.copyfileobj(src, dst)
+    got_py = np.asarray(sparse.read_mtx(gzpath).todense())
+    np.testing.assert_allclose(got_py, want)
+
+
+def test_parser_suitesparse_quirks(tmp_path):
+    """Real SuiteSparse files carry quirks the writer never produces:
+    multiple %-comment lines, Fortran-style exponents, integer field,
+    unsorted entries.  Both parser paths must agree with scipy."""
+    import scipy.io
+
+    path = tmp_path / "quirky.mtx"
+    with open(path, "w") as f:
+        f.write("%%MatrixMarket matrix coordinate real general\n")
+        f.write("%-------------------------------------------\n")
+        f.write("% name: test/quirky   id: 0\n")
+        f.write("%-------------------------------------------\n")
+        f.write("3 3 5\n")
+        f.write("3 3 4.0e+00\n1 1 1.0E-01\n2 2 -3.25e2\n3 1 2\n1 3 -7.5e-03\n")
+    want = scipy.io.mmread(str(path)).toarray()
+    np.testing.assert_allclose(np.asarray(sparse.read_mtx(path).todense()), want)
+    import gzip, shutil
+
+    gzpath = tmp_path / "quirky.mtx.gz"
+    with open(path, "rb") as src, gzip.open(gzpath, "wb") as dst:
+        shutil.copyfileobj(src, dst)
+    np.testing.assert_allclose(np.asarray(sparse.read_mtx(gzpath).todense()), want)
+
+    ipath = tmp_path / "int.mtx"
+    with open(ipath, "w") as f:
+        f.write("%%MatrixMarket matrix coordinate integer symmetric\n")
+        f.write("3 3 4\n1 1 2\n2 1 -1\n3 2 -1\n3 3 2\n")
+    want = scipy.io.mmread(str(ipath)).toarray()
+    np.testing.assert_allclose(np.asarray(sparse.read_mtx(ipath).todense()), want)

@@ -30,7 +30,7 @@ from gflownet_spai_tpu.ops import (
 )
 
 
-@pytest.fixture(params=["LF10", "olm500", "poisson32"])
+@pytest.fixture(params=["LF10_like", "olm500_like", "poisson32"])
 def mat(request):
     coo = gallery.get(request.param)
     return coo, coo_to_scipy(coo)
@@ -60,7 +60,7 @@ def test_dia_transpose(mat):
 
 
 def test_dia_spmv_grad():
-    coo = gallery.get("LF10")
+    coo = gallery.get("LF10_like")
     d = coo_to_dia(coo)
     x = jnp.asarray(np.random.default_rng(1).standard_normal(18))
 
@@ -99,7 +99,7 @@ def test_rcm_reduces_bandwidth():
     rng = np.random.default_rng(3)
     n = 200
     # a banded matrix scrambled by a random permutation
-    base = coo_to_scipy(gallery.get("olm500")).toarray()[:n, :n]
+    base = coo_to_scipy(gallery.get("olm500_like")).toarray()[:n, :n]
     p = rng.permutation(n)
     scrambled = base[np.ix_(p, p)]
     from gflownet_spai_tpu.sparse.types import COO
@@ -125,7 +125,7 @@ def test_rcm_vs_scipy():
 
 
 def test_permute_preserves_spectrum():
-    coo = gallery.get("LF10")
+    coo = gallery.get("LF10_like")
     reordered, perm = rcm_reorder(coo)
     w0 = np.sort(np.linalg.eigvalsh(np.asarray(coo.todense())))
     w1 = np.sort(np.linalg.eigvalsh(np.asarray(reordered.todense())))
@@ -645,3 +645,61 @@ def test_chebyshev_fused_apply_matches_plain():
                                    rtol=3e-5, atol=1e-3)
     finally:
         D.dia_pp_tile = orig
+
+
+def test_dia_power_tile_admits_big_halo():
+    """Per-k tile selection (dia_power_tile) returns a usable tile for the
+    k=8 / halo-4096 class where BOTH matrix-global _ok checks fail — the
+    case that used to force the solver down to a lower k (ADVICE r1)."""
+    from gflownet_spai_tpu.ops import dia as D
+
+    h, n = 4096, 1 << 21
+    d = D.DIA(data=jnp.zeros((3, n), jnp.float32), offsets=(-h, 0, h),
+              shape=(n, n), nnz=3 * n)
+    tglob = D.dia_pp_tile(d)
+    assert tglob and not D.dia_power_ok(d, 8, tglob)
+    assert not D.dia_power_stream_ok(d, 8, tglob)
+    tr = D.dia_power_tile(d, 8)
+    assert tr > 0 and n % tr == 0 and tr >= 8 * d.halo
+    assert D.dia_power_ok(d, 8, tr) or D.dia_power_stream_ok(d, 8, tr)
+
+
+@pytest.mark.parametrize("affine", [False, True])
+def test_pallas_dia_spmv_power_nondefault_tile_interpret(affine):
+    """Fused k-step kernels at a NON-default tile (buffers + datak built at
+    tr=2048 on a 4096-row tridiagonal): the kernel derives the tile from
+    the buffer shapes, so per-k tiles from dia_power_tile ride the same
+    entry points (ADVICE r1: this path had no coverage)."""
+    from gflownet_spai_tpu.ops import dia as D
+    from gflownet_spai_tpu.ops.dia import spmv_dia_jnp
+
+    k, tr = 2, 2048
+    n = 4096
+    rng = np.random.default_rng(11)
+    data = jnp.asarray(rng.standard_normal((3, n)), jnp.float32)
+    d = D.DIA(data=data, offsets=(-1, 0, 1), shape=(n, n), nnz=3 * n)
+    assert tr != D.dia_pp_tile(d)              # genuinely non-default
+    x = jnp.asarray(rng.standard_normal(n), jnp.float32)
+    c = jnp.asarray(rng.standard_normal(n), jnp.float32) if affine else None
+    want = x
+    for _ in range(k):
+        want = spmv_dia_jnp(d, want) * 0.3
+        if affine:
+            want = want + c
+    want = np.asarray(want)
+    xq = D.dia_pad_pp(d, x, tr=tr)
+    cq = D.dia_pad_pp(d, c, tr=tr) if affine else None
+    zq = jnp.zeros_like(xq)
+    dk = D.dia_power_data(d, k, tr=tr)
+    assert dk.shape[0] == n // tr == 2         # multi-block grid
+    z = np.asarray(D._spmv_pallas_power(d, dk, xq, zq, scale=0.3, k=k,
+                                        cq=cq, interpret=True))
+    np.testing.assert_allclose(z[tr:tr + n], want, rtol=3e-6, atol=1e-4)
+    assert not z[:tr].any() and not z[tr + n:].any()
+    # the streamed variant accepts the same non-default-tile buffers
+    zs = np.asarray(D._spmv_pallas_power_stream(d, dk, xq, zq, scale=0.3,
+                                                k=k, cq=cq, interpret=True))
+    np.testing.assert_allclose(zs[tr:tr + n], want, rtol=3e-6, atol=1e-4)
+    # public dispatcher (jnp fallback on CPU) agrees on the same buffers
+    zj = np.asarray(D.spmv_dia_power(d, dk, xq, zq, scale=0.3, k=k, add=cq))
+    np.testing.assert_allclose(zj[tr:tr + n], want, rtol=3e-6, atol=1e-4)

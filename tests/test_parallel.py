@@ -43,7 +43,7 @@ def test_halo_spmv_matches_single_device(rows_mesh):
 
 
 def test_halo_spmv_under_jit(rows_mesh):
-    coo = gallery.get("olm500")
+    coo = gallery.get("olm500_like")
     d = partition_dia(coo_to_dia(coo), 8)
     A = coo_to_scipy(coo)
     x = np.zeros(d.n_pad)
@@ -68,7 +68,7 @@ def test_sharded_residual_matches_local(mesh8):
     from gflownet_spai_tpu.env.spai import residual_norm
     from gflownet_spai_tpu.parallel.dp import _pad_pairs
 
-    a = gallery.get("LF10")
+    a = gallery.get("LF10_like")
     seed = seed_pattern(a, method="ilu0", dtype=jnp.float64)
     env = make_env(seed, original=a)
     rng = np.random.default_rng(3)
@@ -89,7 +89,7 @@ def test_dp_train_step_runs_and_improves(mesh8):
     from gflownet_spai_tpu.gfn import GFlowNetConfig, init_params
     from gflownet_spai_tpu.models import graph_from_seed
 
-    a = gallery.get("LF10")
+    a = gallery.get("LF10_like")
     seed = seed_pattern(a, method="ilu0", dtype=jnp.float32)
     env = make_env(seed, original=a)
     graph = graph_from_seed(seed)
@@ -119,7 +119,7 @@ def test_dp_matches_single_device_gradients():
     from gflownet_spai_tpu.gfn.gflownet import loss_fn
     from gflownet_spai_tpu.models import graph_from_seed
 
-    a = gallery.get("LF10")
+    a = gallery.get("LF10_like")
     seed = seed_pattern(a, method="ilu0", dtype=jnp.float32)
     env = make_env(seed, original=a)
     graph = graph_from_seed(seed)
@@ -178,7 +178,7 @@ def test_tp_sharded_logits_match_replicated(rows_mesh):
     from gflownet_spai_tpu.parallel import shard_head, sharded_policy_logits
     from gflownet_spai_tpu.sparse import gallery
 
-    a = gallery.get("LF10")
+    a = gallery.get("LF10_like")
     seed = seed_pattern(a, method="ilu0", dtype=jnp.float32)
     env = make_env(seed, original=a)
     graph = graph_from_seed(seed)
@@ -213,7 +213,7 @@ def test_dp_train_with_replay_and_subtb(tmp_path):
     from gflownet_spai_tpu.train.config import TrainConfig
     from gflownet_spai_tpu.train.loop import train
 
-    cfg = TrainConfig(matrix="LF10", num_epochs=6, batch_size=4,
+    cfg = TrainConfig(matrix="LF10_like", num_epochs=6, batch_size=4,
                       dp_devices=2, loss="subtb", replay_size=8,
                       replay_samples=2, platform="cpu",
                       out_dir=str(tmp_path))

@@ -29,7 +29,7 @@ def _dense_spai_oracle(A, P):
     return M
 
 
-@pytest.mark.parametrize("name,k", [("LF10", 1), ("olm500", 1), ("LF10", 2)])
+@pytest.mark.parametrize("name,k", [("LF10_like", 1), ("olm500_like", 1), ("LF10_like", 2)])
 def test_spai_matches_dense_oracle(name, k):
     a = gallery.get(name)
     A = coo_to_scipy(a).toarray()

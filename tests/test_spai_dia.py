@@ -15,7 +15,7 @@ from gflownet_spai_tpu.env import spai as coo_env
 from gflownet_spai_tpu.env import spai_dia as dia_env
 
 
-@pytest.mark.parametrize("name", ["LF10", "olm500", "poisson32"])
+@pytest.mark.parametrize("name", ["LF10_like", "olm500_like", "poisson32"])
 def test_spgemm_dia_matches_scipy(name):
     coo = gallery.get(name)
     d = coo_to_dia(coo)
@@ -27,7 +27,7 @@ def test_spgemm_dia_matches_scipy(name):
 
 
 def test_frobenius_dia():
-    coo = gallery.get("olm500")
+    coo = gallery.get("olm500_like")
     d = coo_to_dia(coo)
     c = spgemm_dia(d, d)
     A = coo_to_scipy(coo).toarray()
@@ -38,7 +38,7 @@ def test_frobenius_dia():
 
 @pytest.fixture(scope="module")
 def envs():
-    a = gallery.get("olm500")
+    a = gallery.get("olm500_like")
     seed = seed_pattern(a, method="ilu0", dtype=jnp.float64)
     e_coo = make_env(seed, original=a)
     e_dia = dia_env.make_dia_env(seed, a)

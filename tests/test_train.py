@@ -12,7 +12,7 @@ from gflownet_spai_tpu.train import TrainConfig, make_train_step, setup, train
 
 @pytest.fixture(scope="module")
 def lf10_setup():
-    cfg = TrainConfig(matrix="LF10", batch_size=8, num_epochs=60, lr=5e-3,
+    cfg = TrainConfig(matrix="LF10_like", batch_size=8, num_epochs=60, lr=5e-3,
                       hidden_dim=4, dtype="float32")
     return cfg, setup(cfg)
 
@@ -27,7 +27,7 @@ def test_train_step_runs_and_is_finite(lf10_setup):
 
 
 def test_loss_decreases_on_lf10(tmp_path):
-    cfg = TrainConfig(matrix="LF10", batch_size=16, num_epochs=150, lr=5e-3,
+    cfg = TrainConfig(matrix="LF10_like", batch_size=16, num_epochs=150, lr=5e-3,
                       hidden_dim=4, out_dir=str(tmp_path / "run"))
     _, history = train(cfg, progress=False)
     early = np.mean(history[:20])
@@ -40,10 +40,10 @@ def test_loss_decreases_on_lf10(tmp_path):
 
 def test_checkpoint_resume(tmp_path):
     out = str(tmp_path / "ckpt_run")
-    cfg = TrainConfig(matrix="LF10", batch_size=4, num_epochs=5, lr=1e-3,
+    cfg = TrainConfig(matrix="LF10_like", batch_size=4, num_epochs=5, lr=1e-3,
                       out_dir=out)
     state, _ = train(cfg, progress=False)
-    cfg2 = TrainConfig(matrix="LF10", batch_size=4, num_epochs=8, lr=1e-3,
+    cfg2 = TrainConfig(matrix="LF10_like", batch_size=4, num_epochs=8, lr=1e-3,
                        out_dir=out, resume=True)
     state2, history2 = train(cfg2, progress=False)
     assert int(state.epoch) == 5

@@ -8,7 +8,7 @@ def test_validate_cli_end_to_end(tmp_path, capsys):
     from gflownet_spai_tpu.validate.__main__ import main
 
     rc = main([
-        "--matrix", "LF10", "--epochs", "8", "--batch-size", "4",
+        "--matrix", "LF10_like", "--epochs", "8", "--batch-size", "4",
         "--maxiter", "500", "--out-dir", str(tmp_path),
         "--jacobi-poly", "4", "--chebyshev", "4",
     ])
@@ -30,10 +30,10 @@ def test_sample_cli_end_to_end(tmp_path):
     import json
 
     out = str(tmp_path / "r")
-    train(TrainConfig(matrix="LF10", batch_size=4, num_epochs=4, out_dir=out),
+    train(TrainConfig(matrix="LF10_like", batch_size=4, num_epochs=4, out_dir=out),
           progress=False)
     rc = sample_main([
-        "--run-dir", out, "--matrix", "LF10", "--num-samples", "64",
+        "--run-dir", out, "--matrix", "LF10_like", "--num-samples", "64",
         "--batch-size", "32", "--export-mtx", str(tmp_path / "m.mtx"),
     ])
     assert rc == 0

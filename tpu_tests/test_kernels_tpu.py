@@ -126,7 +126,7 @@ def test_gmres_with_dia_operator():
     from gflownet_spai_tpu.solvers import gmres
     from gflownet_spai_tpu.sparse import gallery
 
-    coo = gallery.get("olm500")
+    coo = gallery.get("olm500_like")
     import jax.numpy as jnp
     d = coo_to_dia(coo)
     # f32 on TPU
