@@ -34,6 +34,7 @@ import numpy as np
 
 from ..sparse.types import COO
 from ..sparse.ops import SpGEMMPlan, frobenius_sq_minus_identity
+from ..sparse import rowblock as _rowblock
 
 
 @dataclasses.dataclass(frozen=True)
@@ -41,17 +42,30 @@ class SpaiEnv:
     """Static environment description (host-built once per matrix).
 
     Pytree leaves are the value arrays; pattern/plan metadata is static.
+
+    Two interchangeable residual backends (same semantics, tested equal):
+
+    * ``plan``  — the pair plan (gather + segment-sum).  Exact and simple,
+      but TPU scalarizes the per-pair gathers: ~170× slower than banded DIA
+      at 1M nnz (docs/BENCH.md round 1).
+    * ``rb``    — the row-block plan (``sparse.rowblock``): bucketed dense
+      G-blocks make the batched reward a handful of MXU einsums.  The
+      default for large unstructured seeds (train auto-dispatch).  Its
+      arrays are pytree DATA so they ride as jit arguments, never closure
+      constants (CLAUDE.md payload rule).
     """
 
     # seed pattern M0 (the ILU LU-product): edge set = action space
     seed: COO
     # the matrix the preconditioner is scored against ("original_matrix")
     original: COO
-    # symbolic plan for pattern(M0 · original)
-    plan: SpGEMMPlan = dataclasses.field(metadata={"pytree": False})
+    # symbolic plan for pattern(M0 · original); None when rb carries it
+    plan: SpGEMMPlan | None = dataclasses.field(metadata={"pytree": False})
     # baseline scalars (reference preconditioner.py:28-29)
     baseline_residual: jax.Array = None
     baseline_flops: float = 0.0
+    # row-block residual plan (MXU path for unstructured patterns)
+    rb: _rowblock.RowBlockPlan | None = None
 
     @property
     def n(self) -> int:
@@ -74,17 +88,44 @@ class SpaiEnv:
 
 jax.tree_util.register_dataclass(
     SpaiEnv,
-    data_fields=["seed", "original", "baseline_residual"],
+    data_fields=["seed", "original", "baseline_residual", "rb"],
     meta_fields=["plan", "baseline_flops"],
 )
 
 
-def make_env(seed: COO, original: Optional[COO] = None) -> SpaiEnv:
+def _baseline_residual_host(original: COO) -> float:
+    """‖A·A − I‖_F computed host-side in float64 (setup-only; used by the
+    rowblock path so no device pair plan is ever built at 1M+ nnz)."""
+    import scipy.sparse as sp
+
+    a = sp.csr_matrix(
+        (np.asarray(original.data, np.float64),
+         (np.asarray(original.row), np.asarray(original.col))),
+        shape=original.shape,
+    )
+    c = (a @ a - sp.eye(original.shape[0], format="csr")).tocoo()
+    return float(np.sqrt(np.sum(c.data * c.data)))
+
+
+def make_env(seed: COO, original: Optional[COO] = None,
+             reward_path: str = "pair") -> SpaiEnv:
     """Build the environment.  ``original`` defaults to ``seed`` which
     reproduces the reference driver's (questionable) baseline wiring
-    (GFlowNet100.py:173); pass the true A for the corrected objective."""
+    (GFlowNet100.py:173); pass the true A for the corrected objective.
+
+    ``reward_path``: ``"pair"`` (gather plan — exact semantics, fine on
+    CPU/small) or ``"rowblock"`` (bucketed dense MXU plan — the TPU path
+    for large unstructured seeds; identical residuals, tested)."""
     if original is None:
         original = seed
+    if reward_path == "rowblock":
+        rb = _rowblock.build_rowblock_plan(seed, original, gemm_dtype=seed.data.dtype)
+        base_res = jnp.asarray(_baseline_residual_host(original),
+                               seed.data.dtype)
+        base_flops = 2.0 * original.nnz * original.shape[1]
+        return SpaiEnv(seed=seed, original=original, plan=None,
+                       baseline_residual=base_res, baseline_flops=base_flops,
+                       rb=rb)
     plan = SpGEMMPlan(seed, original)
     # ‖original·original − I‖_F  (reference preconditioner.py:28 computes
     # calculate_residual(original, original))
@@ -130,6 +171,9 @@ def masked_values(env: SpaiEnv, keep: jax.Array) -> jax.Array:
 def residual_norm(env: SpaiEnv, keep: jax.Array) -> jax.Array:
     """``‖M·original − I‖_F`` with M = seed values masked by ``keep``.
     Parity: reference ``calculate_residual`` (preconditioner.py:79-93)."""
+    if env.rb is not None:
+        m_vals = masked_values(env, keep)
+        return _rowblock.residual_norm_batch(env.rb, m_vals[None, :])[0]
     m_vals = masked_values(env, keep)
     c_vals = env.plan.numeric(m_vals, env.original.data)
     return jnp.sqrt(
@@ -137,6 +181,19 @@ def residual_norm(env: SpaiEnv, keep: jax.Array) -> jax.Array:
             env.plan.out_row, env.plan.out_col, c_vals, env.n
         )
     )
+
+
+def batched_residual_norms(env: SpaiEnv, keep: jax.Array) -> jax.Array:
+    """[B, num_edges] keep masks → [B] residual norms, through whichever
+    backend the env carries (rowblock: ONE batched MXU call)."""
+    m_vals = env.seed.data[None, :] * keep.astype(env.seed.data.dtype)
+    if env.rb is not None:
+        return _rowblock.residual_norm_batch(env.rb, m_vals)
+    return jax.vmap(
+        lambda mv: jnp.sqrt(frobenius_sq_minus_identity(
+            env.plan.out_row, env.plan.out_col,
+            env.plan.numeric(mv, env.original.data), env.n))
+    )(m_vals)
 
 
 def matrix_flops(env: SpaiEnv, keep: jax.Array) -> jax.Array:
@@ -165,6 +222,19 @@ def reward_from_actions(env: SpaiEnv, actions: jax.Array, alpha: jax.Array) -> j
     return reward(env, keep, alpha)
 
 
+def rewards_from_keep(env: SpaiEnv, keep: jax.Array, alpha: jax.Array) -> jax.Array:
+    """[B, num_edges] keep masks → [B] rewards; the batched residual runs
+    as ONE call so the rowblock backend sees the whole batch (its dense
+    einsums amortize the G reads over B — the point of the design)."""
+    res_ratio = batched_residual_norms(env, keep) / env.baseline_residual
+    nnz = jnp.sum(keep.astype(env.seed.data.dtype), axis=-1)
+    comp_ratio = 2.0 * nnz * env.seed.shape[1] / env.baseline_flops
+    metric = alpha * (1.0 - res_ratio) + (1.0 - alpha) * (1.0 - comp_ratio)
+    return metric * 1000.0
+
+
 def batched_rewards(env: SpaiEnv, actions: jax.Array, alpha: jax.Array) -> jax.Array:
     """``actions``: int32[B, T] (-1 padded) → rewards float[B]."""
-    return jax.vmap(lambda a: reward_from_actions(env, a, alpha))(actions)
+    keep = jax.vmap(
+        lambda a: keep_mask_from_actions(a, env.num_edges))(actions)
+    return rewards_from_keep(env, keep, alpha)

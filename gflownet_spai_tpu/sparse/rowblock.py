@@ -1,0 +1,286 @@
+"""Row-block fixed-pattern SpGEMM: the TPU shape of ``‖M·A − I‖_F`` for
+UNSTRUCTURED patterns.
+
+The reference recomputes a full sparse×sparse product per reward call
+(``torch.mm`` at reference preconditioner.py:79-93).  The round-1 rebuild
+turned that into a static pair plan (``sparse.ops.SpGEMMPlan``): per-pair
+gathers + a segment-sum.  Correct everywhere, but TPU has no vector gather —
+XLA scalarizes the ``data[pair_a]`` loads and the reward at 1M+ nnz runs
+~170× slower than the banded DIA path (docs/BENCH.md round 1).
+
+This module removes the gathers entirely by exploiting CSR adjacency:
+
+* C = M·A row r only reads M's row-r values — a **contiguous** slice
+  ``m_vals[indptr[r] : indptr[r+1]]`` when M is stored row-major (the seed
+  COO is).
+* pattern(C) is static, so the map from (M row-r values) → (C row-r values)
+  is a **constant dense matrix** ``G_r[c, k] = A[k_th col of M row r,
+  c_th col of C row r]`` — a reshuffled copy of A's values.
+* Therefore ``C[r, :] = G_r @ m_window_r`` — and for a **batch** of masked
+  value vectors (the GFlowNet reward scores B trajectories at once) it is
+  ``[c_r × m_r] @ [m_r × B]``: a dense matmul on the MXU.
+
+Rows are bucketed by padded (c_r, m_r) size class so the whole product is a
+handful of batched einsums ``[R, cp, mp] @ [R, mp, B]`` plus one contiguous
+row-window gather per bucket — no scatter, no per-pair indexing, FLOPs ≈
+npairs·B/density on the MXU instead of npairs serialized gathers.
+
+The Frobenius residual needs no C materialization at all:
+``‖C − I‖²_F = Σ_buckets Σ_{r,c} (y[r,c,b] − δ)² + (#rows with no diagonal
+in pattern C)`` — padding slots contribute exactly 0 because G's padding is
+zero and the window gather reads an appended zero row.
+
+Everything here is a registered pytree so plans travel as **jit arguments**
+(never closure constants — CLAUDE.md payload rule; G is O(100 MB) at 1M
+nnz).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .types import COO
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _size_class(x: int, align: int = 8) -> int:
+    """Pad-to-class: multiples of ``align`` up to 4·align, then powers of
+    two — bounds per-row padding waste at <2× while keeping the bucket
+    count (≈ distinct XLA einsums) small."""
+    x = max(x, 1)
+    if x <= 4 * align:
+        return _round_up(x, align)
+    return 1 << int(np.ceil(np.log2(x)))
+
+
+@dataclasses.dataclass(frozen=True)
+class RowBlockPlan:
+    """Static plan for C = M·A with fixed patterns, M values variable.
+
+    Per-bucket leaves (tuples, one entry per size class):
+      gvals[b]    : float[R, cp, mp]  — dense G blocks (A values placed)
+      win_idx[b]  : int32[R, mp]      — indices into m_vals (CSR window;
+                                        padding points at the appended 0)
+      diag_pos[b] : int32[R]          — position of (r, r) within C row r's
+                                        pattern, or cp when absent
+      out_pos[b]  : int32[R, cp]      — flat position in the row-major C
+                                        pattern (padding → out_nnz)
+    """
+
+    gvals: Tuple[jax.Array, ...]
+    win_idx: Tuple[jax.Array, ...]
+    diag_pos: Tuple[jax.Array, ...]
+    out_pos: Tuple[jax.Array, ...]
+    out_row: jax.Array            # int32[out_nnz] pattern of C (row-major)
+    out_col: jax.Array            # int32[out_nnz]
+    shape: Tuple[int, int] = dataclasses.field(metadata={"static": True})
+    nnz_m: int = 0
+    out_nnz: int = 0
+    n_missing_diag: int = 0       # rows of C with no diagonal slot
+    npairs: int = 0               # true (unpadded) multiply count
+
+    @property
+    def padded_slots(self) -> int:
+        return sum(int(g.shape[0] * g.shape[1] * g.shape[2]) for g in self.gvals)
+
+
+jax.tree_util.register_dataclass(
+    RowBlockPlan,
+    data_fields=["gvals", "win_idx", "diag_pos", "out_pos", "out_row", "out_col"],
+    meta_fields=["shape", "nnz_m", "out_nnz", "n_missing_diag", "npairs"],
+)
+
+
+def _to_scipy_csr(coo: COO, pattern_only: bool = False):
+    import scipy.sparse as sp
+
+    data = np.ones(coo.nnz, np.float64) if pattern_only else np.asarray(
+        coo.data, np.float64)
+    m = sp.csr_matrix(
+        (data, (np.asarray(coo.row), np.asarray(coo.col))), shape=coo.shape)
+    m.sort_indices()
+    return m
+
+
+def build_rowblock_plan(m_pattern: COO, a: COO,
+                        gemm_dtype=jnp.float32) -> RowBlockPlan:
+    """Host-side symbolic phase (runs once per seed pattern).
+
+    ``m_pattern``: the seed (row-major sorted COO — its entry order IS the
+    m_vals order the numeric phase consumes).  ``a``: the system matrix with
+    values (constant during training).
+    """
+    import scipy.sparse as sp
+
+    n, _ = m_pattern.shape
+    # win_idx indexes the caller's m_vals in the seed's OWN entry order, so
+    # that order must already be row-major sorted (== CSR data order)
+    mkey = (np.asarray(m_pattern.row).astype(np.int64) * m_pattern.shape[1]
+            + np.asarray(m_pattern.col))
+    if len(mkey) and not np.all(np.diff(mkey) > 0):
+        raise ValueError("m_pattern must be row-major sorted and deduplicated"
+                         " (coo_sort_dedup)")
+    m_csr = _to_scipy_csr(m_pattern, pattern_only=True)
+    a_csr = _to_scipy_csr(a)
+    # symbolic product pattern, canonical (sorted cols per row)
+    c_pat = (m_csr @ sp.csr_matrix(
+        (np.ones(a_csr.nnz), a_csr.indices, a_csr.indptr), shape=a.shape))
+    c_pat.sort_indices()
+    c_indptr = c_pat.indptr.astype(np.int64)
+    c_cols = c_pat.indices.astype(np.int64)
+    m_indptr = m_csr.indptr.astype(np.int64)
+    m_cols = m_csr.indices.astype(np.int64)
+
+    m_r = np.diff(m_indptr)                      # [n] window widths
+    c_r = np.diff(c_indptr)                      # [n] C row widths
+    live = m_r > 0                               # rows that produce output
+
+    # enumerate pairs fully vectorized: pair p = (M entry i, A entry j),
+    # C slot o; dense-block coordinates (row r, jc = o − c_indptr[r],
+    # jm = i − m_indptr[r])
+    a_counts = np.diff(a_csr.indptr)[m_cols]     # per-M-entry pair counts
+    pair_i = np.repeat(np.arange(len(m_cols)), a_counts)
+    offs = np.concatenate([[0], np.cumsum(a_counts)])
+    within = np.arange(int(a_counts.sum())) - np.repeat(offs[:-1], a_counts)
+    pair_j = a_csr.indptr[m_cols[pair_i]] + within
+    m_rows = np.repeat(np.arange(n), m_r)        # row of M entry i
+    r_of_pair = m_rows[pair_i]
+    jm = pair_i - m_indptr[r_of_pair]
+    # column of the pair's C slot = column of A entry j; its position within
+    # the (sorted) C row pattern via ONE global searchsorted — each row's
+    # keys are offset into disjoint ranges so no per-row loop is needed
+    acol = a_csr.indices[pair_j].astype(np.int64)
+    stride = a.shape[1] + 1
+    keyed_ccols = c_cols + np.repeat(np.arange(n), c_r) * stride
+    jc = np.searchsorted(keyed_ccols, acol + r_of_pair * stride)
+    jc = jc - c_indptr[r_of_pair]
+
+    # bucket rows by padded size class (vectorized: class table lookup up to
+    # the max width, then one argsort groups rows per class)
+    def _classes_of(widths):
+        table = np.array([_size_class(int(x)) for x in
+                          range(int(widths.max()) + 1)] or [8])
+        return table[widths]
+
+    mp_class = _classes_of(m_r)
+    cp_class = _classes_of(c_r)
+    key_of_row = cp_class * (2 ** 32) + mp_class
+    live_rows = np.nonzero(live)[0]
+    uniq_keys, inv = np.unique(key_of_row[live_rows], return_inverse=True)
+    order = np.argsort(inv, kind="stable")
+    bounds = np.searchsorted(inv[order], np.arange(len(uniq_keys) + 1))
+    classes = {
+        (int(k // (2 ** 32)), int(k % (2 ** 32))):
+            live_rows[order[bounds[i]:bounds[i + 1]]]
+        for i, k in enumerate(uniq_keys)
+    }
+
+    # diagonal bookkeeping (same keyed-searchsorted trick)
+    dsearch = np.searchsorted(keyed_ccols, np.arange(n) * stride + np.arange(n))
+    found = (dsearch < c_indptr[1:]) & (dsearch >= c_indptr[:-1])
+    found &= np.where(found, c_cols[np.minimum(dsearch, len(c_cols) - 1)]
+                      == np.arange(n), False)
+    diag_present = found
+    dpos_all = np.where(found, dsearch - c_indptr[:-1], -1)
+
+    stage_dt = np.float64 if jnp.dtype(gemm_dtype) == jnp.float64 else np.float32
+    a_data = np.asarray(a_csr.data, stage_dt)
+    bucket_of_row = np.full(n, -1)
+    slot_of_row = np.full(n, -1)
+    nb = len(classes)
+    g_np, w_np, d_np, o_np = [None] * nb, [None] * nb, [None] * nb, [None] * nb
+    for b, (key, rows) in enumerate(sorted(classes.items())):
+        cp, mp = key
+        rows = np.asarray(rows)
+        bucket_of_row[rows] = b
+        slot_of_row[rows] = np.arange(len(rows))
+        R = len(rows)
+        # f32 host staging unless a f64 plan is requested (bf16 plans cast
+        # at device upload): halves the transient footprint at 1M nnz
+        g_np[b] = np.zeros((R, cp, mp), stage_dt)
+        col_ids = np.arange(mp)[None, :]
+        w_np[b] = np.where(col_ids < m_r[rows][:, None],
+                           m_indptr[rows][:, None] + col_ids, len(m_cols))
+        d_np[b] = np.where(dpos_all[rows] >= 0, dpos_all[rows], cp)
+        oc = np.arange(cp)[None, :]
+        o_np[b] = np.where(oc < c_r[rows][:, None],
+                           c_indptr[rows][:, None] + oc, len(c_cols))
+    # scatter all pair values into the dense blocks in one shot
+    pb_b = bucket_of_row[r_of_pair]
+    pb_s = slot_of_row[r_of_pair]
+    for b in range(nb):
+        sel = pb_b == b
+        g_np[b][pb_s[sel], jc[sel], jm[sel]] = a_data[pair_j[sel]]
+
+    out_rows_np = np.repeat(np.arange(n), c_r).astype(np.int32)
+    return RowBlockPlan(
+        gvals=tuple(jnp.asarray(g, gemm_dtype) for g in g_np),
+        win_idx=tuple(jnp.asarray(w, jnp.int32) for w in w_np),
+        diag_pos=tuple(jnp.asarray(d, jnp.int32) for d in d_np),
+        out_pos=tuple(jnp.asarray(o, jnp.int32) for o in o_np),
+        out_row=jnp.asarray(out_rows_np),
+        out_col=jnp.asarray(c_cols, jnp.int32),
+        shape=(m_pattern.shape[0], a.shape[1]),
+        nnz_m=int(len(m_cols)),
+        out_nnz=int(len(c_cols)),
+        n_missing_diag=int(n - diag_present.sum()),
+        npairs=int(len(pair_i)),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Numeric phase (jit-compiled; plan travels as an argument)
+# ---------------------------------------------------------------------------
+
+def residual_sq_batch(plan: RowBlockPlan, m_vals: jax.Array) -> jax.Array:
+    """``‖M·A − I‖²_F`` for a batch of M value vectors.
+
+    ``m_vals``: float[B, nnz_m] (the seed values masked per trajectory).
+    Returns float[B].  One contiguous-window gather + one batched dense
+    einsum per size-class bucket; the −I correction folds into a per-slot
+    one-hot, and rows whose C pattern misses the diagonal add +1 each.
+    """
+    B = m_vals.shape[0]
+    kt = jnp.concatenate(
+        [m_vals, jnp.zeros((B, 1), m_vals.dtype)], axis=1).T   # [nnz+1, B]
+    acc = jnp.zeros((B,), m_vals.dtype)
+    for g, idx, dpos in zip(plan.gvals, plan.win_idx, plan.diag_pos):
+        kwin = kt[idx]                                   # [R, mp, B]
+        y = jnp.einsum("rcm,rmb->rcb", g, kwin.astype(g.dtype),
+                       precision="highest")              # MXU batched matmul
+        cp = g.shape[1]
+        e = (jnp.arange(cp, dtype=jnp.int32)[None, :]
+             == dpos[:, None]).astype(y.dtype)           # [R, cp] δ slots
+        acc = acc + jnp.sum(
+            jnp.square(y - e[..., None]), axis=(0, 1)).astype(acc.dtype)
+    return acc + jnp.asarray(plan.n_missing_diag, acc.dtype)
+
+
+def residual_norm_batch(plan: RowBlockPlan, m_vals: jax.Array) -> jax.Array:
+    return jnp.sqrt(residual_sq_batch(plan, m_vals))
+
+
+def numeric(plan: RowBlockPlan, m_vals: jax.Array) -> jax.Array:
+    """Values of C = M·A on the (row-major) static pattern — the rowblock
+    equivalent of ``SpGEMMPlan.numeric`` (testing / C-materializing users;
+    the reward path never calls this)."""
+    kt = jnp.concatenate([m_vals, jnp.zeros((1,), m_vals.dtype)])
+    out = jnp.zeros((plan.out_nnz + 1,), m_vals.dtype)
+    for g, idx, opos in zip(plan.gvals, plan.win_idx, plan.out_pos):
+        y = jnp.einsum("rcm,rm->rc", g, kt[idx].astype(g.dtype),
+                       precision="highest")
+        out = out.at[opos.ravel()].set(y.ravel().astype(out.dtype))
+    return out[: plan.out_nnz]
+
+
+def out_coo(plan: RowBlockPlan, c_data: jax.Array) -> COO:
+    return COO(row=plan.out_row, col=plan.out_col, data=c_data,
+               shape=plan.shape)

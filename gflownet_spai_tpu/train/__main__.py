@@ -24,12 +24,13 @@ def build_parser() -> argparse.ArgumentParser:
     )
     d = TrainConfig()
     p.add_argument("--matrix", default=d.matrix,
-                   help="gallery name (LF10|bcsstk03|olm500|poisson32) or .mtx path")
+                   help="gallery name (LF10_like|bcsstk03_like|olm500_like|poisson32) or .mtx path")
     p.add_argument("--seed-method", default=d.seed_method,
                    choices=["ilu0", "spilu", "pattern", "spai"])
     p.add_argument("--env-format", default=d.env_format,
-                   choices=["auto", "coo", "dia"],
-                   help="reward path: coo pair-plan or gather-free dia band")
+                   choices=["auto", "coo", "dia", "rowblock"],
+                   help="reward path: coo pair-plan, gather-free dia band, "
+                        "or rowblock dense-bucket MXU plan (unstructured)")
     p.add_argument("--reference-baseline", action="store_true",
                    help="score against the seed matrix like the reference driver "
                         "(GFlowNet100.py:173) instead of the true A")

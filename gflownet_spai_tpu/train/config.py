@@ -23,12 +23,17 @@ from typing import Optional
 @dataclasses.dataclass
 class TrainConfig:
     # data
-    matrix: str = "LF10"            # gallery name or path to a .mtx file
+    matrix: str = "LF10_like"            # gallery name or path to a .mtx file
     seed_method: str = "ilu0"       # ilu0 | spilu | pattern
     reference_baseline: bool = False  # True → original_matrix = seed (GFlowNet100.py:173)
-    env_format: str = "auto"        # auto | coo | dia — dia = gather-free
-                                    # banded reward path (TPU fast path)
+    env_format: str = "auto"        # auto | coo | dia | rowblock —
+                                    # dia = gather-free banded reward path;
+                                    # rowblock = bucketed dense MXU reward
+                                    # for large UNSTRUCTURED seeds
     dia_max_diags: int = 64         # "auto" picks dia below this band count
+    rowblock_min_nnz: int = 10000   # "auto" picks rowblock above this seed
+                                    # nnz when dia doesn't apply (pair-plan
+                                    # gathers scalarize on TPU)
 
     # model (reference GFlowNet100.py:180, policy.py:19)
     hidden_dim: int = 4
@@ -62,7 +67,7 @@ class TrainConfig:
 
     # validation
     gmres_maxiter: int = 10260       # reference GFlowNet100.py:81
-    gmres_restart: int = 30
+    gmres_restart: int = 20       # scipy default (reference passes none)
 
     @classmethod
     def legacy(cls, **kw) -> "TrainConfig":

@@ -90,9 +90,10 @@ def setup(cfg: TrainConfig):
 
     fmt = cfg.env_format
     if fmt == "auto":
-        # dp path shards the COO pair plan; reference-baseline scoring is
-        # COO-only; banded problems with fully-dense diagonals (no phantom
-        # slots — see spai_dia.has_phantom_slots) take the gather-free DIA path
+        # dp path shards the COO pair plan; banded problems with fully-dense
+        # diagonals (no phantom slots — see spai_dia.has_phantom_slots) take
+        # the gather-free DIA path; big unstructured seeds take the rowblock
+        # dense-bucket MXU path (pair-plan gathers scalarize on TPU)
         fmt = "coo"
         if (not cfg.reference_baseline and cfg.dp_devices <= 1
                 and n_diagonals(seed) <= cfg.dia_max_diags
@@ -100,12 +101,17 @@ def setup(cfg: TrainConfig):
             from ..ops.dia import coo_to_dia
             if spai_dia.has_phantom_slots(coo_to_dia(seed)) == 0:
                 fmt = "dia"
+        if (fmt == "coo" and cfg.dp_devices <= 1
+                and seed.nnz >= cfg.rowblock_min_nnz):
+            fmt = "rowblock"
     if fmt == "dia":
         env = spai_dia.make_dia_env(seed, a)
         # edge/action ids follow the DIA enumeration → graph must too
         graph = pol.graph_from_seed(spai_dia.edge_coo(env))
     else:
-        env = spai.make_env(seed, original=None if cfg.reference_baseline else a)
+        env = spai.make_env(
+            seed, original=None if cfg.reference_baseline else a,
+            reward_path="rowblock" if fmt == "rowblock" else "pair")
         graph = pol.graph_from_seed(seed)
     mcfg = gfn.GFlowNetConfig(
         hidden_dim=cfg.hidden_dim, heads=cfg.heads,
@@ -127,11 +133,16 @@ def setup(cfg: TrainConfig):
 
 
 def make_train_step(cfg: TrainConfig, env, graph, mcfg, opt):
-    """One fully-jitted epoch: rollout + loss + guard + update."""
+    """One fully-jitted epoch: rollout + loss + guard + update.
+
+    ``env`` travels as a jit ARGUMENT (its value/plan arrays are pytree
+    leaves), never as closure constants — at 1M-nnz rowblock scale the
+    G blocks are O(100 MB) and closure constants ship in the remote-compile
+    payload (CLAUDE.md HTTP-413 rule)."""
 
     use_replay = cfg.replay_size > 0
 
-    def step(state: TrainState):
+    def step(state: TrainState, env):
         key, sub, rkey = jax.random.split(state.key, 3)
         replay_arg = None
         if use_replay:
@@ -174,7 +185,8 @@ def make_train_step(cfg: TrainConfig, env, graph, mcfg, opt):
         }
         return new_state, metrics
 
-    return jax.jit(step, donate_argnums=(0,))
+    jitted = jax.jit(step, donate_argnums=(0,))
+    return lambda state: jitted(state, env)
 
 
 def _make_dp_step_adapter(cfg: TrainConfig, env, graph, mcfg, opt):

@@ -18,7 +18,7 @@ def _rand_coo(m, n, density=0.1, seed=0):
     return sparse.scipy_to_coo(a), a.tocsr()
 
 
-@pytest.fixture(params=["LF10", "olm500", "poisson32"])
+@pytest.fixture(params=["LF10_like", "olm500_like", "poisson32"])
 def mat(request):
     coo = gallery.get(request.param)
     return coo, coo_to_scipy(coo)
@@ -136,7 +136,7 @@ def test_mtx_symmetric(tmp_path):
 
 
 def test_gallery_spd():
-    for name in ("LF10", "bcsstk03", "poisson32"):
+    for name in ("LF10_like", "bcsstk03_like", "poisson32"):
         a = coo_to_scipy(gallery.get(name)).toarray()
         np.testing.assert_allclose(a, a.T, err_msg=name)
         w = np.linalg.eigvalsh(a)
@@ -144,7 +144,7 @@ def test_gallery_spd():
 
 
 def test_gallery_olm_nonsymmetric():
-    a = coo_to_scipy(gallery.get("olm500")).toarray()
+    a = coo_to_scipy(gallery.get("olm500_like")).toarray()
     assert not np.allclose(a, a.T)
 
 
@@ -154,7 +154,7 @@ def test_gallery_olm_nonsymmetric():
 
 def test_flatten_unflatten_roundtrip():
     from gflownet_spai_tpu.sparse.utils import flatten_coo, unflatten_coo
-    coo = gallery.get("LF10")
+    coo = gallery.get("LF10_like")
     flat = flatten_coo(coo)
     assert flat.shape == (1, 18 * 18)
     back = unflatten_coo(flat, (18, 18))
@@ -191,7 +191,7 @@ def test_concat_coo():
 
 def test_delete_edges_flat():
     from gflownet_spai_tpu.sparse.utils import delete_edges_flat
-    coo = gallery.get("LF10")
+    coo = gallery.get("LF10_like")
     flat = delete_edges_flat(coo, jnp.asarray([0, 5, -1], jnp.int32))
     dense = np.asarray(flat.todense()).reshape(18, 18)
     orig = np.asarray(coo.todense())
@@ -213,3 +213,30 @@ def test_gallery_parametric_names():
 
     with pytest.raises(KeyError):
         gallery.get("nosuchmatrix")
+
+
+def test_rowblock_numeric_matches_dense_product():
+    """rowblock.numeric values (row-major C order) equal the dense M·A on
+    the symbolic pattern; unsorted seed COO is rejected."""
+    import jax
+    import scipy.sparse as sp
+    from gflownet_spai_tpu.sparse import rowblock as RB
+    from gflownet_spai_tpu.sparse.gallery import random_spd
+    from gflownet_spai_tpu.sparse.types import COO
+
+    a = random_spd(60, density=0.06, seed=7)
+    a = COO(row=a.row, col=a.col, data=a.data.astype(jnp.float32), shape=a.shape)
+    plan = RB.build_rowblock_plan(a, a)
+    got = np.asarray(RB.numeric(plan, a.data))
+    A = coo_to_scipy(a).toarray()
+    C = A @ A
+    want = C[np.asarray(plan.out_row), np.asarray(plan.out_col)]
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+    # residual matches the dense Frobenius form
+    r2 = float(RB.residual_sq_batch(plan, a.data[None, :])[0])
+    want_r2 = np.linalg.norm(C - np.eye(60), "fro") ** 2
+    np.testing.assert_allclose(r2, want_r2, rtol=1e-4)
+
+    bad = COO(row=a.col, col=a.row, data=a.data, shape=a.shape)  # col-major
+    with pytest.raises(ValueError, match="row-major"):
+        RB.build_rowblock_plan(bad, a)
