@@ -52,13 +52,17 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _size_class(x: int, align: int = 8) -> int:
-    """Pad-to-class: multiples of ``align`` up to 4·align, then powers of
-    two — bounds per-row padding waste at <2× while keeping the bucket
-    count (≈ distinct XLA einsums) small."""
+    """Pad-to-class: multiples of ``align`` up to 4·align, then a ×1.5-spaced
+    ladder (48, 64, 96, 128, 192, …) — bounds per-row padding waste at <1.5×
+    while keeping the bucket count (≈ distinct XLA einsums) small.  Measured
+    on the 1M-nnz reward bench: pow-2 classes padded 16×, this ladder ~11×."""
     x = max(x, 1)
     if x <= 4 * align:
         return _round_up(x, align)
-    return 1 << int(np.ceil(np.log2(x)))
+    c = 4 * align
+    while c < x:
+        c = _round_up(c + c // 2, align)
+    return c
 
 
 @dataclasses.dataclass(frozen=True)
@@ -73,12 +77,29 @@ class RowBlockPlan:
                                         pattern, or cp when absent
       out_pos[b]  : int32[R, cp]      — flat position in the row-major C
                                         pattern (padding → out_nnz)
+
+    Overflow rows (too wide / too sparse for a dense block — the ILU fill
+    of long-range couplings can make single rows O(10⁴) wide, which would
+    dense-pad to TiB): those go through a compact pair/gather sub-plan that
+    covers only their slots.  On PDE-class matrices this is empty or a tiny
+    fraction; it bounds the dense storage at ``max_block_slots`` per row
+    and ``pad_ratio_cap``× the true multiply count per row.
+      ov_pair_m : int32[P]  — index into m_vals per overflow pair
+      ov_w      : float[P]  — constant A value per overflow pair
+      ov_seg    : int32[P]  — overflow C-slot id (sorted ascending)
+      ov_diag   : bool[S]   — overflow slot is a diagonal entry
+      ov_out_pos: int32[S]  — overflow slot position in the C pattern
     """
 
     gvals: Tuple[jax.Array, ...]
     win_idx: Tuple[jax.Array, ...]
     diag_pos: Tuple[jax.Array, ...]
     out_pos: Tuple[jax.Array, ...]
+    ov_pair_m: jax.Array
+    ov_w: jax.Array
+    ov_seg: jax.Array
+    ov_diag: jax.Array
+    ov_out_pos: jax.Array
     out_row: jax.Array            # int32[out_nnz] pattern of C (row-major)
     out_col: jax.Array            # int32[out_nnz]
     shape: Tuple[int, int] = dataclasses.field(metadata={"static": True})
@@ -86,6 +107,7 @@ class RowBlockPlan:
     out_nnz: int = 0
     n_missing_diag: int = 0       # rows of C with no diagonal slot
     npairs: int = 0               # true (unpadded) multiply count
+    n_overflow_slots: int = 0     # C slots handled by the gather sub-plan
 
     @property
     def padded_slots(self) -> int:
@@ -94,8 +116,11 @@ class RowBlockPlan:
 
 jax.tree_util.register_dataclass(
     RowBlockPlan,
-    data_fields=["gvals", "win_idx", "diag_pos", "out_pos", "out_row", "out_col"],
-    meta_fields=["shape", "nnz_m", "out_nnz", "n_missing_diag", "npairs"],
+    data_fields=["gvals", "win_idx", "diag_pos", "out_pos",
+                 "ov_pair_m", "ov_w", "ov_seg", "ov_diag", "ov_out_pos",
+                 "out_row", "out_col"],
+    meta_fields=["shape", "nnz_m", "out_nnz", "n_missing_diag", "npairs",
+                 "n_overflow_slots"],
 )
 
 
@@ -111,12 +136,19 @@ def _to_scipy_csr(coo: COO, pattern_only: bool = False):
 
 
 def build_rowblock_plan(m_pattern: COO, a: COO,
-                        gemm_dtype=jnp.float32) -> RowBlockPlan:
+                        gemm_dtype=jnp.float32,
+                        max_block_slots: int = 32768,
+                        pad_ratio_cap: float = 64.0) -> RowBlockPlan:
     """Host-side symbolic phase (runs once per seed pattern).
 
     ``m_pattern``: the seed (row-major sorted COO — its entry order IS the
     m_vals order the numeric phase consumes).  ``a``: the system matrix with
     values (constant during training).
+
+    Rows whose dense block would exceed ``max_block_slots`` (cp·mp after
+    class padding) or inflate the multiply count more than ``pad_ratio_cap``×
+    are routed to the gather-based overflow sub-plan instead of a dense
+    bucket (see RowBlockPlan docstring).
     """
     import scipy.sparse as sp
 
@@ -172,8 +204,14 @@ def build_rowblock_plan(m_pattern: COO, a: COO,
 
     mp_class = _classes_of(m_r)
     cp_class = _classes_of(c_r)
+    # pairs per row (for the pad-ratio overflow criterion)
+    pairs_r = np.zeros(n, np.int64)
+    np.add.at(pairs_r, np.repeat(np.arange(n), m_r), a_counts)
+    block_slots = cp_class.astype(np.int64) * mp_class
+    overflow = live & ((block_slots > max_block_slots)
+                       | (block_slots > pad_ratio_cap * np.maximum(pairs_r, 1)))
     key_of_row = cp_class * (2 ** 32) + mp_class
-    live_rows = np.nonzero(live)[0]
+    live_rows = np.nonzero(live & ~overflow)[0]
     uniq_keys, inv = np.unique(key_of_row[live_rows], return_inverse=True)
     order = np.argsort(inv, kind="stable")
     bounds = np.searchsorted(inv[order], np.arange(len(uniq_keys) + 1))
@@ -220,12 +258,32 @@ def build_rowblock_plan(m_pattern: COO, a: COO,
         sel = pb_b == b
         g_np[b][pb_s[sel], jc[sel], jm[sel]] = a_data[pair_j[sel]]
 
+    # overflow sub-plan (gather path for the routed-out rows)
+    ov_rows = np.nonzero(overflow)[0]
+    ov_c = c_r[ov_rows]
+    S = int(ov_c.sum())
+    slot_base = np.zeros(n, np.int64)
+    if len(ov_rows):
+        slot_base[ov_rows] = np.concatenate([[0], np.cumsum(ov_c)[:-1]])
+    sel = overflow[r_of_pair]
+    ov_pair_m = pair_i[sel]
+    ov_w = a_data[pair_j[sel]]
+    ov_seg = slot_base[r_of_pair[sel]] + jc[sel]
+    within_slot = np.arange(S) - np.repeat(slot_base[ov_rows], ov_c)
+    ov_out_pos = np.repeat(c_indptr[ov_rows], ov_c) + within_slot
+    ov_diag = within_slot == np.repeat(dpos_all[ov_rows], ov_c)
+
     out_rows_np = np.repeat(np.arange(n), c_r).astype(np.int32)
     return RowBlockPlan(
         gvals=tuple(jnp.asarray(g, gemm_dtype) for g in g_np),
         win_idx=tuple(jnp.asarray(w, jnp.int32) for w in w_np),
         diag_pos=tuple(jnp.asarray(d, jnp.int32) for d in d_np),
         out_pos=tuple(jnp.asarray(o, jnp.int32) for o in o_np),
+        ov_pair_m=jnp.asarray(ov_pair_m, jnp.int32),
+        ov_w=jnp.asarray(ov_w, gemm_dtype),
+        ov_seg=jnp.asarray(ov_seg, jnp.int32),
+        ov_diag=jnp.asarray(ov_diag),
+        ov_out_pos=jnp.asarray(ov_out_pos, jnp.int32),
         out_row=jnp.asarray(out_rows_np),
         out_col=jnp.asarray(c_cols, jnp.int32),
         shape=(m_pattern.shape[0], a.shape[1]),
@@ -233,6 +291,7 @@ def build_rowblock_plan(m_pattern: COO, a: COO,
         out_nnz=int(len(c_cols)),
         n_missing_diag=int(n - diag_present.sum()),
         npairs=int(len(pair_i)),
+        n_overflow_slots=S,
     )
 
 
@@ -261,7 +320,20 @@ def residual_sq_batch(plan: RowBlockPlan, m_vals: jax.Array) -> jax.Array:
              == dpos[:, None]).astype(y.dtype)           # [R, cp] δ slots
         acc = acc + jnp.sum(
             jnp.square(y - e[..., None]), axis=(0, 1)).astype(acc.dtype)
+    acc = acc + _overflow_residual_sq(plan, m_vals)
     return acc + jnp.asarray(plan.n_missing_diag, acc.dtype)
+
+
+def _overflow_residual_sq(plan: RowBlockPlan, m_vals: jax.Array) -> jax.Array:
+    """Σ(c − δ)² over the overflow slots (gather sub-plan).  [B, nnz] → [B];
+    exactly 0 when no rows overflowed."""
+    if plan.n_overflow_slots == 0:
+        return jnp.zeros((m_vals.shape[0],), m_vals.dtype)
+    prod = m_vals[:, plan.ov_pair_m] * plan.ov_w[None, :].astype(m_vals.dtype)
+    c = jax.vmap(lambda p: jax.ops.segment_sum(
+        p, plan.ov_seg, num_segments=plan.n_overflow_slots))(prod)
+    c = c - plan.ov_diag.astype(c.dtype)[None, :]
+    return jnp.sum(c * c, axis=-1)
 
 
 def residual_norm_batch(plan: RowBlockPlan, m_vals: jax.Array) -> jax.Array:
@@ -278,6 +350,11 @@ def numeric(plan: RowBlockPlan, m_vals: jax.Array) -> jax.Array:
         y = jnp.einsum("rcm,rm->rc", g, kt[idx].astype(g.dtype),
                        precision="highest")
         out = out.at[opos.ravel()].set(y.ravel().astype(out.dtype))
+    if plan.n_overflow_slots:
+        c = jax.ops.segment_sum(
+            m_vals[plan.ov_pair_m] * plan.ov_w.astype(m_vals.dtype),
+            plan.ov_seg, num_segments=plan.n_overflow_slots)
+        out = out.at[plan.ov_out_pos].set(c)
     return out[: plan.out_nnz]
 
 

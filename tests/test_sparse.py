@@ -240,3 +240,30 @@ def test_rowblock_numeric_matches_dense_product():
     bad = COO(row=a.col, col=a.row, data=a.data, shape=a.shape)  # col-major
     with pytest.raises(ValueError, match="row-major"):
         RB.build_rowblock_plan(bad, a)
+
+
+def test_rowblock_overflow_routing_matches_dense():
+    """Tiny caps force every row through the gather overflow sub-plan; the
+    residual and numeric values must not change (guards the ILU-fill case
+    where single wide rows would dense-pad to TiB)."""
+    from gflownet_spai_tpu.sparse import rowblock as RB
+    from gflownet_spai_tpu.sparse.gallery import random_spd
+    from gflownet_spai_tpu.sparse.types import COO
+
+    a = random_spd(60, density=0.06, seed=7)
+    a = COO(row=a.row, col=a.col, data=a.data.astype(jnp.float32), shape=a.shape)
+    ref = RB.build_rowblock_plan(a, a)
+    assert ref.n_overflow_slots == 0
+    ov = RB.build_rowblock_plan(a, a, max_block_slots=16)   # everything spills
+    assert ov.n_overflow_slots == ov.out_nnz and not ov.gvals
+    mixed = RB.build_rowblock_plan(a, a, max_block_slots=128)  # some spill
+    assert 0 < mixed.n_overflow_slots < mixed.out_nnz
+    rng = np.random.default_rng(3)
+    mv = (np.asarray(a.data) * (rng.random(a.nnz) > 0.3)).astype(np.float32)
+    want_r = float(RB.residual_sq_batch(ref, jnp.asarray(mv)[None])[0])
+    want_c = np.asarray(RB.numeric(ref, jnp.asarray(mv)))
+    for plan in (ov, mixed):
+        got_r = float(RB.residual_sq_batch(plan, jnp.asarray(mv)[None])[0])
+        np.testing.assert_allclose(got_r, want_r, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(RB.numeric(plan, jnp.asarray(mv))),
+                                   want_c, rtol=1e-4, atol=1e-5)
