@@ -62,6 +62,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--platform", default=None, help="cpu to force CPU backend")
     p.add_argument("--dp-devices", type=int, default=d.dp_devices,
                    help="data-parallel device count (mesh dp axis)")
+    p.add_argument("--rows-devices", type=int, default=d.rows_devices,
+                   help="rows-axis device count (shards the reward residual)")
     p.add_argument("--out-dir", default=d.out_dir)
     p.add_argument("--log-every", type=int, default=d.log_every)
     p.add_argument("--checkpoint-every", type=int, default=d.checkpoint_every)

@@ -34,6 +34,9 @@ class TrainConfig:
     rowblock_min_nnz: int = 10000   # "auto" picks rowblock above this seed
                                     # nnz when dia doesn't apply (pair-plan
                                     # gathers scalarize on TPU)
+    gat_tiled_min_edges: int = 100000  # policy graph switches to the
+                                    # node-tile Pallas segment substrate
+                                    # above this edge count
 
     # model (reference GFlowNet100.py:180, policy.py:19)
     hidden_dim: int = 4
@@ -58,6 +61,8 @@ class TrainConfig:
     dtype: str = "float32"
     platform: Optional[str] = None   # None → default backend; "cpu" forces CPU
     dp_devices: int = 1              # data-parallel mesh size (1 = single chip)
+    rows_devices: int = 1            # rows-axis mesh size (shards the reward
+                                     # residual: pair lists or rowblock buckets)
 
     # outputs (CSV schema parity with GFlowNet100.py:226-255)
     out_dir: str = "runs/default"

@@ -90,29 +90,37 @@ def setup(cfg: TrainConfig):
 
     fmt = cfg.env_format
     if fmt == "auto":
-        # dp path shards the COO pair plan; banded problems with fully-dense
-        # diagonals (no phantom slots — see spai_dia.has_phantom_slots) take
-        # the gather-free DIA path; big unstructured seeds take the rowblock
-        # dense-bucket MXU path (pair-plan gathers scalarize on TPU)
+        # banded problems with fully-dense diagonals (no phantom slots — see
+        # spai_dia.has_phantom_slots) take the gather-free DIA path; big
+        # unstructured seeds take the rowblock dense-bucket MXU path
+        # (pair-plan gathers scalarize on TPU); every backend composes with
+        # the dp/rows mesh step (parallel.dp residual providers)
         fmt = "coo"
-        if (not cfg.reference_baseline and cfg.dp_devices <= 1
+        if (not cfg.reference_baseline
                 and n_diagonals(seed) <= cfg.dia_max_diags
                 and n_diagonals(a) <= cfg.dia_max_diags):
             from ..ops.dia import coo_to_dia
             if spai_dia.has_phantom_slots(coo_to_dia(seed)) == 0:
                 fmt = "dia"
-        if (fmt == "coo" and cfg.dp_devices <= 1
-                and seed.nnz >= cfg.rowblock_min_nnz):
+        if fmt == "coo" and seed.nnz >= cfg.rowblock_min_nnz:
             fmt = "rowblock"
+    def _graph(edges):
+        # the policy graph switches to the node-tile Pallas segment
+        # substrate at scale (edge ids don't matter to the GAT — only the
+        # fc action head maps to action ids, and it is edge-order-free)
+        if edges.nnz >= cfg.gat_tiled_min_edges:
+            return pol.tiled_graph_from_seed(edges)
+        return pol.graph_from_seed(edges)
+
     if fmt == "dia":
         env = spai_dia.make_dia_env(seed, a)
         # edge/action ids follow the DIA enumeration → graph must too
-        graph = pol.graph_from_seed(spai_dia.edge_coo(env))
+        graph = _graph(spai_dia.edge_coo(env))
     else:
         env = spai.make_env(
             seed, original=None if cfg.reference_baseline else a,
             reward_path="rowblock" if fmt == "rowblock" else "pair")
-        graph = pol.graph_from_seed(seed)
+        graph = _graph(seed)
     mcfg = gfn.GFlowNetConfig(
         hidden_dim=cfg.hidden_dim, heads=cfg.heads,
         num_actions=env.num_actions, loss=cfg.loss,
@@ -193,7 +201,7 @@ def _make_dp_step_adapter(cfg: TrainConfig, env, graph, mcfg, opt):
     """Wrap the mesh-parallel step in the single-device step's interface."""
     from ..parallel import make_dp_train_step, make_mesh
 
-    mesh = make_mesh(dp=cfg.dp_devices, rows=1)
+    mesh = make_mesh(dp=cfg.dp_devices, rows=cfg.rows_devices)
     use_replay = cfg.replay_size > 0
     dp_step, _ = make_dp_train_step(
         mesh, env, graph, mcfg, opt, batch_size=cfg.batch_size,
@@ -317,7 +325,7 @@ def train(cfg: TrainConfig, progress: bool = True):
         restored = restore_checkpoint(cfg.out_dir, state)
         if restored is not None:
             state = restored
-    if cfg.dp_devices > 1:
+    if cfg.dp_devices > 1 or cfg.rows_devices > 1:
         step = _make_dp_step_adapter(cfg, env, graph, mcfg, opt)
     else:
         step = make_train_step(cfg, env, graph, mcfg, opt)
