@@ -42,14 +42,18 @@ def _suffix_logsumexp(x: jax.Array) -> jax.Array:
     return jnp.flip(jax.lax.cumlogsumexp(jnp.flip(x, axis), axis=axis), axis)
 
 
-def gumbel_topk_rollout(logits: jax.Array, key, terminal_action: int) -> Rollout:
+def gumbel_topk_rollout(logits: jax.Array, key, terminal_action: int,
+                        gumbels: jax.Array | None = None) -> Rollout:
     """Sample a batch of delete-until-terminal trajectories from static logits.
 
     ``logits``: float[B, A] (A = num_actions, terminal included).
-    Returns trajectories padded to T = A.
+    Returns trajectories padded to T = A.  ``gumbels`` (optional [B, A])
+    overrides the noise — used by the sharded sampler's exactness test
+    (parallel.sampler), where each rows-shard draws its own slice.
     """
     B, A = logits.shape
-    g = jax.random.gumbel(key, (B, A), logits.dtype)
+    g = jax.random.gumbel(key, (B, A), logits.dtype) if gumbels is None \
+        else gumbels
     order = jnp.argsort(-(logits + g), axis=-1)            # [B, A] descending
     sorted_logits = jnp.take_along_axis(logits, order, axis=-1)
     denom = _suffix_logsumexp(sorted_logits)               # lse over remaining set

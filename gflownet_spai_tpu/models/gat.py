@@ -8,10 +8,14 @@ W_e e_ij)``), self-loops added with mean-filled edge features, bias on the
 output.
 
 TPU notes: the edge set is static per environment, so attention is a
-segment-softmax over edges grouped by target node — `segment_max/sum` with
-static ``num_segments`` — which XLA lowers to sorted-scatter kernels.  The
-hot large-nnz path is later replaced by the Pallas segment kernels in
-``gflownet_spai_tpu.ops`` with identical semantics.
+segment-softmax over edges grouped by target node.  Two interchangeable
+substrates (identical semantics, tested equal):
+
+* ``gatv2_apply``       — `jax.ops.segment_max/sum` (XLA sorted-scatter);
+  fine on CPU and small graphs.
+* ``gatv2_apply_tiled`` — the node-tile layout + Pallas segment kernels
+  (``ops.segment``): no scatter at all, softmax/aggregation run as dense
+  2-D math / MXU matmuls per tile.  The large-nnz path (≥ ~10⁵ edges).
 """
 
 from __future__ import annotations
@@ -92,4 +96,41 @@ def gatv2_apply(p: GATv2Params, x: jax.Array, edge_src: jax.Array,
     weighted = src_feat * alpha[..., None]
     out = jax.ops.segment_sum(weighted, edge_dst, num_segments=num_nodes)  # [N,H,D]
     out = out.reshape(num_nodes, H * D) if concat else out.mean(axis=1)
+    return out + p.bias
+
+
+def gatv2_apply_tiled(p: GATv2Params, x: jax.Array, tiles, src_t: jax.Array,
+                      dst_t: jax.Array, attr_t: jax.Array,
+                      num_nodes: int, heads: int, out_dim: int,
+                      concat: bool = True, negative_slope: float = 0.2,
+                      interpret: bool = False) -> jax.Array:
+    """``gatv2_apply`` on the node-tile layout (``ops.segment.SegTiles``):
+    per-edge arrays arrive pre-permuted into [T·S] slot order (self-loops
+    already appended at build — see ``models.policies.tiled_graph_from_seed``),
+    so the scatter side of the layer runs as the Pallas tile kernels.  The
+    only remaining irregular access is the node-feature row gather
+    ``xs[src_t]``, which XLA handles as wide vector loads."""
+    from ..ops.segment import segment_softmax_tiles, segment_sum_tiles
+
+    H, D = heads, out_dim
+    T, S = tiles.tiles, tiles.slots
+    xs = x @ p.w_src + p.b_src                     # [N, H*D]
+    xd = x @ p.w_dst
+    ea = attr_t @ p.w_edge                         # [T·S, H*D]
+
+    msg = xs[src_t] + xd[dst_t] + ea               # [T·S, H*D]
+    act = jax.nn.leaky_relu(msg.reshape(-1, H, D), negative_slope)
+    scores = jnp.einsum("ehd,hd->eh", act, p.att)  # [T·S, H]
+    alphas = []
+    for h in range(H):                             # H static and tiny
+        a_h = segment_softmax_tiles(
+            tiles, scores[:, h].reshape(T, S), interpret=interpret)
+        alphas.append(a_h.reshape(T * S))
+    alpha = jnp.stack(alphas, axis=-1)             # [T·S, H]
+
+    src_feat = xs[src_t].reshape(-1, H, D)
+    weighted = (src_feat * alpha[..., None]).reshape(T, S, H * D)
+    out = segment_sum_tiles(tiles, weighted, interpret=interpret)
+    out = out[:num_nodes]                          # drop node padding
+    out = out if concat else out.reshape(num_nodes, H, D).mean(axis=1)
     return out + p.bias

@@ -24,7 +24,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from .gat import GATv2Params, gatv2_apply, gatv2_init
+from .gat import GATv2Params, gatv2_apply, gatv2_apply_tiled, gatv2_init
 
 
 # ---------------------------------------------------------------------------
@@ -59,6 +59,43 @@ def graph_from_seed(seed) -> GraphInputs:
     )
 
 
+class TiledGraphInputs(NamedTuple):
+    """The static graph in the node-tile layout (ops.segment.SegTiles):
+    per-edge arrays pre-permuted into [T·S] slot order with self-loops and
+    their mean-filled edge features already appended — the large-nnz GAT
+    substrate (no runtime scatter/sort/permutation)."""
+    x: jax.Array          # [2n, 1]
+    src_t: jax.Array      # int32[T·S]
+    dst_t: jax.Array      # int32[T·S]
+    attr_t: jax.Array     # [T·S, 1]
+    tiles: object         # ops.segment.SegTiles (registered pytree)
+
+
+def tiled_graph_from_seed(seed, tile_nodes: int = 128) -> TiledGraphInputs:
+    """Host-side build of the tile-layout graph (reference ``state_to_data``
+    semantics, gflownet/gflownet.py:223-257, + GATv2Conv's add_self_loops
+    with fill_value='mean' — mean of raw edge features equals mean of the
+    linearly transformed ones, so it bakes in statically)."""
+    import numpy as np
+
+    from ..ops.segment import build_seg_tiles, to_tiles
+
+    n2 = 2 * seed.shape[0]
+    loops = jnp.arange(n2, dtype=seed.row.dtype)
+    src = jnp.concatenate([seed.row, loops])
+    dst = jnp.concatenate([seed.col, loops])
+    mean_attr = jnp.full((n2,), jnp.mean(seed.data), seed.data.dtype)
+    attr = jnp.concatenate([seed.data, mean_attr])
+    tiles = build_seg_tiles(np.asarray(dst), n2, tile_nodes=tile_nodes)
+    return TiledGraphInputs(
+        x=jnp.ones((n2, 1), seed.data.dtype),
+        src_t=to_tiles(tiles, src),
+        dst_t=to_tiles(tiles, dst),
+        attr_t=to_tiles(tiles, attr)[:, None],
+        tiles=tiles,
+    )
+
+
 def forward_policy_init(key, hidden_dim: int, max_num_actions: int,
                         node_features: int = 1, heads: int = 4,
                         dtype=jnp.float32) -> ForwardPolicyParams:
@@ -73,17 +110,25 @@ def forward_policy_init(key, hidden_dim: int, max_num_actions: int,
     )
 
 
-def forward_policy_pooled(p: ForwardPolicyParams, g: GraphInputs,
-                          hidden_dim: int, heads: int = 4) -> jax.Array:
+def forward_policy_pooled(p: ForwardPolicyParams, g, hidden_dim: int,
+                          heads: int = 4) -> jax.Array:
     """GATv2 ×2 + global mean pool → the [hidden] graph embedding (the part
     of the forward policy *before* the action head; split out so the head
-    can be sharded over a mesh axis — parallel/tp.py)."""
+    can be sharded over a mesh axis — parallel/tp.py).  Dispatches on the
+    graph container: ``TiledGraphInputs`` rides the Pallas tile kernels."""
     n_nodes = g.x.shape[0]
-    h = gatv2_apply(p.gat1, g.x, g.edge_src, g.edge_dst, g.edge_attr,
-                    n_nodes, heads, hidden_dim)
-    h = jax.nn.relu(h)
-    h = gatv2_apply(p.gat2, h, g.edge_src, g.edge_dst, g.edge_attr,
-                    n_nodes, 1, hidden_dim)
+    if isinstance(g, TiledGraphInputs):
+        h = gatv2_apply_tiled(p.gat1, g.x, g.tiles, g.src_t, g.dst_t,
+                              g.attr_t, n_nodes, heads, hidden_dim)
+        h = jax.nn.relu(h)
+        h = gatv2_apply_tiled(p.gat2, h, g.tiles, g.src_t, g.dst_t,
+                              g.attr_t, n_nodes, 1, hidden_dim)
+    else:
+        h = gatv2_apply(p.gat1, g.x, g.edge_src, g.edge_dst, g.edge_attr,
+                        n_nodes, heads, hidden_dim)
+        h = jax.nn.relu(h)
+        h = gatv2_apply(p.gat2, h, g.edge_src, g.edge_dst, g.edge_attr,
+                        n_nodes, 1, hidden_dim)
     h = jax.nn.relu(h)
     return h.mean(axis=0)                         # global_mean_pool, batch=1
 

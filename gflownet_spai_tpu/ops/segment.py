@@ -1,0 +1,253 @@
+"""Pallas segment-softmax / segment-sum: the GAT scatter substrate on TPU.
+
+The reference's GAT rides torch_scatter's CUDA segment kernels (reference
+policy.py:21,29 via torch_geometric — SURVEY.md §2 row L0).  On TPU,
+``jax.ops.segment_sum/max`` lower to sorted-scatter HLOs that serialize; and
+Mosaic has no arbitrary vector scatter at all.  The TPU-native shape is a
+**node-tile layout**: group edges by destination node into tiles of ``TN``
+consecutive nodes × ``S`` edge slots (padded), computed ONCE per static
+graph.  Inside a tile every segment op becomes dense 2-D math:
+
+* one-hot membership ``onehot[v, s] = (local_dst[s] == v)``  — a compare
+  against a broadcasted iota,
+* segment-max / softmax — masked row reductions over the S (lane) axis,
+* segment-sum of features — ``onehot @ vals``: an MXU matmul.
+
+No scatter, no gather, no sort at runtime; every tensor is grid-mapped with
+static block shapes (Pallas double-buffers the streaming).  Tiles are
+disjoint in edge slots, so outputs write racelessly.
+
+Semantics match ``jax.ops.segment_*`` on sorted segments exactly (jnp
+reference implementations below are the test oracles and the CPU path).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+_LANE = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+@dataclasses.dataclass(frozen=True)
+class SegTiles:
+    """Static node-tile layout for a fixed segment structure.
+
+    ``perm``: int32[T·S] — edge-slot → original edge index (padding slots
+    point at index E, i.e. one past the end — callers append a dummy row).
+    ``local_dst``: int32[T, S] — destination node id within the tile
+    (0..TN−1), TN for padding slots.
+    """
+
+    perm: jax.Array
+    local_dst: jax.Array
+    num_nodes: int = dataclasses.field(metadata={"static": True})
+    num_edges: int = 0
+    tiles: int = 0
+    tile_nodes: int = 0
+    slots: int = 0
+
+    @property
+    def n_pad(self) -> int:
+        return self.tiles * self.tile_nodes
+
+
+jax.tree_util.register_dataclass(
+    SegTiles,
+    data_fields=["perm", "local_dst"],
+    meta_fields=["num_nodes", "num_edges", "tiles", "tile_nodes", "slots"],
+)
+
+
+def build_seg_tiles(ids, num_nodes: int, tile_nodes: int = 128) -> SegTiles:
+    """Host-side layout build from arbitrary (unsorted) segment ids [E].
+
+    ``S`` = the max edge count over node tiles, rounded to the lane width;
+    skew within a tile only costs padding slots, never correctness."""
+    ids = np.asarray(ids, np.int64)
+    E = len(ids)
+    order = np.argsort(ids, kind="stable")
+    sorted_ids = ids[order]
+    T = _round_up(max(num_nodes, 1), tile_nodes) // tile_nodes
+    # edges per tile via the sorted boundaries
+    bounds = np.searchsorted(sorted_ids, np.arange(T + 1) * tile_nodes)
+    counts = np.diff(bounds)
+    S = _round_up(max(int(counts.max()) if T else 1, 1), _LANE)
+    perm = np.full((T, S), E, np.int64)
+    local = np.full((T, S), tile_nodes, np.int64)
+    for t in range(T):
+        k = int(counts[t])
+        perm[t, :k] = order[bounds[t]:bounds[t + 1]]
+        local[t, :k] = sorted_ids[bounds[t]:bounds[t + 1]] - t * tile_nodes
+    return SegTiles(
+        perm=jnp.asarray(perm.reshape(-1), jnp.int32),
+        local_dst=jnp.asarray(local, jnp.int32),
+        num_nodes=num_nodes,
+        num_edges=E,
+        tiles=T,
+        tile_nodes=tile_nodes,
+        slots=S,
+    )
+
+
+def to_tiles(tiles: SegTiles, vals: jax.Array) -> jax.Array:
+    """[E, ...] edge array → [T·S, ...] tile-slot layout (one static gather;
+    for hot paths, store edge data in tile layout from the start and skip
+    this).  Padding slots read an appended zero row."""
+    zero = jnp.zeros((1,) + vals.shape[1:], vals.dtype)
+    return jnp.concatenate([vals, zero], axis=0)[tiles.perm]
+
+
+def from_tiles(tiles: SegTiles, vals_t: jax.Array) -> jax.Array:
+    """Inverse of ``to_tiles`` for per-edge outputs: scatter tile slots back
+    to original edge order (static permutation)."""
+    out = jnp.zeros((tiles.num_edges + 1,) + vals_t.shape[1:], vals_t.dtype)
+    return out.at[tiles.perm].set(vals_t)[: tiles.num_edges]
+
+
+# ---------------------------------------------------------------------------
+# jnp reference implementations (CPU path + interpret-mode oracles)
+# ---------------------------------------------------------------------------
+
+def _onehot(local_dst_row: jax.Array, tn: int) -> jax.Array:
+    v = jax.lax.broadcasted_iota(jnp.int32, (tn, local_dst_row.shape[-1]), 0)
+    return v == local_dst_row
+
+
+def segment_softmax_tiles_jnp(tiles: SegTiles, scores_t: jax.Array) -> jax.Array:
+    """[T, S] per-slot scores → [T, S] softmax within segments (padding → 0)."""
+
+    def one(s, lid):
+        oh = _onehot(lid[None, :], tiles.tile_nodes)            # [TN, S]
+        m = jnp.max(jnp.where(oh, s[None, :], -jnp.inf), axis=1, keepdims=True)
+        z = jnp.where(oh, s[None, :] - m, -jnp.inf)
+        ex = jnp.exp(z)
+        den = jnp.sum(ex, axis=1, keepdims=True)
+        return jnp.sum(ex / jnp.maximum(den, 1e-30), axis=0)
+
+    return jax.vmap(one)(scores_t, tiles.local_dst)
+
+
+def segment_sum_tiles_jnp(tiles: SegTiles, vals_t: jax.Array) -> jax.Array:
+    """[T, S, D] per-slot values → [T·TN, D] per-node sums."""
+
+    def one(v, lid):
+        oh = _onehot(lid[None, :], tiles.tile_nodes).astype(v.dtype)
+        return jnp.matmul(oh, v, precision="highest")           # [TN, D]
+
+    return jax.vmap(one)(vals_t, tiles.local_dst).reshape(tiles.n_pad, -1)
+
+
+def segment_max_tiles_jnp(tiles: SegTiles, vals_t: jax.Array) -> jax.Array:
+    """[T, S] per-slot values → [T·TN] per-node max (−inf where empty)."""
+
+    def one(v, lid):
+        oh = _onehot(lid[None, :], tiles.tile_nodes)
+        return jnp.max(jnp.where(oh, v[None, :], -jnp.inf), axis=1)
+
+    return jax.vmap(one)(vals_t, tiles.local_dst).reshape(tiles.n_pad)
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernels
+# ---------------------------------------------------------------------------
+
+def _use_pallas() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+def _softmax_kernel(tn: int):
+    def kernel(ids_ref, s_ref, out_ref):
+        lid = ids_ref[0, :][None, :]                            # [1, S]
+        s = s_ref[0, :][None, :]                                # [1, S]
+        oh = jax.lax.broadcasted_iota(
+            jnp.int32, (tn, lid.shape[-1]), 0) == lid           # [TN, S]
+        m = jnp.max(jnp.where(oh, s, -1e30), axis=1, keepdims=True)
+        z = jnp.where(oh, s - m, -1e30)
+        ex = jnp.exp(z)
+        den = jnp.sum(ex, axis=1, keepdims=True)
+        out_ref[0, :] = jnp.sum(ex / jnp.maximum(den, 1e-30), axis=0)
+
+    return kernel
+
+
+def segment_softmax_tiles(tiles: SegTiles, scores_t: jax.Array,
+                          interpret: bool = False) -> jax.Array:
+    """Pallas segment softmax over the tile layout: [T, S] → [T, S].
+    Grid over tiles; everything dense 2-D in VMEM (see module docstring).
+    Falls back to the jnp path off-TPU."""
+    if not (_use_pallas() or interpret):
+        return segment_softmax_tiles_jnp(tiles, scores_t)
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    T, S = scores_t.shape
+    return pl.pallas_call(
+        _softmax_kernel(tiles.tile_nodes),
+        out_shape=jax.ShapeDtypeStruct((T, S), scores_t.dtype),
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, S), lambda t: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S), lambda t: (t, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, S), lambda t: (t, 0),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * T * S * tiles.tile_nodes,
+            bytes_accessed=3 * T * S * 4,
+            transcendentals=T * S * tiles.tile_nodes,
+        ),
+        interpret=interpret,
+    )(tiles.local_dst, scores_t)
+
+
+def _sum_kernel(tn: int):
+    def kernel(ids_ref, v_ref, out_ref):
+        lid = ids_ref[0, :][None, :]                            # [1, S]
+        v = v_ref[0]                                            # [S, D]
+        oh = (jax.lax.broadcasted_iota(
+            jnp.int32, (tn, lid.shape[-1]), 0) == lid).astype(v.dtype)
+        out_ref[0] = jnp.matmul(oh, v, precision="highest",
+                                preferred_element_type=v.dtype)
+
+    return kernel
+
+
+def segment_sum_tiles(tiles: SegTiles, vals_t: jax.Array,
+                      interpret: bool = False) -> jax.Array:
+    """Pallas segment sum over the tile layout: [T, S, D] → [T·TN, D] —
+    one [TN, S] @ [S, D] MXU matmul per tile."""
+    if not (_use_pallas() or interpret):
+        return segment_sum_tiles_jnp(tiles, vals_t)
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    T, S, D = vals_t.shape
+    tn = tiles.tile_nodes
+    out = pl.pallas_call(
+        _sum_kernel(tn),
+        out_shape=jax.ShapeDtypeStruct((T, tn, D), vals_t.dtype),
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, S), lambda t: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S, D), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tn, D), lambda t: (t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * T * S * tn * D,
+            bytes_accessed=(T * S * D + T * tn * D + T * S) * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(tiles.local_dst, vals_t)
+    return out.reshape(tiles.n_pad, D)

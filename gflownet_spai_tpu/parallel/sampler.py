@@ -1,0 +1,290 @@
+"""Sharded Gumbel-top-k sampler: rollouts at huge action spaces.
+
+At nnz ≈ 10⁶ the action space makes two things expensive on one device:
+the action-head matmul/params (parallel.tp shards those) and the full
+[B, A] Gumbel sort of the rollout (SURVEY.md §7 hard part 3; reference
+policy.py:30,63 materializes [A]-sized logits per step).  This module
+shards the SORT as well:
+
+1. each ``rows`` shard perturbs its logit slice with its own folded-key
+   Gumbel noise and takes a local top-``t_cap`` (one O(A/R log) pass),
+2. an ``all_gather`` of the R·t_cap candidates (tiny: t_cap ≪ A) merges
+   into the global top-``t_cap`` — EXACTLY the first t_cap entries of the
+   global perturbed descending order, because every shard contributed its
+   own top t_cap,
+3. the trajectory is the merged prefix up to the terminal action; per-step
+   forward log-probs come from suffix sums over the prefix plus the
+   (psum'd) tail mass — additions only, no cancellation.
+
+Exactness: when the terminal action lands inside the merged prefix the
+trajectory and its log-probs equal the replicated ``gumbel_topk_rollout``
+with the concatenated per-shard noise BIT-FOR-BIT in distribution terms
+(tested exactly by replaying the same per-shard noise); samples whose
+terminal falls outside the prefix are flagged ``valid=False`` (weight-0 in
+the loss) — set ``t_cap = num_actions`` for unconditional exactness.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..gfn.rollout import Rollout
+from ..models import policies as pol
+
+
+class ShardedRollout(NamedTuple):
+    rollout: Rollout       # actions/logprobs padded to T = t_cap
+    valid: jax.Array       # bool[B] — terminal action inside the prefix
+    logits_local: jax.Array  # [A_pad/R] this-shard logits (diagnostics)
+
+
+def sharded_rollout(mesh: Mesh, p: pol.ForwardPolicyParams, graph,
+                    num_actions: int, hidden_dim: int, key,
+                    batch_size: int, t_cap: int, heads: int = 4,
+                    axis: str = "rows") -> ShardedRollout:
+    """Rollout a batch with head matmul + Gumbel top-k sharded over
+    ``axis``.  ``p`` must carry a column-sharded head (``tp.shard_head``).
+    No device ever materializes a [B, A] tensor — peak per-device is
+    [B, A/R] + [B, R·t_cap]."""
+    pooled = pol.forward_policy_pooled(p, graph, hidden_dim, heads)
+    A_pad = p.fc_w.shape[1]
+    R = mesh.shape[axis]
+    a_loc = A_pad // R
+    k_loc = min(t_cap, a_loc)
+    terminal = num_actions - 1
+
+    def local(pooled, w, b, key):
+        j = jax.lax.axis_index(axis)
+        l_loc = pooled @ w + b                                 # [a_loc]
+        gids = j * a_loc + jnp.arange(a_loc, dtype=jnp.int32)
+        l_loc = jnp.where(gids < num_actions, l_loc, -jnp.inf)
+        g = jax.random.gumbel(jax.random.fold_in(key, j),
+                              (batch_size, a_loc), l_loc.dtype)
+        pert = l_loc[None, :] + g                              # [B, a_loc]
+
+        # total logit mass (for the tail term of the suffix normalizers)
+        m = jax.lax.pmax(jnp.max(l_loc), axis)
+        sumexp = jax.lax.psum(
+            jnp.sum(jnp.where(gids < num_actions,
+                              jnp.exp(l_loc - m), 0.0)), axis)
+
+        pv, pi = jax.lax.top_k(pert, k_loc)                    # [B, k_loc]
+        cand_l = l_loc[pi]
+        cand_id = gids[pi]
+        # merge: gather every shard's candidates (R·k_loc ≪ A)
+        all_pv = jax.lax.all_gather(pv, axis)                  # [R, B, k]
+        all_l = jax.lax.all_gather(cand_l, axis)
+        all_id = jax.lax.all_gather(cand_id, axis)
+        flat_pv = jnp.moveaxis(all_pv, 0, 1).reshape(batch_size, R * k_loc)
+        flat_l = jnp.moveaxis(all_l, 0, 1).reshape(batch_size, R * k_loc)
+        flat_id = jnp.moveaxis(all_id, 0, 1).reshape(batch_size, R * k_loc)
+        top = min(t_cap, R * k_loc)
+        _, sel = jax.lax.top_k(flat_pv, top)                   # [B, top]
+        s_l = jnp.take_along_axis(flat_l, sel, axis=-1)
+        s_id = jnp.take_along_axis(flat_id, sel, axis=-1)
+
+        # suffix normalizers: prefix right-cumsum + tail mass (additions only)
+        ex = jnp.exp(s_l - m)                                  # [B, top]
+        tail = jnp.maximum(sumexp - jnp.sum(ex, axis=-1, keepdims=True), 0.0)
+        suffix = jnp.flip(jnp.cumsum(jnp.flip(ex, -1), -1), -1) + tail
+        lse = m + jnp.log(jnp.maximum(suffix, 1e-30))
+        step_lp = s_l - lse                                    # [B, top]
+
+        hit = s_id == terminal
+        found = jnp.any(hit, axis=-1)
+        kpos = jnp.argmax(hit, axis=-1)                        # [B]
+        t_ids = jnp.arange(top, dtype=jnp.int32)[None, :]
+        on_traj = (t_ids <= kpos[:, None]) & found[:, None]
+        actions = jnp.where(on_traj, s_id, -1).astype(jnp.int32)
+        fwd_lp = jnp.where(on_traj, step_lp, 0.0)
+        lengths = jnp.where(found, kpos + 1, top).astype(jnp.int32)
+        return actions, fwd_lp, lengths, found, l_loc
+
+    actions, fwd_lp, lengths, valid, l_loc = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(None, axis), P(axis), P()),
+        out_specs=(P(), P(), P(), P(), P(axis)),
+        check_vma=False,
+    )(pooled, p.fc_w, p.fc_b, key)
+    return ShardedRollout(
+        rollout=Rollout(actions=actions, fwd_logprobs=fwd_lp, lengths=lengths),
+        valid=valid,
+        logits_local=l_loc,
+    )
+
+
+def replicated_oracle_gumbels(key, num_actions: int, a_pad: int, n_shards: int,
+                              batch_size: int, dtype=jnp.float32) -> jax.Array:
+    """The exact noise the sharded sampler draws, assembled on one device
+    ([B, A]) — the test oracle feeds this to ``gumbel_topk_rollout`` to get
+    bit-exact parity with the distributed path."""
+    a_loc = a_pad // n_shards
+    parts = [
+        jax.random.gumbel(jax.random.fold_in(key, j), (batch_size, a_loc),
+                          dtype)
+        for j in range(n_shards)
+    ]
+    return jnp.concatenate(parts, axis=1)[:, :num_actions]
+
+
+def make_sharded_sampler_train_step(mesh: Mesh, env, graph, cfg, opt,
+                                    batch_size: int, t_cap: int,
+                                    axis: str = "rows"):
+    """Train step whose ROLLOUT is sharded too: the action head, the Gumbel
+    top-k sort, and the per-step forward log-probs all run over ``axis``
+    without any device materializing [B, A] (SURVEY.md §7 hard part 3;
+    VERDICT r1 #4).  The reward residual shards through the same providers
+    as parallel.dp; the batch shards over ``dp``.
+
+    Returns ``(step_fn, sharded_params_template, padded_env)``:
+    ``step_fn(params, opt_state, key) -> (params, opt_state, loss, rewards,
+    valid)``.  ``params.forward`` must carry the column-sharded head
+    (``tp.shard_head`` — the returned template has it applied); the optax
+    state inherits the shardings via XLA propagation, so the update outside
+    the shard_map stays sharded.
+
+    Loss: TB (or vargrad) with trajectories capped at ``t_cap`` steps;
+    samples whose terminal action falls outside the merged prefix are
+    weight-0 (``t_cap = num_actions`` ⇒ always exact).  The per-step
+    normalizers use suffix sums over the differentiable prefix logits plus
+    the psum'd tail mass — gradients flow through shard_map's collective
+    transposes, so no manual grad reductions are needed.
+    """
+    import optax
+
+    from ..env import spai
+    from ..gfn import gflownet as gfn
+    from ..gfn.loss import log_reward, trajectory_balance_loss, vargrad_loss
+    from .dp import _make_residual_provider
+    from .tp import shard_head
+
+    if cfg.temperature != 1.0:
+        raise NotImplementedError("sharded sampler: temperature must be 1")
+    dp = mesh.shape["dp"]
+    R = mesh.shape[axis]
+    if batch_size % dp:
+        raise ValueError(f"batch {batch_size} not divisible by dp={dp}")
+    b_local = batch_size // dp
+    env, aux, aux_specs, res_fn = _make_residual_provider(env, R)
+    opt = optax.with_extra_args_support(opt)
+
+    num_actions = cfg.num_actions
+    terminal = num_actions - 1
+    num_edges = env.num_edges
+    ncols = env.seed.shape[1]
+    baseline_residual = env.baseline_residual
+    baseline_flops = env.baseline_flops
+
+    def _shard_fwd(params):
+        return params._replace(forward=shard_head(mesh, params.forward, axis))
+
+    fwd_spec = jax.tree_util.tree_map(lambda _: P(), graph), None  # placeholder
+
+    def local(params, key, aux, graph_arg):
+        j = jax.lax.axis_index(axis)
+        key = jax.random.fold_in(key, jax.lax.axis_index("dp"))
+        pooled = pol.forward_policy_pooled(params.forward, graph_arg,
+                                           cfg.hidden_dim, cfg.heads)
+        a_loc = params.forward.fc_w.shape[1]           # local slice width
+        l_loc = pooled @ params.forward.fc_w + params.forward.fc_b
+        gids = j * a_loc + jnp.arange(a_loc, dtype=jnp.int32)
+        live = gids < num_actions
+        l_loc = jnp.where(live, l_loc, -jnp.inf)
+
+        # ---- sampling (gradient-free) ----
+        g = jax.random.gumbel(jax.random.fold_in(key, j),
+                              (b_local, a_loc), pooled.dtype)
+        pert = jax.lax.stop_gradient(l_loc)[None, :] + g
+        k_loc = min(t_cap, a_loc)
+        pv, pi = jax.lax.top_k(pert, k_loc)
+        cand_id = gids[pi]
+        all_pv = jax.lax.all_gather(pv, axis)
+        all_id = jax.lax.all_gather(cand_id, axis)
+        flat_pv = jnp.moveaxis(all_pv, 0, 1).reshape(b_local, R * k_loc)
+        flat_id = jnp.moveaxis(all_id, 0, 1).reshape(b_local, R * k_loc)
+        top = min(t_cap, R * k_loc)
+        _, sel = jax.lax.top_k(flat_pv, top)
+        s_id = jnp.take_along_axis(flat_id, sel, axis=-1)      # [b, top]
+
+        # ---- differentiable per-step log-probs ----
+        lid = s_id - j * a_loc
+        mine = (lid >= 0) & (lid < a_loc)
+        l_mine = jnp.where(mine, l_loc[jnp.clip(lid, 0, a_loc - 1)], 0.0)
+        l_full = jax.lax.psum(jnp.where(mine, l_mine, 0.0), axis)  # [b, top]
+        # pmax has no AD rule — take the global max via a (differentiable)
+        # all_gather of the shard maxima, on stop-gradient values (m is an
+        # lse shift: its analytic gradient contribution cancels anyway)
+        local_max = jnp.max(jnp.where(live, jax.lax.stop_gradient(l_loc),
+                                      -1e30))
+        m = jnp.max(jax.lax.all_gather(local_max, axis))
+        sumexp = jax.lax.psum(
+            jnp.sum(jnp.where(live, jnp.exp(l_loc - m), 0.0)), axis)
+        ex = jnp.exp(l_full - m)
+        tail = jnp.maximum(sumexp - jnp.sum(ex, -1, keepdims=True), 0.0)
+        suffix = jnp.flip(jnp.cumsum(jnp.flip(ex, -1), -1), -1) + tail
+        step_lp = l_full - (m + jnp.log(jnp.maximum(suffix, 1e-30)))
+
+        hit = s_id == terminal
+        valid = jnp.any(hit, axis=-1)
+        kpos = jnp.argmax(hit, axis=-1)
+        t_ids = jnp.arange(top, dtype=jnp.int32)[None, :]
+        on_traj = (t_ids <= kpos[:, None]) & valid[:, None]
+        actions = jax.lax.stop_gradient(
+            jnp.where(on_traj, s_id, -1).astype(jnp.int32))
+        fwd_lp = jnp.where(on_traj, step_lp, 0.0)
+
+        # ---- reward + loss ----
+        alpha = pol.forward_policy_alpha(params.forward)
+        if cfg.alpha_fixed >= 0:
+            alpha = jnp.asarray(cfg.alpha_fixed, pooled.dtype)
+        keep = jax.vmap(
+            lambda a: spai.keep_mask_from_actions(a, num_edges))(actions)
+        res, kept_nnz = res_fn(keep, aux)
+        res_ratio = res / baseline_residual
+        comp_ratio = 2.0 * kept_nnz * ncols / baseline_flops
+        rewards = (alpha * (1 - res_ratio)
+                   + (1 - alpha) * (1 - comp_ratio)) * 1000.0
+
+        back_lp = gfn.backward_logprobs(params, cfg, actions)
+        w = valid.astype(fwd_lp.dtype)
+        if cfg.loss == "vargrad":
+            loss = vargrad_loss(log_reward(rewards), fwd_lp.sum(-1),
+                                back_lp.sum(-1), weights=w)
+        else:
+            loss = trajectory_balance_loss(
+                params.log_z, log_reward(rewards),
+                fwd_lp.sum(-1), back_lp.sum(-1), weights=w)
+        loss = jax.lax.pmean(loss, "dp")
+        return loss, rewards, valid
+
+    params_spec_fwd = None
+
+    def loss_fn(params, key, aux, graph_arg):
+        fwd = jax.tree_util.tree_map(lambda _: P(), params.forward)
+        fwd = fwd._replace(fc_w=P(None, axis), fc_b=P(axis))
+        p_spec = jax.tree_util.tree_map(lambda _: P(), params)
+        p_spec = p_spec._replace(forward=fwd)
+        g_spec = jax.tree_util.tree_map(lambda _: P(), graph_arg)
+        out = shard_map(
+            local, mesh=mesh,
+            in_specs=(p_spec, P(), aux_specs, g_spec),
+            out_specs=(P(), P("dp"), P("dp")),
+            check_vma=False,
+        )(params, key, aux, graph_arg)
+        loss, rewards, valid = out
+        return loss, (rewards, valid)
+
+    @jax.jit
+    def step(params, opt_state, key):
+        (loss, (rewards, valid)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params, key, aux, graph)
+        updates, opt_state = opt.update(grads, opt_state, params, value=loss)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, rewards, valid
+
+    return step, _shard_fwd, env
