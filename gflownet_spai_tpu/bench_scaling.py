@@ -68,11 +68,19 @@ def main(argv=None) -> int:
     ap.add_argument("--devices", default="1,2,4,8")
     ap.add_argument("--rows-per-device", type=int, default=262144)
     ap.add_argument("--platform", default=None)
+    ap.add_argument("--multihost", action="store_true",
+                    help="bootstrap jax.distributed first (parallel.multihost)"
+                         " — the weak-scaling sweep a real pod runs unmodified")
     args = ap.parse_args(argv)
     import jax
 
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    if args.multihost:
+        from .parallel.multihost import initialize_from_env, process_summary
+
+        initialize_from_env()
+        print(json.dumps(process_summary()))
     counts = [int(x) for x in args.devices.split(",")]
     if max(counts) > len(jax.devices()):
         raise SystemExit(

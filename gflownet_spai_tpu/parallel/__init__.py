@@ -7,6 +7,7 @@ from .dp import (make_dp_train_step, sharded_residual_norms,
 from .solvers import distributed_cg, distributed_gmres, distributed_jacobi
 from .tp import pad_head, shard_head, sharded_policy_logits
 from .sampler import ShardedRollout, replicated_oracle_gumbels, sharded_rollout
+from .multihost import global_mesh, initialize_from_env, process_summary
 
 __all__ = [
     "make_mesh", "single_device_mesh",
@@ -16,4 +17,5 @@ __all__ = [
     "distributed_cg", "distributed_gmres", "distributed_jacobi",
     "pad_head", "shard_head", "sharded_policy_logits",
     "ShardedRollout", "replicated_oracle_gumbels", "sharded_rollout",
+    "global_mesh", "initialize_from_env", "process_summary",
 ]

@@ -70,15 +70,26 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--resume", action="store_true")
     p.add_argument("--legacy", action="store_true",
                    help="reference train.py hyperparams (batch 32, lr 1e-3, hidden 32)")
+    p.add_argument("--multihost", action="store_true",
+                   help="bootstrap jax.distributed from GFNSPAI_COORDINATOR/"
+                        "GFNSPAI_NUM_PROCS/GFNSPAI_PROC_ID (or JAX_* / TPU-pod "
+                        "auto-detect) before first backend use; mesh axes then "
+                        "span processes (parallel.multihost)")
     return p
 
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if args.multihost:
+        from ..parallel.multihost import initialize_from_env, process_summary
+
+        initialize_from_env()
+        print(f"multihost: {process_summary()}")
     base = TrainConfig.legacy() if args.legacy else TrainConfig()
     overrides = {
         k: v for k, v in vars(args).items()
-        if k != "legacy" and v != getattr(TrainConfig(), k, None)
+        if k not in ("legacy", "multihost")
+        and v != getattr(TrainConfig(), k, None)
     }
     if args.legacy:
         for k in ("batch_size", "lr", "hidden_dim"):
