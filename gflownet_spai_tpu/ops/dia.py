@@ -136,6 +136,13 @@ def dia_to_coo(d: DIA) -> COO:
     ), sum_duplicates=False)
 
 
+def dia_astype(d: DIA, dtype) -> DIA:
+    """Cast the stored diagonals (e.g. bf16 storage for the fused k-step
+    kernels: halves the dominant diagonal-read HBM traffic; the ping-pong
+    buffers keep f32 so every accumulate stays full precision)."""
+    return dataclasses.replace(d, data=d.data.astype(dtype))
+
+
 def dia_transpose(d: DIA) -> DIA:
     """Aᵀ in DIA:  AT[j, j−off] = A[j+? ] — implemented as a static shift of
     each diagonal with negated offset (pure jnp, differentiable)."""
@@ -1232,8 +1239,9 @@ def dia_pad_pp(d: DIA, x: jax.Array, tr: int | None = None) -> jax.Array:
     non-default tile (e.g. ``dia_power_tile(d, k)``)."""
     if tr is None:
         tr = dia_pp_tile(d) or d.halo
-    buf = jnp.zeros((tr + d.n_pad + tr,), d.data.dtype)
-    return jax.lax.dynamic_update_slice(buf, x.astype(d.data.dtype), (tr,))
+    dt = jnp.promote_types(d.data.dtype, x.dtype)
+    buf = jnp.zeros((tr + d.n_pad + tr,), dt)
+    return jax.lax.dynamic_update_slice(buf, x.astype(dt), (tr,))
 
 
 def spmv_dia_pingpong(d: DIA, xq: jax.Array, yq: jax.Array,
@@ -1386,7 +1394,7 @@ def _spmv_pallas_power(d: DIA, datak: jax.Array, xq: jax.Array,
 
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((n_pad + 2 * tr,), d.data.dtype),
+        out_shape=jax.ShapeDtypeStruct((n_pad + 2 * tr,), xq.dtype),
         grid=(grid,),
         in_specs=[
             pl.BlockSpec((1, d.ndiags, win_d), lambda j: (j, 0, 0),
@@ -1544,11 +1552,11 @@ def _spmv_pallas_power_stream(d: DIA, datak: jax.Array, xq: jax.Array,
                 dma_c(j, c1, semc1).wait()
             passes(d_ref, z_ref, x1, c1)
 
-    c_arg = cq if affine else jnp.zeros((1024,), d.data.dtype)
+    c_arg = cq if affine else jnp.zeros((1024,), xq.dtype)
 
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((n_pad + 2 * tr,), d.data.dtype),
+        out_shape=jax.ShapeDtypeStruct((n_pad + 2 * tr,), xq.dtype),
         grid=(grid,),
         in_specs=[
             pl.BlockSpec((1, d.ndiags, win_d), lambda j: (j, 0, 0),
@@ -1561,10 +1569,10 @@ def _spmv_pallas_power_stream(d: DIA, datak: jax.Array, xq: jax.Array,
                                memory_space=pltpu.VMEM),
         input_output_aliases={3: 0},
         scratch_shapes=[
-            pltpu.VMEM((win_x,), d.data.dtype),
-            pltpu.VMEM((win_x,), d.data.dtype),
-            pltpu.VMEM((win_d,), d.data.dtype),
-            pltpu.VMEM((win_d,), d.data.dtype),
+            pltpu.VMEM((win_x,), xq.dtype),
+            pltpu.VMEM((win_x,), xq.dtype),
+            pltpu.VMEM((win_d,), xq.dtype),
+            pltpu.VMEM((win_d,), xq.dtype),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
@@ -1841,3 +1849,166 @@ def _spmv_bwd(res, g):
 
 
 spmv_dia.defvjp(_spmv_fwd, _spmv_bwd)
+
+
+# --- multi-RHS fused k-step (temporally-blocked) SpMV --------------------
+#
+# The [K, n] generalization of _spmv_pallas_power: K right-hand sides ride
+# the sublane dimension, so ONE widened diagonal-data read serves k
+# dependent applies × K vectors — the diagonal traffic per (apply, rhs)
+# drops by k·K.  The multi-RHS weighted-Jacobi smoother
+# (solvers.stationary.jacobi_multirhs) and block-Krylov users sit on top.
+
+def dia_pad_pp_rhs(d: DIA, x: jax.Array, tr: int | None = None) -> jax.Array:
+    """[K, n] → [K, P + n_pad + P] ping-pong buffers (promoted dtype, zero
+    halo blocks)."""
+    if tr is None:
+        tr = dia_pp_tile(d) or d.halo
+    k_rhs, n = x.shape
+    dt = jnp.promote_types(d.data.dtype, x.dtype)
+    buf = jnp.zeros((k_rhs, tr + d.n_pad + tr), dt)
+    return jax.lax.dynamic_update_slice(buf, x.astype(dt), (0, tr))
+
+
+def dia_power_rhs_ok(d: DIA, k: int, n_rhs: int, tr: int | None = None) -> bool:
+    """VMEM model for the resident multi-RHS fused kernel: the x/z/out
+    terms scale by K, the data windows don't."""
+    if tr is None:
+        tr = dia_pp_tile(d)
+    if not tr or tr < k * d.halo or k < 2:
+        return False
+    budget = _MAX_VMEM_BYTES // 4
+    rows8 = _round_up(d.ndiags, 8)
+    win_d = tr + 2 * (k - 1) * d.halo
+    need = (n_rhs * (d.n_pad + 2 * tr)            # resident X
+            + (2 * rows8 + 2 * d.ndiags + 8) * win_d
+            + n_rhs * (2 * tr + tr + 2 * k * d.halo))   # out dbl-buf + cur
+    return need <= budget
+
+
+def _spmv_pallas_power_rhs(d: DIA, datak: jax.Array, xq: jax.Array,
+                           zq: jax.Array, scale: float = 1.0, k: int = 2,
+                           cq: jax.Array | None = None,
+                           interpret: bool = False) -> jax.Array:
+    """Resident multi-RHS fused k-step: X [K, n_pad+2tr] whole in VMEM,
+    data windows grid-mapped, Z aliased.  Each pass computes
+    scale·A·(previous) [+ c] on all K rows simultaneously (K on sublanes,
+    rows on lanes — the same [K, out_len] vector ops as the 1-RHS kernel
+    broadcast over sublanes)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    offsets, h = d.offsets, d.halo
+    n_pad = d.n_pad
+    K = xq.shape[0]
+    tr = (xq.shape[1] - n_pad) // 2
+    grid = n_pad // tr
+    m = (k - 1) * h
+    win_d = tr + 2 * m
+    assert tr and tr >= k * h and xq.shape == zq.shape == (K, n_pad + 2 * tr)
+    assert tr % _ALIGN == 0 and n_pad % tr == 0, tr
+    assert datak.shape == (grid, d.ndiags, win_d)
+    affine = cq is not None
+    if affine:
+        assert cq.shape == xq.shape
+    center = offsets.index(0) if 0 in offsets else None
+
+    def body(d_ref, x_ref, c_ref, z_ref):
+        j = pl.program_id(0)
+        xstart = pl.multiple_of((j + 1) * tr - k * h, _ALIGN)
+        cur = x_ref[:, pl.ds(xstart, tr + 2 * k * h)]          # [K, win_x]
+        if affine:
+            cstart = pl.multiple_of((j + 1) * tr - m, _ALIGN)
+            cext = c_ref[:, pl.ds(cstart, win_d)]
+        for p in range(1, k + 1):
+            out_len = tr + 2 * (k - p) * h
+            dlo = (p - 1) * h
+
+            def dia_row(s, dlo=dlo, out_len=out_len):
+                return jax.lax.slice(d_ref[0, s, :], (dlo,),
+                                     (dlo + out_len,))[None, :]
+
+            def cur_slice(off, out_len=out_len):
+                return jax.lax.slice(cur, (0, h + off),
+                                     (K, h + off + out_len))
+
+            if center is not None:
+                y = dia_row(center) * cur_slice(0)
+            else:
+                y = jnp.zeros((K, out_len), z_ref.dtype)
+            for s, off in enumerate(offsets):
+                if s == center:
+                    continue
+                y += dia_row(s) * cur_slice(off)
+            cur = y * scale if scale != 1.0 else y
+            if affine:
+                cur = cur + jax.lax.slice(cext, (0, dlo), (K, dlo + out_len))
+        z_ref[...] = cur
+
+    if affine:
+        def kernel(d_ref, x_ref, c_ref, z_in, z_ref):
+            body(d_ref, x_ref, c_ref, z_ref)
+        extra_in = [pl.BlockSpec(memory_space=pltpu.VMEM)]
+        operands = (datak, xq, cq, zq)
+        aliases = {3: 0}
+    else:
+        def kernel(d_ref, x_ref, z_in, z_ref):
+            body(d_ref, x_ref, None, z_ref)
+        extra_in = []
+        operands = (datak, xq, zq)
+        aliases = {2: 0}
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((K, n_pad + 2 * tr), xq.dtype),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((1, d.ndiags, win_d), lambda j: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            *extra_in,
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((K, tr), lambda j: (0, j + 1),
+                               memory_space=pltpu.VMEM),
+        input_output_aliases=aliases,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * k * K * d.ndiags * n_pad,
+            bytes_accessed=(d.ndiags + 2 * K) * n_pad * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(*operands)
+
+
+def spmv_dia_power_rhs(d: DIA, datak: jax.Array, xq: jax.Array,
+                       zq: jax.Array, scale: float = 1.0, k: int = 2,
+                       add: jax.Array | None = None) -> jax.Array:
+    """Multi-RHS ``spmv_dia_power``: Z = scaleᵏ·Aᵏ·X for X = [K, n] in the
+    ``dia_pad_pp_rhs`` layout (affine with ``add``, per-RHS constants).
+    Falls back to K vectorized jnp applies off-TPU / out of model."""
+    K = xq.shape[0]
+    tr = (xq.shape[1] - d.n_pad) // 2
+    if (_use_pallas() and tr > 0 and xq.shape[1] == d.n_pad + 2 * tr
+            and tr % _ALIGN == 0 and d.n_pad % tr == 0
+            and datak.ndim == 3 and datak.shape[0] == d.n_pad // tr
+            and dia_power_rhs_ok(d, k, K, tr)):
+        return _spmv_pallas_power_rhs(d, datak, xq, zq, scale=scale, k=k,
+                                      cq=add)
+    p = tr
+    h = d.halo
+    dt = jnp.promote_types(d.data.dtype, xq.dtype)
+    cur = jax.lax.slice(xq, (0, p - h), (K, p + d.n_pad + h))
+    cadd = None if add is None else jax.lax.slice(
+        add, (0, p), (K, p + d.n_pad))
+    for _ in range(k):
+        acc = jnp.zeros((K, d.n_pad), dt)
+        for s, off in enumerate(d.offsets):
+            sl = jax.lax.slice(cur, (0, h + off), (K, h + off + d.n_pad))
+            acc = acc + d.data[s][None, :] * sl
+        acc = acc * scale
+        if cadd is not None:
+            acc = acc + cadd
+        cur = jnp.pad(acc, ((0, 0), (h, h)))
+    return jax.lax.dynamic_update_slice(
+        zq, jax.lax.slice(cur, (0, h), (K, h + d.n_pad)), (0, p))

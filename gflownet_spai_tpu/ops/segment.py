@@ -24,6 +24,7 @@ reference implementations below are the test oracles and the CPU path).
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 from typing import Tuple
 
 import numpy as np
@@ -165,53 +166,88 @@ def _use_pallas() -> bool:
 
 
 def _softmax_kernel(tn: int):
+    # blocks are [1, 1, S]: Mosaic needs the sublane dim of a block to be
+    # 8-divisible OR equal to the array's — a singleton middle axis satisfies
+    # the latter for every operand
     def kernel(ids_ref, s_ref, out_ref):
-        lid = ids_ref[0, :][None, :]                            # [1, S]
-        s = s_ref[0, :][None, :]                                # [1, S]
+        lid = ids_ref[0, 0, :][None, :]                         # [1, S]
+        s = s_ref[0, 0, :][None, :]                             # [1, S]
         oh = jax.lax.broadcasted_iota(
             jnp.int32, (tn, lid.shape[-1]), 0) == lid           # [TN, S]
         m = jnp.max(jnp.where(oh, s, -1e30), axis=1, keepdims=True)
         z = jnp.where(oh, s - m, -1e30)
         ex = jnp.exp(z)
         den = jnp.sum(ex, axis=1, keepdims=True)
-        out_ref[0, :] = jnp.sum(ex / jnp.maximum(den, 1e-30), axis=0)
+        out_ref[0, 0, :] = jnp.sum(ex / jnp.maximum(den, 1e-30), axis=0)
 
     return kernel
+
+
+def _softmax_pallas(tn: int, interpret: bool, local_dst, scores_t):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    T, S = scores_t.shape
+    out = pl.pallas_call(
+        _softmax_kernel(tn),
+        out_shape=jax.ShapeDtypeStruct((T, 1, S), scores_t.dtype),
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, 1, S), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, S), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, S), lambda t: (t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * T * S * tn,
+            bytes_accessed=3 * T * S * 4,
+            transcendentals=T * S * tn,
+        ),
+        interpret=interpret,
+    )(local_dst.reshape(T, 1, S), scores_t.reshape(T, 1, S))
+    return out.reshape(T, S)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _softmax_tiles_p(tn: int, interpret: bool, local_dst, scores_t):
+    return _softmax_pallas(tn, interpret, local_dst, scores_t)
+
+
+def _softmax_tiles_fwd(tn, interpret, local_dst, scores_t):
+    y = _softmax_pallas(tn, interpret, local_dst, scores_t)
+    return y, (local_dst, y)
+
+
+def _softmax_tiles_bwd(tn, interpret, res, g):
+    # dℓ/ds = y ⊙ (g − Σ_seg y·g): one segment-sum + one broadcast — both
+    # tile matmuls, so the backward pass is Pallas too
+    local_dst, y = res
+    yg = y * g
+    seg = _sum_pallas(tn, interpret, local_dst, yg[..., None])     # [T,TN,1]
+    dot = _broadcast_pallas(tn, interpret, local_dst, seg)[..., 0]  # [T, S]
+    return (None, y * (g - dot))
+
+
+_softmax_tiles_p.defvjp(_softmax_tiles_fwd, _softmax_tiles_bwd)
 
 
 def segment_softmax_tiles(tiles: SegTiles, scores_t: jax.Array,
                           interpret: bool = False) -> jax.Array:
     """Pallas segment softmax over the tile layout: [T, S] → [T, S].
     Grid over tiles; everything dense 2-D in VMEM (see module docstring).
-    Falls back to the jnp path off-TPU."""
+    Differentiable (custom VJP — the backward pass is segment-sum +
+    broadcast, i.e. two more tile matmuls).  Falls back to jnp off-TPU."""
     if not (_use_pallas() or interpret):
         return segment_softmax_tiles_jnp(tiles, scores_t)
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    T, S = scores_t.shape
-    return pl.pallas_call(
-        _softmax_kernel(tiles.tile_nodes),
-        out_shape=jax.ShapeDtypeStruct((T, S), scores_t.dtype),
-        grid=(T,),
-        in_specs=[
-            pl.BlockSpec((1, S), lambda t: (t, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, S), lambda t: (t, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, S), lambda t: (t, 0),
-                               memory_space=pltpu.VMEM),
-        cost_estimate=pl.CostEstimate(
-            flops=4 * T * S * tiles.tile_nodes,
-            bytes_accessed=3 * T * S * 4,
-            transcendentals=T * S * tiles.tile_nodes,
-        ),
-        interpret=interpret,
-    )(tiles.local_dst, scores_t)
+    return _softmax_tiles_p(tiles.tile_nodes, interpret, tiles.local_dst,
+                            scores_t)
 
 
 def _sum_kernel(tn: int):
     def kernel(ids_ref, v_ref, out_ref):
-        lid = ids_ref[0, :][None, :]                            # [1, S]
+        lid = ids_ref[0, 0, :][None, :]                         # [1, S]
         v = v_ref[0]                                            # [S, D]
         oh = (jax.lax.broadcasted_iota(
             jnp.int32, (tn, lid.shape[-1]), 0) == lid).astype(v.dtype)
@@ -221,23 +257,18 @@ def _sum_kernel(tn: int):
     return kernel
 
 
-def segment_sum_tiles(tiles: SegTiles, vals_t: jax.Array,
-                      interpret: bool = False) -> jax.Array:
-    """Pallas segment sum over the tile layout: [T, S, D] → [T·TN, D] —
-    one [TN, S] @ [S, D] MXU matmul per tile."""
-    if not (_use_pallas() or interpret):
-        return segment_sum_tiles_jnp(tiles, vals_t)
+def _sum_pallas(tn: int, interpret: bool, local_dst, vals_t):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     T, S, D = vals_t.shape
-    tn = tiles.tile_nodes
-    out = pl.pallas_call(
+    return pl.pallas_call(
         _sum_kernel(tn),
         out_shape=jax.ShapeDtypeStruct((T, tn, D), vals_t.dtype),
         grid=(T,),
         in_specs=[
-            pl.BlockSpec((1, S), lambda t: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, S), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, S, D), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -249,5 +280,92 @@ def segment_sum_tiles(tiles: SegTiles, vals_t: jax.Array,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(tiles.local_dst, vals_t)
-    return out.reshape(tiles.n_pad, D)
+    )(local_dst.reshape(T, 1, S), vals_t)
+
+
+def _broadcast_kernel(tn: int):
+    def kernel(ids_ref, v_ref, out_ref):
+        lid = ids_ref[0, 0, :][None, :]                         # [1, S]
+        v = v_ref[0]                                            # [TN, D]
+        oh = (jax.lax.broadcasted_iota(
+            jnp.int32, (tn, lid.shape[-1]), 0) == lid).astype(v.dtype)
+        out_ref[0] = jnp.matmul(oh.T, v, precision="highest",
+                                preferred_element_type=v.dtype)  # [S, D]
+
+    return kernel
+
+
+def _broadcast_pallas(tn: int, interpret: bool, local_dst, node_vals):
+    """Node→slot broadcast [T, TN, D] → [T, S, D]: ``onehotᵀ @ v`` per tile
+    (the transpose of the segment-sum matmul — its VJP, and useful on its
+    own for per-node values needed per edge)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    T, tn_in, D = node_vals.shape
+    S = local_dst.shape[1]
+    return pl.pallas_call(
+        _broadcast_kernel(tn),
+        out_shape=jax.ShapeDtypeStruct((T, S, D), node_vals.dtype),
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, 1, S), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tn, D), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, S, D), lambda t: (t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * T * S * tn * D,
+            bytes_accessed=(T * S * D + T * tn * D + T * S) * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(local_dst.reshape(T, 1, S), node_vals)
+
+
+def segment_broadcast_tiles_jnp(tiles: SegTiles, node_vals: jax.Array) -> jax.Array:
+    """[T, TN, D] per-node values → [T, S, D] per-slot (padding → 0)."""
+
+    def one(v, lid):
+        oh = _onehot(lid[None, :], tiles.tile_nodes).astype(v.dtype)
+        return jnp.matmul(oh.T, v, precision="highest")
+
+    return jax.vmap(one)(node_vals, tiles.local_dst)
+
+
+def segment_broadcast_tiles(tiles: SegTiles, node_vals: jax.Array,
+                            interpret: bool = False) -> jax.Array:
+    if not (_use_pallas() or interpret):
+        return segment_broadcast_tiles_jnp(tiles, node_vals)
+    return _broadcast_pallas(tiles.tile_nodes, interpret, tiles.local_dst,
+                             node_vals)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _sum_tiles_p(tn: int, interpret: bool, local_dst, vals_t):
+    return _sum_pallas(tn, interpret, local_dst, vals_t)
+
+
+def _sum_tiles_fwd(tn, interpret, local_dst, vals_t):
+    return _sum_pallas(tn, interpret, local_dst, vals_t), local_dst
+
+
+def _sum_tiles_bwd(tn, interpret, local_dst, g):
+    # linear op: VJP = node→slot broadcast (onehotᵀ @ g) — also Pallas
+    return (None, _broadcast_pallas(tn, interpret, local_dst, g))
+
+
+_sum_tiles_p.defvjp(_sum_tiles_fwd, _sum_tiles_bwd)
+
+
+def segment_sum_tiles(tiles: SegTiles, vals_t: jax.Array,
+                      interpret: bool = False) -> jax.Array:
+    """Pallas segment sum over the tile layout: [T, S, D] → [T·TN, D] —
+    one [TN, S] @ [S, D] MXU matmul per tile.  Differentiable (custom VJP
+    = the broadcast kernel)."""
+    if not (_use_pallas() or interpret):
+        return segment_sum_tiles_jnp(tiles, vals_t)
+    out = _sum_tiles_p(tiles.tile_nodes, interpret, tiles.local_dst, vals_t)
+    return out.reshape(tiles.n_pad, vals_t.shape[-1])

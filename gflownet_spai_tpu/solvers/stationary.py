@@ -321,3 +321,57 @@ def chebyshev_op(d: DIA, lmax: float, lmin: float | None = None,
     dummy = jnp.zeros((0,), d.data.dtype)
     return LinOp(data=(d, dummy),
                  fn=partial(_chebyshev_apply, coeffs=coeffs, n=d.n))
+
+
+# --- multi-RHS weighted Jacobi (fused over sweeps AND right-hand sides) --
+
+def jacobi_multirhs(d: DIA, b: jax.Array, x0: jax.Array | None = None,
+                    omega: float = 2.0 / 3.0, iters: int = 100,
+                    fuse_k: int = 8) -> JacobiResult:
+    """Weighted Jacobi for K systems A·X = B at once (``b``: [K, n]).
+
+    Rides ``ops.dia.spmv_dia_power_rhs``: one widened diagonal-data read
+    serves k dependent sweeps × K right-hand sides, so the per-(sweep, rhs)
+    diagonal traffic drops k·K-fold vs a chained single-RHS apply — the
+    multi-RHS temporal-blocked smoother from the round-1 gap list
+    (CLAUDE.md; VERDICT r1 #8).  Residual reported per RHS ([K])."""
+    from ..ops.dia import (dia_pad_pp_rhs, dia_power_rhs_ok,
+                           spmv_dia_power_rhs)
+
+    K = b.shape[0]
+    m = jacobi_iteration_matrix(d, omega)
+    # reuse the 1-RHS tile/k model, then check the K-scaled VMEM fit
+    k, trk = _pick_power_config(m, fuse_k, iters)
+    while k > 1 and not dia_power_rhs_ok(m, k, K, trk or dia_pp_tile(m)):
+        k //= 2
+        trk = dia_power_tile(m, k) if k > 1 else 0
+    c = jax.vmap(lambda bb: jacobi_constant(d, bb, omega))(b)   # [K, n_pad]
+    tr = trk or dia_pp_tile(m) or m.halo
+    cq = dia_pad_pp_rhs(m, c[:, : d.n], tr=tr)
+    x_init = (jnp.zeros((K, d.n), d.data.dtype) if x0 is None else x0)
+    xq = dia_pad_pp_rhs(m, x_init, tr=tr)
+    zq = jnp.zeros_like(xq)
+    pairs = max(1, -(-iters // (2 * k)))
+
+    if k > 1:
+        mk = dia_power_data(m, k, tr=tr)
+
+        def body(_, cbuf):
+            x, z = cbuf
+            z = spmv_dia_power_rhs(m, mk, x, z, k=k, add=cq)
+            x = spmv_dia_power_rhs(m, mk, z, x, k=k, add=cq)
+            return (x, z)
+    else:
+        dummy = jnp.zeros((0, m.ndiags, 0), m.data.dtype)
+
+        def body(_, cbuf):
+            x, z = cbuf
+            z = spmv_dia_power_rhs(m, dummy, x, z, k=1, add=cq)
+            x = spmv_dia_power_rhs(m, dummy, z, x, k=1, add=cq)
+            return (x, z)
+
+    xq, zq = jax.lax.fori_loop(0, pairs, body, (xq, zq))
+    x = jax.lax.slice(xq, (0, tr), (K, tr + d.n))
+    r = b.astype(x.dtype) - jax.vmap(lambda xx: spmv_dia(d, xx)[: d.n])(x)
+    return JacobiResult(x=x, residual=jnp.linalg.norm(r, axis=-1),
+                        iterations=pairs * 2 * k)

@@ -78,6 +78,47 @@ def random_spd(n: int, density: float = 0.02, seed: int = 0, dtype=np.float64) -
     return _coo(rows, cols, vals, (n, n))
 
 
+def conv_diffusion_2d(k: int, beta: float = 0.6, dtype=np.float64) -> COO:
+    """2D convection-diffusion on a k×k grid, upwinded in x — 5-point
+    nonsymmetric (the BASELINE config-4 class: orsirr/sherman-style
+    reservoir problems are 2D/3D grid discretizations of exactly this
+    operator).  n = k², nnz ≈ 5k²."""
+    n = k * k
+    i = np.arange(n)
+    r, c = i // k, i % k
+    rows = [i]; cols = [i]; vals = [np.full(n, 4.0, dtype)]
+    for off, mask, v in (
+        (-k, r > 0, -1.0),            # north (diffusion only)
+        (k, r < k - 1, -1.0),         # south
+        (-1, c > 0, -1.0 - beta),     # west  (upwind-strengthened)
+        (1, c < k - 1, -1.0 + beta),  # east  (weakened)
+    ):
+        rows.append(i[mask]); cols.append(i[mask] + off)
+        vals.append(np.full(mask.sum(), v, dtype))
+    return _coo(np.concatenate(rows), np.concatenate(cols),
+                np.concatenate(vals), (n, n))
+
+
+def orsirr_like(k: int, beta: float = 0.6, jump_frac: float = 0.01,
+                seed: int = 0, dtype=np.float64) -> COO:
+    """Nonsymmetric UNSTRUCTURED config-4 stand-in: 2D convection-diffusion
+    plus ``jump_frac``·n random long-range couplings (well connections in a
+    reservoir model) — defeats the banded DIA path so the rowblock reward
+    and the tiled GAT carry the training loop."""
+    base = conv_diffusion_2d(k, beta, dtype)
+    n = k * k
+    rng = np.random.default_rng(seed)
+    m = max(1, int(jump_frac * n))
+    r = rng.integers(0, n, m)
+    c = rng.integers(0, n, m)
+    keep = r != c
+    rows = np.concatenate([np.asarray(base.row), r[keep]])
+    cols = np.concatenate([np.asarray(base.col), c[keep]])
+    vals = np.concatenate([np.asarray(base.data),
+                           rng.standard_normal(keep.sum()) * 0.1])
+    return _coo(rows, cols, vals.astype(dtype), (n, n))
+
+
 def lf10_like(dtype=np.float64) -> COO:
     """18×18 banded SPD matrix, same scale as the LF10 test matrix that the
     reference's only recorded run used (SURVEY.md §6)."""
@@ -130,6 +171,10 @@ def get(name: str) -> COO:
         return GALLERY[name]()
     if name.startswith("poisson") and name[len("poisson"):].isdigit():
         return poisson2d(int(name[len("poisson"):]))
+    if name.startswith("convdiff2d") and name[len("convdiff2d"):].isdigit():
+        return conv_diffusion_2d(int(name[len("convdiff2d"):]))
     if name.startswith("convdiff") and name[len("convdiff"):].isdigit():
         return conv_diffusion(int(name[len("convdiff"):]))
+    if name.startswith("orsirr_like") and name[len("orsirr_like"):].isdigit():
+        return orsirr_like(int(name[len("orsirr_like"):]))
     raise KeyError(name)

@@ -703,3 +703,86 @@ def test_pallas_dia_spmv_power_nondefault_tile_interpret(affine):
     # public dispatcher (jnp fallback on CPU) agrees on the same buffers
     zj = np.asarray(D.spmv_dia_power(d, dk, xq, zq, scale=0.3, k=k, add=cq))
     np.testing.assert_allclose(zj[tr:tr + n], want, rtol=3e-6, atol=1e-4)
+
+
+def test_spmv_dia_power_rhs_interpret_and_fallback():
+    """Multi-RHS fused k-step: the Pallas kernel (interpret) and the jnp
+    fallback must both equal K independent chained affine applies."""
+    from gflownet_spai_tpu.ops import dia as D
+    from gflownet_spai_tpu.ops.dia import spmv_dia_jnp
+
+    k, tr, n, K = 2, 2048, 4096, 8
+    rng = np.random.default_rng(12)
+    data = jnp.asarray(rng.standard_normal((3, n)), jnp.float32)
+    d = D.DIA(data=data, offsets=(-1, 0, 1), shape=(n, n), nnz=3 * n)
+    X = jnp.asarray(rng.standard_normal((K, n)), jnp.float32)
+    C = jnp.asarray(rng.standard_normal((K, n)), jnp.float32)
+    want = np.stack([
+        np.asarray(_chain(d, X[i], C[i], k, spmv_dia_jnp)) for i in range(K)
+    ])
+    xq = D.dia_pad_pp_rhs(d, X, tr=tr)
+    cq = D.dia_pad_pp_rhs(d, C, tr=tr)
+    zq = jnp.zeros_like(xq)
+    dk = D.dia_power_data(d, k, tr=tr)
+    z = np.asarray(D._spmv_pallas_power_rhs(d, dk, xq, zq, scale=0.3, k=k,
+                                            cq=cq, interpret=True))
+    np.testing.assert_allclose(z[:, tr:tr + n], want, rtol=3e-6, atol=1e-4)
+    assert not z[:, :tr].any() and not z[:, tr + n:].any()
+    zj = np.asarray(D.spmv_dia_power_rhs(d, dk, xq, zq, scale=0.3, k=k,
+                                         add=cq))
+    np.testing.assert_allclose(zj[:, tr:tr + n], want, rtol=3e-6, atol=1e-4)
+
+
+def _chain(d, x, c, k, apply_fn):
+    cur = x
+    for _ in range(k):
+        cur = apply_fn(d, cur) * 0.3 + c
+    return cur
+
+
+def test_jacobi_multirhs_matches_single():
+    """K-RHS fused Jacobi == K independent jacobi() runs."""
+    from gflownet_spai_tpu.ops.dia import coo_to_dia
+    from gflownet_spai_tpu.solvers.stationary import jacobi, jacobi_multirhs
+
+    d = coo_to_dia(gallery.get("poisson32"))
+    d = type(d)(data=d.data.astype(jnp.float32), offsets=d.offsets,
+                shape=d.shape, nnz=d.nnz)
+    rng = np.random.default_rng(13)
+    K = 4
+    B = jnp.asarray(rng.standard_normal((K, d.n)), jnp.float32)
+    multi = jacobi_multirhs(d, B, iters=24)
+    assert multi.x.shape == (K, d.n) and multi.residual.shape == (K,)
+    for i in range(K):
+        single = jacobi(d, B[i], iters=24)
+        np.testing.assert_allclose(np.asarray(multi.x[i]),
+                                   np.asarray(single.x), rtol=2e-5, atol=2e-5)
+
+
+def test_fused_power_bf16_diagonals():
+    """bf16 diagonal storage with f32 buffers: fused k-step stays within
+    bf16 tolerance of the f32 result (dominant HBM traffic halves)."""
+    from gflownet_spai_tpu.ops import dia as D
+    from gflownet_spai_tpu.ops.dia import dia_astype, spmv_dia_jnp
+
+    k, tr, n = 2, 2048, 4096
+    rng = np.random.default_rng(14)
+    data = jnp.asarray(rng.standard_normal((3, n)) * 0.2, jnp.float32)
+    d = D.DIA(data=data, offsets=(-1, 0, 1), shape=(n, n), nnz=3 * n)
+    db = dia_astype(d, jnp.bfloat16)
+    x = jnp.asarray(rng.standard_normal(n), jnp.float32)
+    want = x
+    for _ in range(k):
+        want = spmv_dia_jnp(d, want) * 0.3
+    xq = D.dia_pad_pp(db, x, tr=tr)
+    assert xq.dtype == jnp.float32          # buffers promote past bf16
+    zq = jnp.zeros_like(xq)
+    dk = D.dia_power_data(db, k, tr=tr)
+    assert dk.dtype == jnp.bfloat16
+    z = np.asarray(D._spmv_pallas_power(db, dk, xq, zq, scale=0.3, k=k,
+                                        interpret=True))
+    np.testing.assert_allclose(z[tr:tr + n], np.asarray(want),
+                               rtol=2e-2, atol=2e-2)
+    zj = np.asarray(D.spmv_dia_power(db, dk, xq, zq, scale=0.3, k=k))
+    np.testing.assert_allclose(zj[tr:tr + n], np.asarray(want),
+                               rtol=2e-2, atol=2e-2)

@@ -118,3 +118,47 @@ def test_gatv2_tiled_matches_scatter_path():
                     jax.tree_util.tree_leaves(g_tiled)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=5e-3, atol=5e-4)
+
+
+def test_segment_kernels_custom_vjp_interpret():
+    """Gradients through the Pallas kernels (custom VJP = broadcast/sum
+    tile matmuls) must match gradients through the pure-jnp path."""
+    rng = np.random.default_rng(4)
+    n, e = 300, 2500
+    ids = rng.integers(0, n, e)
+    tiles = seg.build_seg_tiles(ids, n, tile_nodes=64)
+    T, S = tiles.tiles, tiles.slots
+    scores = jnp.asarray(rng.standard_normal((T, S)), jnp.float32)
+    tgt = jnp.asarray(rng.standard_normal((T, S)), jnp.float32)
+
+    def loss_pallas(s):
+        return jnp.sum(seg.segment_softmax_tiles(tiles, s, interpret=True) * tgt)
+
+    def loss_jnp(s):
+        return jnp.sum(seg.segment_softmax_tiles_jnp(tiles, s) * tgt)
+
+    g_p = jax.grad(loss_pallas)(scores)
+    g_j = jax.grad(loss_jnp)(scores)
+    np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_j),
+                               rtol=1e-4, atol=1e-6)
+
+    D = 8
+    vals = jnp.asarray(rng.standard_normal((T, S, D)), jnp.float32)
+    tgt2 = jnp.asarray(rng.standard_normal((tiles.n_pad, D)), jnp.float32)
+
+    def loss_sum_p(v):
+        return jnp.sum(seg.segment_sum_tiles(tiles, v, interpret=True) * tgt2)
+
+    def loss_sum_j(v):
+        return jnp.sum(seg.segment_sum_tiles_jnp(tiles, v) * tgt2)
+
+    np.testing.assert_allclose(
+        np.asarray(jax.grad(loss_sum_p)(vals)),
+        np.asarray(jax.grad(loss_sum_j)(vals)), rtol=1e-4, atol=1e-6)
+
+    # broadcast kernel agrees with its jnp form and is segment-sum's adjoint
+    nv = jnp.asarray(rng.standard_normal((T, tiles.tile_nodes, D)), jnp.float32)
+    bp = seg.segment_broadcast_tiles(tiles, nv, interpret=True)
+    bj = seg.segment_broadcast_tiles_jnp(tiles, nv)
+    np.testing.assert_allclose(np.asarray(bp), np.asarray(bj),
+                               rtol=1e-5, atol=1e-6)
