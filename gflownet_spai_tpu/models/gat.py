@@ -110,7 +110,7 @@ def gatv2_apply_tiled(p: GATv2Params, x: jax.Array, tiles, src_t: jax.Array,
     so the scatter side of the layer runs as the Pallas tile kernels.  The
     only remaining irregular access is the node-feature row gather
     ``xs[src_t]``, which XLA handles as wide vector loads."""
-    from ..ops.segment import segment_softmax_tiles, segment_sum_tiles
+    from ..ops.segment import segment_softmax_tiles_mh, segment_sum_tiles
 
     H, D = heads, out_dim
     T, S = tiles.tiles, tiles.slots
@@ -121,12 +121,9 @@ def gatv2_apply_tiled(p: GATv2Params, x: jax.Array, tiles, src_t: jax.Array,
     msg = xs[src_t] + xd[dst_t] + ea               # [T·S, H*D]
     act = jax.nn.leaky_relu(msg.reshape(-1, H, D), negative_slope)
     scores = jnp.einsum("ehd,hd->eh", act, p.att)  # [T·S, H]
-    alphas = []
-    for h in range(H):                             # H static and tiny
-        a_h = segment_softmax_tiles(
-            tiles, scores[:, h].reshape(T, S), interpret=interpret)
-        alphas.append(a_h.reshape(T * S))
-    alpha = jnp.stack(alphas, axis=-1)             # [T·S, H]
+    scores_t = jnp.moveaxis(scores.reshape(T, S, H), 2, 1)   # [T, H, S]
+    alpha_t = segment_softmax_tiles_mh(tiles, scores_t, interpret=interpret)
+    alpha = jnp.moveaxis(alpha_t, 1, 2).reshape(T * S, H)
 
     src_feat = xs[src_t].reshape(-1, H, D)
     weighted = (src_feat * alpha[..., None]).reshape(T, S, H * D)

@@ -165,20 +165,24 @@ def _use_pallas() -> bool:
     return jax.default_backend() == "tpu"
 
 
-def _softmax_kernel(tn: int):
-    # blocks are [1, 1, S]: Mosaic needs the sublane dim of a block to be
-    # 8-divisible OR equal to the array's — a singleton middle axis satisfies
-    # the latter for every operand
+def _softmax_kernel(tn: int, heads: int):
+    # blocks are [1, H, S]: Mosaic needs the sublane dim of a block to be
+    # 8-divisible OR equal to the array's — matching the full H axis
+    # satisfies the latter, and looping the (static, tiny) head count
+    # inside one kernel instance amortizes the per-tile launch overhead
+    # 4× vs one pallas_call per head
     def kernel(ids_ref, s_ref, out_ref):
         lid = ids_ref[0, 0, :][None, :]                         # [1, S]
-        s = s_ref[0, 0, :][None, :]                             # [1, S]
         oh = jax.lax.broadcasted_iota(
             jnp.int32, (tn, lid.shape[-1]), 0) == lid           # [TN, S]
-        m = jnp.max(jnp.where(oh, s, -1e30), axis=1, keepdims=True)
-        z = jnp.where(oh, s - m, -1e30)
-        ex = jnp.exp(z)
-        den = jnp.sum(ex, axis=1, keepdims=True)
-        out_ref[0, 0, :] = jnp.sum(ex / jnp.maximum(den, 1e-30), axis=0)
+        for hh in range(heads):
+            s = s_ref[0, hh, :][None, :]                        # [1, S]
+            m = jnp.max(jnp.where(oh, s, -1e30), axis=1, keepdims=True)
+            z = jnp.where(oh, s - m, -1e30)
+            ex = jnp.exp(z)
+            den = jnp.sum(ex, axis=1, keepdims=True)
+            out_ref[0, hh, :] = jnp.sum(
+                ex / jnp.maximum(den, 1e-30), axis=0)
 
     return kernel
 
@@ -187,18 +191,18 @@ def _softmax_pallas(tn: int, interpret: bool, local_dst, scores_t):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    T, S = scores_t.shape
+    T, H, S = scores_t.shape
     out = pl.pallas_call(
-        _softmax_kernel(tn),
-        out_shape=jax.ShapeDtypeStruct((T, 1, S), scores_t.dtype),
+        _softmax_kernel(tn, H),
+        out_shape=jax.ShapeDtypeStruct((T, H, S), scores_t.dtype),
         grid=(T,),
         in_specs=[
             pl.BlockSpec((1, 1, S), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, S), lambda t: (t, 0, 0),
+            pl.BlockSpec((1, H, S), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, S), lambda t: (t, 0, 0),
+        out_specs=pl.BlockSpec((1, H, S), lambda t: (t, 0, 0),
                                memory_space=pltpu.VMEM),
         cost_estimate=pl.CostEstimate(
             flops=4 * T * S * tn,
@@ -206,8 +210,8 @@ def _softmax_pallas(tn: int, interpret: bool, local_dst, scores_t):
             transcendentals=T * S * tn,
         ),
         interpret=interpret,
-    )(local_dst.reshape(T, 1, S), scores_t.reshape(T, 1, S))
-    return out.reshape(T, S)
+    )(local_dst.reshape(T, 1, S), scores_t)
+    return out
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0, 1))
@@ -222,12 +226,13 @@ def _softmax_tiles_fwd(tn, interpret, local_dst, scores_t):
 
 def _softmax_tiles_bwd(tn, interpret, res, g):
     # dℓ/ds = y ⊙ (g − Σ_seg y·g): one segment-sum + one broadcast — both
-    # tile matmuls, so the backward pass is Pallas too
+    # tile matmuls, so the backward pass is Pallas too.  Heads fold into
+    # the matmul's D axis ([T, S, H]).
     local_dst, y = res
-    yg = y * g
-    seg = _sum_pallas(tn, interpret, local_dst, yg[..., None])     # [T,TN,1]
-    dot = _broadcast_pallas(tn, interpret, local_dst, seg)[..., 0]  # [T, S]
-    return (None, y * (g - dot))
+    yg = jnp.moveaxis(y * g, 1, 2)                                # [T, S, H]
+    seg = _sum_pallas(tn, interpret, local_dst, yg)               # [T,TN,H]
+    dot = _broadcast_pallas(tn, interpret, local_dst, seg)        # [T, S, H]
+    return (None, y * (g - jnp.moveaxis(dot, 2, 1)))
 
 
 _softmax_tiles_p.defvjp(_softmax_tiles_fwd, _softmax_tiles_bwd)
@@ -241,6 +246,18 @@ def segment_softmax_tiles(tiles: SegTiles, scores_t: jax.Array,
     broadcast, i.e. two more tile matmuls).  Falls back to jnp off-TPU."""
     if not (_use_pallas() or interpret):
         return segment_softmax_tiles_jnp(tiles, scores_t)
+    T, S = scores_t.shape
+    return _softmax_tiles_p(tiles.tile_nodes, interpret, tiles.local_dst,
+                            scores_t[:, None, :])[:, 0, :]
+
+
+def segment_softmax_tiles_mh(tiles: SegTiles, scores_t: jax.Array,
+                             interpret: bool = False) -> jax.Array:
+    """Multi-head segment softmax: [T, H, S] → [T, H, S] in ONE kernel
+    (the GAT path — one launch per tile regardless of head count)."""
+    if not (_use_pallas() or interpret):
+        return jax.vmap(lambda st: segment_softmax_tiles_jnp(tiles, st),
+                        in_axes=1, out_axes=1)(scores_t)
     return _softmax_tiles_p(tiles.tile_nodes, interpret, tiles.local_dst,
                             scores_t)
 
@@ -251,7 +268,7 @@ def _sum_kernel(tn: int):
         v = v_ref[0]                                            # [S, D]
         oh = (jax.lax.broadcasted_iota(
             jnp.int32, (tn, lid.shape[-1]), 0) == lid).astype(v.dtype)
-        out_ref[0] = jnp.matmul(oh, v, precision="highest",
+        out_ref[0] = jnp.matmul(oh, v, precision="high",
                                 preferred_element_type=v.dtype)
 
     return kernel
@@ -289,7 +306,7 @@ def _broadcast_kernel(tn: int):
         v = v_ref[0]                                            # [TN, D]
         oh = (jax.lax.broadcasted_iota(
             jnp.int32, (tn, lid.shape[-1]), 0) == lid).astype(v.dtype)
-        out_ref[0] = jnp.matmul(oh.T, v, precision="highest",
+        out_ref[0] = jnp.matmul(oh.T, v, precision="high",
                                 preferred_element_type=v.dtype)  # [S, D]
 
     return kernel

@@ -497,3 +497,20 @@ def test_sharded_sampler_train_step(mesh8):
         hist.append(float(loss))
         assert np.isfinite(hist[-1])
     assert np.mean(hist[-10:]) < np.mean(hist[:10])
+
+
+def test_distributed_jacobi_auto_reduces_k(rows_mesh):
+    """A k whose k·halo exceeds the shard must auto-reduce (not raise) and
+    still converge to the single-device Jacobi answer."""
+    from gflownet_spai_tpu.ops.dia import coo_to_dia
+    from gflownet_spai_tpu.parallel.solvers import distributed_jacobi
+    from gflownet_spai_tpu.solvers.stationary import jacobi
+
+    coo = gallery.get("poisson32")      # n=1024 → 8 shards of 1024 n_pad/8
+    d = coo_to_dia(coo)
+    b = jnp.ones((1024,), jnp.float64)
+    # halo = 1024-aligned = 1024 = shard size ⇒ any k > 1 must reduce to 1
+    x, res = distributed_jacobi(rows_mesh, d, b, iters=60, k=8)
+    want = jacobi(d, b, iters=60)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(want.x),
+                               rtol=1e-6, atol=1e-8)

@@ -162,3 +162,30 @@ def test_segment_kernels_custom_vjp_interpret():
     bj = seg.segment_broadcast_tiles_jnp(tiles, nv)
     np.testing.assert_allclose(np.asarray(bp), np.asarray(bj),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_segment_softmax_mh_matches_per_head():
+    """Multi-head kernel (one launch per tile) == per-head calls, both in
+    interpret mode and via the jnp fallback."""
+    rng = np.random.default_rng(6)
+    n, e, H = 400, 3000, 4
+    ids = rng.integers(0, n, e)
+    tiles = seg.build_seg_tiles(ids, n, tile_nodes=64)
+    T, S = tiles.tiles, tiles.slots
+    scores = jnp.asarray(rng.standard_normal((T, H, S)), jnp.float32)
+    got = seg.segment_softmax_tiles_mh(tiles, scores, interpret=True)
+    for h in range(H):
+        want_h = seg.segment_softmax_tiles_jnp(tiles, scores[:, h, :])
+        np.testing.assert_allclose(np.asarray(got[:, h, :]),
+                                   np.asarray(want_h), rtol=1e-5, atol=1e-6)
+    got_jnp = seg.segment_softmax_tiles_mh(tiles, scores)
+    np.testing.assert_allclose(np.asarray(got_jnp), np.asarray(got),
+                               rtol=1e-5, atol=1e-6)
+    # grads through the mh custom VJP match the jnp fallback
+    tgt = jnp.asarray(rng.standard_normal((T, H, S)), jnp.float32)
+    g_p = jax.grad(lambda s: jnp.sum(
+        seg.segment_softmax_tiles_mh(tiles, s, interpret=True) * tgt))(scores)
+    g_j = jax.grad(lambda s: jnp.sum(
+        seg.segment_softmax_tiles_mh(tiles, s) * tgt))(scores)
+    np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_j),
+                               rtol=1e-4, atol=1e-6)

@@ -439,3 +439,117 @@ def test_dia_spmv_power_streamed_on_chip():
     want = np.asarray(ref(d, x))
     assert np.abs(got[tr:tr + d.n] - want).max() / np.abs(want).max() < 1e-5
     assert not got[:tr].any() and not got[tr + d.n_pad:].any()
+
+
+def _poisson_dia(k, n_pad=None):
+    import gflownet_spai_tpu.ops.dia as dia_mod
+    from gflownet_spai_tpu.ops.dia import DIA
+
+    n = k * k
+    n_pad = n_pad or dia_mod._round_up(n, 1024)
+    i = np.arange(n)
+    r, c = i // k, i % k
+    data = np.zeros((5, n_pad), np.float32)
+    data[2, :n] = 4.0
+    data[0, i[r > 0]] = -1.0
+    data[1, i[c > 0]] = -1.0
+    data[3, i[c < k - 1]] = -1.0
+    data[4, i[r < k - 1]] = -1.0
+    rng = np.random.default_rng(7)
+    data[:, :n] += 0.01 * rng.standard_normal((5, n)).astype(np.float32) * (
+        data[:, :n] != 0)
+    return DIA(data=jnp.asarray(data), offsets=(-k, -1, 0, 1, k),
+               shape=(n, n), nnz=int((data != 0).sum()))
+
+
+def test_segment_kernels_on_chip():
+    """Real-Mosaic segment softmax/sum/broadcast + grads vs the jnp tile
+    implementations (round 2: the GAT scatter substrate)."""
+    from gflownet_spai_tpu.ops import segment as seg
+
+    rng = np.random.default_rng(30)
+    n, e = 20000, 150000
+    ids = rng.integers(0, n, e)
+    tiles = seg.build_seg_tiles(ids, n, tile_nodes=128)
+    T, S = tiles.tiles, tiles.slots
+    scores = jnp.asarray(rng.standard_normal((T, S)), jnp.float32)
+    got = np.asarray(jax.jit(
+        lambda s: seg.segment_softmax_tiles(tiles, s))(scores))
+    want = np.asarray(seg.segment_softmax_tiles_jnp(tiles, scores))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+    D = 16
+    vals = jnp.asarray(rng.standard_normal((T, S, D)), jnp.float32)
+    mask = jnp.asarray(
+        (np.asarray(tiles.local_dst) < tiles.tile_nodes)[..., None])
+    vals = vals * mask
+    got_s = np.asarray(jax.jit(
+        lambda v: seg.segment_sum_tiles(tiles, v))(vals))
+    want_s = np.asarray(seg.segment_sum_tiles_jnp(tiles, vals))
+    np.testing.assert_allclose(got_s, want_s, rtol=1e-4, atol=1e-4)
+
+    # gradient through the custom VJPs compiles and matches jnp
+    tgt = jnp.asarray(rng.standard_normal((T, S)), jnp.float32)
+    g_p = np.asarray(jax.jit(jax.grad(
+        lambda s: jnp.sum(seg.segment_softmax_tiles(tiles, s) * tgt)))(scores))
+    g_j = np.asarray(jax.grad(
+        lambda s: jnp.sum(seg.segment_softmax_tiles_jnp(tiles, s) * tgt))(scores))
+    np.testing.assert_allclose(g_p, g_j, rtol=1e-3, atol=1e-5)
+
+
+def test_spmv_dia_power_rhs_on_chip():
+    """Multi-RHS fused k-step on real Mosaic vs K chained jnp applies."""
+    from gflownet_spai_tpu.ops import dia as D
+
+    k, K = 4, 8
+    d = _poisson_dia(512)
+    rng = np.random.default_rng(31)
+    X = jnp.asarray(rng.standard_normal((K, d.n)), jnp.float32)
+    tr = D.dia_pp_tile(d)
+    assert D.dia_power_rhs_ok(d, k, K, tr)
+    xq = D.dia_pad_pp_rhs(d, X, tr=tr)
+    dk = D.dia_power_data(d, k, tr=tr)
+
+    @jax.jit
+    def fused(d, dk, xq):
+        return D.spmv_dia_power_rhs(d, dk, xq, jnp.zeros_like(xq),
+                                    scale=0.2, k=k)
+
+    got = np.asarray(fused(d, dk, xq))
+    want = np.stack([
+        np.asarray(_chain_jnp(d, X[i], k)) for i in range(K)
+    ])
+    assert np.abs(got[:, tr:tr + d.n] - want).max() / np.abs(want).max() < 1e-5
+
+
+def _chain_jnp(d, x, k):
+    from gflownet_spai_tpu.ops.dia import spmv_dia_jnp
+    for _ in range(k):
+        x = spmv_dia_jnp(d, x) * 0.2
+    return x
+
+
+def test_fused_power_bf16_on_chip():
+    """bf16 diagonals + f32 buffers through the real fused kernel."""
+    from gflownet_spai_tpu.ops import dia as D
+    from gflownet_spai_tpu.ops.dia import dia_astype
+
+    k = 4
+    d = _poisson_dia(512)
+    db = dia_astype(d, jnp.bfloat16)
+    rng = np.random.default_rng(32)
+    x = jnp.asarray(rng.standard_normal(d.n), jnp.float32)
+    tr = D.dia_pp_tile(db)
+    xq = D.dia_pad_pp(db, x)
+    assert xq.dtype == jnp.float32
+    dk = D.dia_power_data(db, k)
+
+    @jax.jit
+    def fused(db, dk, xq):
+        return D.spmv_dia_power(db, dk, xq, jnp.zeros_like(xq),
+                                scale=0.2, k=k)
+
+    got = np.asarray(fused(db, dk, xq))
+    want = np.asarray(_chain_jnp(d, x, k))
+    denom = np.abs(want).max()
+    assert np.abs(got[tr:tr + d.n] - want).max() / denom < 3e-2
