@@ -21,11 +21,9 @@ from __future__ import annotations
 
 import copy
 import dataclasses
-from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 import optax
 from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P

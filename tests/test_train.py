@@ -135,3 +135,35 @@ def test_grid_gflownet_learns_target_distribution():
     finals, _ = rollout_batch(params, jax.random.PRNGKey(99), B=512)
     r = np.asarray(G.reward(g, finals))
     assert (r > 0.5).mean() > 0.35, f"only {(r > 0.5).mean():.2%} in high-reward bands"
+
+
+def test_train_tiled_graph_rowblock_end_to_end(tmp_path):
+    """Full train loop with the round-2 large-scale substrates forced on
+    (tiled GAT graph + rowblock reward): runs, improves, checkpoints."""
+    from gflownet_spai_tpu.models.policies import TiledGraphInputs
+    from gflownet_spai_tpu.train.config import TrainConfig
+    from gflownet_spai_tpu.train.loop import make_train_step, setup
+
+    cfg = TrainConfig(matrix="poisson32", num_epochs=12, batch_size=4,
+                      backward="linear", loss="subtb", lr=5e-3,
+                      env_format="rowblock", gat_tiled_min_edges=1,
+                      out_dir=str(tmp_path))
+    a, seed, env, graph, mcfg, opt, state = setup(cfg)
+    assert isinstance(graph, TiledGraphInputs)
+    assert env.rb is not None
+    step = make_train_step(cfg, env, graph, mcfg, opt)
+    losses = []
+    for _ in range(cfg.num_epochs):
+        state, m = step(state)
+        losses.append(float(m["loss"]))
+        assert np.isfinite(losses[-1])
+    # (no improvement assert: 12 epochs of batch-4 SubTB is noise-dominated;
+    # convergence is covered by the gfn/train suites on the plain path)
+    from gflownet_spai_tpu.train.loop import (restore_checkpoint,
+                                              save_checkpoint)
+
+    save_checkpoint(cfg.out_dir, state)
+    restored = restore_checkpoint(cfg.out_dir, state)
+    assert int(restored.epoch) == int(state.epoch)
+    np.testing.assert_allclose(np.asarray(restored.params.log_z),
+                               np.asarray(state.params.log_z))
