@@ -251,12 +251,17 @@ def build_rowblock_plan(m_pattern: COO, a: COO,
         oc = np.arange(cp)[None, :]
         o_np[b] = np.where(oc < c_r[rows][:, None],
                            c_indptr[rows][:, None] + oc, len(c_cols))
-    # scatter all pair values into the dense blocks in one shot
+    # scatter all pair values into the dense blocks: ONE stable argsort
+    # groups pairs by bucket (vs nb full-array masks — 2× build time at
+    # 22M pairs), then each bucket scatters from its contiguous slice
     pb_b = bucket_of_row[r_of_pair]
     pb_s = slot_of_row[r_of_pair]
+    pair_vals = a_data[pair_j]
+    border = np.argsort(pb_b, kind="stable")
+    bbounds = np.searchsorted(pb_b[border], np.arange(nb + 1) - 0.5)
     for b in range(nb):
-        sel = pb_b == b
-        g_np[b][pb_s[sel], jc[sel], jm[sel]] = a_data[pair_j[sel]]
+        sl = border[bbounds[b]:bbounds[b + 1]]
+        g_np[b][pb_s[sl], jc[sl], jm[sl]] = pair_vals[sl]
 
     # overflow sub-plan (gather path for the routed-out rows)
     ov_rows = np.nonzero(overflow)[0]
