@@ -183,8 +183,6 @@ def make_sharded_sampler_train_step(mesh: Mesh, env, graph, cfg, opt,
     def _shard_fwd(params):
         return params._replace(forward=shard_head(mesh, params.forward, axis))
 
-    fwd_spec = jax.tree_util.tree_map(lambda _: P(), graph), None  # placeholder
-
     def local(params, key, aux, graph_arg):
         j = jax.lax.axis_index(axis)
         key = jax.random.fold_in(key, jax.lax.axis_index("dp"))
@@ -261,8 +259,6 @@ def make_sharded_sampler_train_step(mesh: Mesh, env, graph, cfg, opt,
                 fwd_lp.sum(-1), back_lp.sum(-1), weights=w)
         loss = jax.lax.pmean(loss, "dp")
         return loss, rewards, valid
-
-    params_spec_fwd = None
 
     def loss_fn(params, key, aux, graph_arg):
         fwd = jax.tree_util.tree_map(lambda _: P(), params.forward)
