@@ -143,12 +143,14 @@ def make_sharded_sampler_train_step(mesh: Mesh, env, graph, cfg, opt,
 
     Returns ``(step_fn, sharded_params_template, padded_env)``:
     ``step_fn(params, opt_state, key) -> (params, opt_state, loss, rewards,
-    valid)``.  ``params.forward`` must carry the column-sharded head
+    valid, lengths)``.  ``params.forward`` must carry the column-sharded head
     (``tp.shard_head`` — the returned template has it applied); the optax
     state inherits the shardings via XLA propagation, so the update outside
     the shard_map stays sharded.
 
-    Loss: TB (or vargrad) with trajectories capped at ``t_cap`` steps;
+    Loss: TB, vargrad, or SubTB(λ) with trajectories capped at ``t_cap``
+    steps (the SubTB flow head indexes action ids on the replicated
+    [b, t_cap] prefix, so it needs no extra sharding);
     samples whose terminal action falls outside the merged prefix are
     weight-0 (``t_cap = num_actions`` ⇒ always exact).  The per-step
     normalizers use suffix sums over the differentiable prefix logits plus
@@ -159,7 +161,8 @@ def make_sharded_sampler_train_step(mesh: Mesh, env, graph, cfg, opt,
 
     from ..env import spai
     from ..gfn import gflownet as gfn
-    from ..gfn.loss import log_reward, trajectory_balance_loss, vargrad_loss
+    from ..gfn.loss import (log_reward, subtb_loss, trajectory_balance_loss,
+                            vargrad_loss)
     from .dp import _make_residual_provider
     from .tp import shard_head
 
@@ -235,6 +238,7 @@ def make_sharded_sampler_train_step(mesh: Mesh, env, graph, cfg, opt,
         actions = jax.lax.stop_gradient(
             jnp.where(on_traj, s_id, -1).astype(jnp.int32))
         fwd_lp = jnp.where(on_traj, step_lp, 0.0)
+        lengths = jnp.where(valid, kpos + 1, top).astype(jnp.int32)
 
         # ---- reward + loss ----
         alpha = pol.forward_policy_alpha(params.forward)
@@ -253,12 +257,19 @@ def make_sharded_sampler_train_step(mesh: Mesh, env, graph, cfg, opt,
         if cfg.loss == "vargrad":
             loss = vargrad_loss(log_reward(rewards), fwd_lp.sum(-1),
                                 back_lp.sum(-1), weights=w)
+        elif cfg.loss == "subtb":
+            # the flow head indexes action ids — replicated params, [b, top]
+            # work (top = t_cap ≪ A), so SubTB(λ) needs no extra sharding
+            log_flows = pol.flow_head_logF(params.flow, actions)
+            loss = subtb_loss(log_flows, log_reward(rewards), fwd_lp,
+                              back_lp, lengths, lam=cfg.subtb_lambda,
+                              weights=w)
         else:
             loss = trajectory_balance_loss(
                 params.log_z, log_reward(rewards),
                 fwd_lp.sum(-1), back_lp.sum(-1), weights=w)
         loss = jax.lax.pmean(loss, "dp")
-        return loss, rewards, valid
+        return loss, rewards, valid, lengths
 
     def loss_fn(params, key, aux, graph_arg):
         fwd = jax.tree_util.tree_map(lambda _: P(), params.forward)
@@ -269,18 +280,18 @@ def make_sharded_sampler_train_step(mesh: Mesh, env, graph, cfg, opt,
         out = shard_map(
             local, mesh=mesh,
             in_specs=(p_spec, P(), aux_specs, g_spec),
-            out_specs=(P(), P("dp"), P("dp")),
+            out_specs=(P(), P("dp"), P("dp"), P("dp")),
             check_vma=False,
         )(params, key, aux, graph_arg)
-        loss, rewards, valid = out
-        return loss, (rewards, valid)
+        loss, rewards, valid, lengths = out
+        return loss, (rewards, valid, lengths)
 
     @jax.jit
     def step(params, opt_state, key):
-        (loss, (rewards, valid)), grads = jax.value_and_grad(
+        (loss, (rewards, valid, lengths)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params, key, aux, graph)
         updates, opt_state = opt.update(grads, opt_state, params, value=loss)
         params = optax.apply_updates(params, updates)
-        return params, opt_state, loss, rewards, valid
+        return params, opt_state, loss, rewards, valid, lengths
 
     return step, _shard_fwd, env

@@ -51,6 +51,16 @@ def build_parser() -> argparse.ArgumentParser:
                    help="replayed trajectories mixed into each epoch's loss")
     p.add_argument("--temperature", type=float, default=d.temperature,
                    help="rollout sampling temperature (>1 explores)")
+    p.add_argument("--sampler", default=d.sampler,
+                   choices=["dense", "sharded"],
+                   help="sharded = rollout's action head, Gumbel top-k and "
+                        "per-step log-probs sharded over the rows axis — "
+                        "no device materializes [B, A] (parallel.sampler; "
+                        "set --rows-devices >= 2)")
+    p.add_argument("--t-cap", type=int, default=d.t_cap, dest="t_cap",
+                   help="sharded-sampler trajectory prefix cap (0 = "
+                        "num_actions: exact; shorter caps weight-0 samples "
+                        "whose terminal misses the merged prefix)")
     p.add_argument("--alpha-fixed", type=float, default=d.alpha_fixed,
                    help=">=0 pins the reward mixing α (0=pure flops, "
                         "1=pure residual); negative = learned (reference)")

@@ -48,6 +48,15 @@ class TrainConfig:
     alpha_fixed: float = -1.0       # >=0 pins reward-mix α (else learned)
     replay_size: int = 0            # top-k reward replay buffer (0 = off)
     replay_samples: int = 2         # buffer trajectories mixed per epoch
+    sampler: str = "dense"          # dense | sharded — sharded runs the
+                                    # rollout's action head, Gumbel top-k
+                                    # AND per-step log-probs over the rows
+                                    # axis (no device materializes [B, A];
+                                    # parallel.sampler)
+    t_cap: int = 0                  # sharded-sampler trajectory prefix cap
+                                    # (0 = num_actions: unconditionally
+                                    # exact; shorter caps weight-0 samples
+                                    # whose terminal misses the prefix)
 
     # optimization (reference GFlowNet100.py:32-34, 266-267)
     batch_size: int = 2

@@ -242,6 +242,52 @@ def _make_dp_step_adapter(cfg: TrainConfig, env, graph, mcfg, opt):
     return step
 
 
+def _make_sharded_sampler_adapter(cfg: TrainConfig, env, graph, mcfg, opt):
+    """Wrap the sharded-sampler step (parallel.sampler) in the
+    single-device step's interface.  The forward head is column-sharded
+    over ``rows`` on entry (``transform``), which also re-initializes the
+    optimizer state on the sharded params — resuming a dense checkpoint
+    therefore resets Adam moments (params themselves carry over)."""
+    from ..parallel import make_mesh
+    from ..parallel.sampler import make_sharded_sampler_train_step
+
+    if cfg.replay_size > 0:
+        raise NotImplementedError(
+            "--sampler sharded does not compose with --replay-size yet")
+    mesh = make_mesh(dp=cfg.dp_devices, rows=cfg.rows_devices)
+    t_cap = cfg.t_cap or mcfg.num_actions
+    sh_step, shard_fwd, _ = make_sharded_sampler_train_step(
+        mesh, env, graph, mcfg, opt, batch_size=cfg.batch_size, t_cap=t_cap)
+
+    def transform(state: TrainState) -> TrainState:
+        params = shard_fwd(state.params)
+        return state._replace(params=params, opt_state=opt.init(params))
+
+    def step(state: TrainState):
+        key, _ = jax.random.split(state.key)
+        params, opt_state, loss, rewards, valid, lengths = sh_step(
+            state.params, state.opt_state, state.key)
+        new_state = TrainState(
+            params=params, opt_state=opt_state, key=key,
+            epoch=state.epoch + 1, replay=state.replay,
+        )
+        metrics = {
+            "loss": loss,
+            "reward_mean": jnp.mean(rewards),
+            "reward_max": jnp.max(rewards),
+            "alpha": jax.nn.sigmoid(params.forward.alpha),
+            "log_z": params.log_z,
+            "mean_len": jnp.mean(lengths.astype(jnp.float32)),
+            "lengths": lengths,
+            "rewards": rewards,
+            "skipped": ~jnp.isfinite(loss),
+            "valid_frac": jnp.mean(valid.astype(jnp.float32)),
+        }
+        return new_state, metrics
+
+    return step, transform
+
+
 class MetricsWriter:
     """CSV schema parity with the reference (GFlowNet100.py:226-255:
     ``training_log.csv`` = epoch,num_actions,loss,reward and
@@ -279,6 +325,7 @@ class MetricsWriter:
             "log_z": float(m["log_z"]),
             "mean_len": float(m["mean_len"]),
             "skipped": bool(m["skipped"]),
+            "valid_frac": float(m.get("valid_frac", 1.0)),
             "wall_s": float(m.get("wall_s", 0.0)),
             "time": time.time(),
         }
@@ -325,7 +372,11 @@ def train(cfg: TrainConfig, progress: bool = True):
         restored = restore_checkpoint(cfg.out_dir, state)
         if restored is not None:
             state = restored
-    if cfg.dp_devices > 1 or cfg.rows_devices > 1:
+    if cfg.sampler == "sharded":
+        step, transform = _make_sharded_sampler_adapter(
+            cfg, env, graph, mcfg, opt)
+        state = transform(state)
+    elif cfg.dp_devices > 1 or cfg.rows_devices > 1:
         step = _make_dp_step_adapter(cfg, env, graph, mcfg, opt)
     else:
         step = make_train_step(cfg, env, graph, mcfg, opt)

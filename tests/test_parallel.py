@@ -460,8 +460,8 @@ def test_sharded_sampler_train_step(mesh8):
         mesh8, env, graph, cfg, optax.sgd(0.0),
         batch_size=b_local * dp, t_cap=A)
     p_sh = shard_fwd(params)
-    _, _, loss_sh, rewards_sh, valid = step(p_sh, optax.sgd(0.0).init(p_sh),
-                                            jax.random.PRNGKey(5))
+    _, _, loss_sh, rewards_sh, valid, _ = step(
+        p_sh, optax.sgd(0.0).init(p_sh), jax.random.PRNGKey(5))
     assert np.asarray(valid).all()          # t_cap = A ⇒ always exact
 
     # oracle: replay each dp shard's noise through the replicated sampler
@@ -493,7 +493,7 @@ def test_sharded_sampler_train_step(mesh8):
     hist = []
     for _ in range(30):
         key, sub = jax.random.split(key)
-        p2, st, loss, _, v = step2(p2, st, sub)
+        p2, st, loss, _, v, _ = step2(p2, st, sub)
         hist.append(float(loss))
         assert np.isfinite(hist[-1])
     assert np.mean(hist[-10:]) < np.mean(hist[:10])
@@ -514,3 +514,60 @@ def test_distributed_jacobi_auto_reduces_k(rows_mesh):
     want = jacobi(d, b, iters=60)
     np.testing.assert_allclose(np.asarray(x), np.asarray(want.x),
                                rtol=1e-6, atol=1e-8)
+
+
+def test_sharded_sampler_subtb_matches_oracle(mesh8):
+    """SubTB(λ) on the sharded sampler: the loss equals the replicated
+    subtb_loss computed from the oracle trajectories (same per-shard
+    noise), flow head and all."""
+    import optax
+    from gflownet_spai_tpu.env import make_env, seed_pattern
+    from gflownet_spai_tpu.env.spai import batched_rewards
+    from gflownet_spai_tpu.gfn import GFlowNetConfig, init_params
+    from gflownet_spai_tpu.gfn.gflownet import backward_logprobs
+    from gflownet_spai_tpu.gfn.loss import log_reward, subtb_loss
+    from gflownet_spai_tpu.gfn.rollout import gumbel_topk_rollout
+    from gflownet_spai_tpu.models import graph_from_seed
+    from gflownet_spai_tpu.models.policies import (flow_head_logF,
+                                                   forward_policy_alpha,
+                                                   forward_policy_logits)
+    from gflownet_spai_tpu.parallel import replicated_oracle_gumbels
+    from gflownet_spai_tpu.parallel.sampler import (
+        make_sharded_sampler_train_step)
+
+    a = gallery.get("LF10_like")
+    seed = seed_pattern(a, method="ilu0", dtype=jnp.float32)
+    env = make_env(seed, original=a)
+    graph = graph_from_seed(seed)
+    A = env.num_actions
+    cfg = GFlowNetConfig(hidden_dim=4, heads=4, num_actions=A,
+                         backward="linear", loss="subtb", subtb_lambda=0.9)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    assert params.flow is not None
+    dp, R = mesh8.shape["dp"], mesh8.shape["rows"]
+    b_local = 2
+
+    step, shard_fwd, _ = make_sharded_sampler_train_step(
+        mesh8, env, graph, cfg, optax.sgd(0.0),
+        batch_size=b_local * dp, t_cap=A)
+    p_sh = shard_fwd(params)
+    _, _, loss_sh, _, valid, lengths_sh = step(
+        p_sh, optax.sgd(0.0).init(p_sh), jax.random.PRNGKey(5))
+    assert np.asarray(valid).all()
+
+    logits = forward_policy_logits(params.forward, graph, A, 4)
+    alpha = forward_policy_alpha(params.forward)
+    a_pad = p_sh.forward.fc_w.shape[1]
+    losses = []
+    for i in range(dp):
+        k_i = jax.random.fold_in(jax.random.PRNGKey(5), i)
+        g = replicated_oracle_gumbels(k_i, A, a_pad, R, b_local)
+        roll = gumbel_topk_rollout(jnp.broadcast_to(logits, (b_local, A)),
+                                   k_i, terminal_action=A - 1, gumbels=g)
+        rew = batched_rewards(env, roll.actions, alpha)
+        back = backward_logprobs(params, cfg, roll.actions)
+        lf = flow_head_logF(params.flow, roll.actions)
+        losses.append(float(subtb_loss(
+            lf, log_reward(rew), roll.fwd_logprobs, back, roll.lengths,
+            lam=cfg.subtb_lambda)))
+    np.testing.assert_allclose(float(loss_sh), np.mean(losses), rtol=2e-4)

@@ -167,3 +167,23 @@ def test_train_tiled_graph_rowblock_end_to_end(tmp_path):
     assert int(restored.epoch) == int(state.epoch)
     np.testing.assert_allclose(np.asarray(restored.params.log_z),
                                np.asarray(state.params.log_z))
+
+
+def test_train_sharded_sampler_end_to_end(tmp_path):
+    """`--sampler sharded` through the train() driver: the rollout's action
+    head + Gumbel top-k + per-step log-probs run over the rows axis (no
+    [B, A] materialization), composed with dp batch sharding and the SubTB
+    flow head — finite losses, exact t_cap=0 (= num_actions) ⇒ every
+    sample valid, metrics stream carries valid_frac."""
+    import json
+
+    cfg = TrainConfig(matrix="LF10_like", num_epochs=6, batch_size=8,
+                      backward="linear", loss="subtb", lr=5e-3,
+                      sampler="sharded", dp_devices=2, rows_devices=4,
+                      out_dir=str(tmp_path / "run"))
+    state, history = train(cfg, progress=False)
+    assert len(history) == 6 and np.isfinite(history).all()
+    recs = [json.loads(l) for l in
+            (tmp_path / "run" / "metrics.jsonl").read_text().splitlines()]
+    assert all(r["valid_frac"] == 1.0 for r in recs)   # t_cap = A ⇒ exact
+    assert all(r["mean_len"] >= 1.0 for r in recs)
