@@ -103,29 +103,55 @@ def gatv2_apply_tiled(p: GATv2Params, x: jax.Array, tiles, src_t: jax.Array,
                       dst_t: jax.Array, attr_t: jax.Array,
                       num_nodes: int, heads: int, out_dim: int,
                       concat: bool = True, negative_slope: float = 0.2,
-                      interpret: bool = False) -> jax.Array:
+                      interpret: bool = False, srcwin=None) -> jax.Array:
     """``gatv2_apply`` on the node-tile layout (``ops.segment.SegTiles``):
     per-edge arrays arrive pre-permuted into [T·S] slot order (self-loops
     already appended at build — see ``models.policies.tiled_graph_from_seed``),
-    so the scatter side of the layer runs as the Pallas tile kernels.  The
-    only remaining irregular access is the node-feature row gather
-    ``xs[src_t]``, which XLA handles as wide vector loads."""
-    from ..ops.segment import segment_softmax_tiles_mh, segment_sum_tiles
+    so the scatter side of the layer runs as the Pallas tile kernels.
+
+    Irregular access is minimized (TPU has no vectorized gather):
+
+    * ``x.shape[0] == 1`` declares UNIFORM node features (the policy graph's
+      all-ones x, reference gflownet.py:223-257) — both layer-1 gathers
+      vanish: xs/xd are one broadcast row each.
+    * the dst side ``xd[dst_t]`` is tile-local by construction → the Pallas
+      node→slot broadcast kernel (onehotᵀ matmul), never a gather.
+    * the src side ``xs[src_t]`` (non-uniform layers, i.e. layer 2 on the
+      policy stack) rides the windowed-onehot gather kernel when a
+      ``srcwin`` plan is given (``ops.segment.SrcWindows``), else an XLA
+      row gather."""
+    from ..ops.segment import (gather_rows_windows, segment_broadcast_tiles,
+                               segment_softmax_tiles_mh, segment_sum_tiles)
 
     H, D = heads, out_dim
     T, S = tiles.tiles, tiles.slots
-    xs = x @ p.w_src + p.b_src                     # [N, H*D]
+    uniform = x.shape[0] == 1                      # static under jit
+    xs = x @ p.w_src + p.b_src                     # [N or 1, H*D]
     xd = x @ p.w_dst
     ea = attr_t @ p.w_edge                         # [T·S, H*D]
 
-    msg = xs[src_t] + xd[dst_t] + ea               # [T·S, H*D]
+    if uniform:
+        xs_slot = xs                               # [1, H*D] broadcasts
+        xd_slot = xd
+    else:
+        if srcwin is not None:
+            xs_slot = gather_rows_windows(srcwin, tiles, src_t, xs,
+                                          interpret=interpret)
+        else:
+            xs_slot = xs[src_t]                    # [T·S, H*D]
+        xd_pad = jnp.pad(xd, ((0, tiles.n_pad - xd.shape[0]), (0, 0)))
+        xd_slot = segment_broadcast_tiles(
+            tiles, xd_pad.reshape(T, tiles.tile_nodes, H * D),
+            interpret=interpret).reshape(T * S, H * D)
+
+    msg = xs_slot + xd_slot + ea                   # [T·S, H*D]
     act = jax.nn.leaky_relu(msg.reshape(-1, H, D), negative_slope)
     scores = jnp.einsum("ehd,hd->eh", act, p.att)  # [T·S, H]
     scores_t = jnp.moveaxis(scores.reshape(T, S, H), 2, 1)   # [T, H, S]
     alpha_t = segment_softmax_tiles_mh(tiles, scores_t, interpret=interpret)
     alpha = jnp.moveaxis(alpha_t, 1, 2).reshape(T * S, H)
 
-    src_feat = xs[src_t].reshape(-1, H, D)
+    src_feat = jnp.broadcast_to(xs_slot, (T * S, H * D)).reshape(-1, H, D)
     weighted = (src_feat * alpha[..., None]).reshape(T, S, H * D)
     out = segment_sum_tiles(tiles, weighted, interpret=interpret)
     out = out[:num_nodes]                          # drop node padding

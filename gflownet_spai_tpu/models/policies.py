@@ -64,11 +64,17 @@ class TiledGraphInputs(NamedTuple):
     per-edge arrays pre-permuted into [T·S] slot order with self-loops and
     their mean-filled edge features already appended — the large-nnz GAT
     substrate (no runtime scatter/sort/permutation)."""
-    x: jax.Array          # [2n, 1]
+    x: jax.Array          # [1, 1] — UNIFORM node features (the reference
+                          # graph's all-ones x); shape[0] == 1 statically
+                          # tells the GAT that layer-1 node transforms are
+                          # node-independent, erasing both layer-1 gathers
     src_t: jax.Array      # int32[T·S]
     dst_t: jax.Array      # int32[T·S]
     attr_t: jax.Array     # [T·S, 1]
     tiles: object         # ops.segment.SegTiles (registered pytree)
+    srcwin: object = None # ops.segment.SrcWindows — windowed-onehot plan
+                          # for the layer-2 src-row gather (None = XLA
+                          # gather)
 
 
 def tiled_graph_from_seed(seed, tile_nodes: int = 128) -> TiledGraphInputs:
@@ -78,7 +84,7 @@ def tiled_graph_from_seed(seed, tile_nodes: int = 128) -> TiledGraphInputs:
     linearly transformed ones, so it bakes in statically)."""
     import numpy as np
 
-    from ..ops.segment import build_seg_tiles, to_tiles
+    from ..ops.segment import build_seg_tiles, build_src_windows, to_tiles
 
     n2 = 2 * seed.shape[0]
     loops = jnp.arange(n2, dtype=seed.row.dtype)
@@ -87,12 +93,14 @@ def tiled_graph_from_seed(seed, tile_nodes: int = 128) -> TiledGraphInputs:
     mean_attr = jnp.full((n2,), jnp.mean(seed.data), seed.data.dtype)
     attr = jnp.concatenate([seed.data, mean_attr])
     tiles = build_seg_tiles(np.asarray(dst), n2, tile_nodes=tile_nodes)
+    src_t = to_tiles(tiles, src)
     return TiledGraphInputs(
-        x=jnp.ones((n2, 1), seed.data.dtype),
-        src_t=to_tiles(tiles, src),
+        x=jnp.ones((1, 1), seed.data.dtype),
+        src_t=src_t,
         dst_t=to_tiles(tiles, dst),
         attr_t=to_tiles(tiles, attr)[:, None],
         tiles=tiles,
+        srcwin=build_src_windows(tiles, np.asarray(src_t), n2),
     )
 
 
@@ -116,14 +124,17 @@ def forward_policy_pooled(p: ForwardPolicyParams, g, hidden_dim: int,
     of the forward policy *before* the action head; split out so the head
     can be sharded over a mesh axis — parallel/tp.py).  Dispatches on the
     graph container: ``TiledGraphInputs`` rides the Pallas tile kernels."""
-    n_nodes = g.x.shape[0]
     if isinstance(g, TiledGraphInputs):
+        n_nodes = g.tiles.num_nodes
         h = gatv2_apply_tiled(p.gat1, g.x, g.tiles, g.src_t, g.dst_t,
-                              g.attr_t, n_nodes, heads, hidden_dim)
+                              g.attr_t, n_nodes, heads, hidden_dim,
+                              srcwin=g.srcwin)
         h = jax.nn.relu(h)
         h = gatv2_apply_tiled(p.gat2, h, g.tiles, g.src_t, g.dst_t,
-                              g.attr_t, n_nodes, 1, hidden_dim)
+                              g.attr_t, n_nodes, 1, hidden_dim,
+                              srcwin=g.srcwin)
     else:
+        n_nodes = g.x.shape[0]
         h = gatv2_apply(p.gat1, g.x, g.edge_src, g.edge_dst, g.edge_attr,
                         n_nodes, heads, hidden_dim)
         h = jax.nn.relu(h)

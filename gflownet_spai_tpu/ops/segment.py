@@ -352,12 +352,34 @@ def segment_broadcast_tiles_jnp(tiles: SegTiles, node_vals: jax.Array) -> jax.Ar
     return jax.vmap(one)(node_vals, tiles.local_dst)
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _broadcast_tiles_p(tn: int, interpret: bool, local_dst, node_vals):
+    return _broadcast_pallas(tn, interpret, local_dst, node_vals)
+
+
+def _broadcast_tiles_fwd(tn, interpret, local_dst, node_vals):
+    return _broadcast_pallas(tn, interpret, local_dst, node_vals), local_dst
+
+
+def _broadcast_tiles_bwd(tn, interpret, local_dst, g):
+    # linear op: VJP = slot→node segment-sum (onehot @ g) — also Pallas
+    return (None, _sum_pallas(tn, interpret, local_dst, g))
+
+
+_broadcast_tiles_p.defvjp(_broadcast_tiles_fwd, _broadcast_tiles_bwd)
+
+
 def segment_broadcast_tiles(tiles: SegTiles, node_vals: jax.Array,
                             interpret: bool = False) -> jax.Array:
+    """Pallas node→slot broadcast: [T, TN, D] → [T, S, D] (padding slots →
+    0).  Differentiable (custom VJP = the segment-sum kernel).  This is the
+    gather-free form of ``vals[dst]`` for per-node values needed per edge —
+    dst ids are tile-local by construction, so the 'gather' is an
+    ``onehotᵀ @ v`` MXU matmul per tile."""
     if not (_use_pallas() or interpret):
         return segment_broadcast_tiles_jnp(tiles, node_vals)
-    return _broadcast_pallas(tiles.tile_nodes, interpret, tiles.local_dst,
-                             node_vals)
+    return _broadcast_tiles_p(tiles.tile_nodes, interpret, tiles.local_dst,
+                              node_vals)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0, 1))
@@ -386,3 +408,195 @@ def segment_sum_tiles(tiles: SegTiles, vals_t: jax.Array,
         return segment_sum_tiles_jnp(tiles, vals_t)
     out = _sum_tiles_p(tiles.tile_nodes, interpret, tiles.local_dst, vals_t)
     return out.reshape(tiles.n_pad, vals_t.shape[-1])
+
+
+# ---------------------------------------------------------------------------
+# Windowed src-row gather: vals[src] as onehot-window matmuls
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class SrcWindows:
+    """Static plan turning the per-slot src-row gather ``vals[src_t]`` into
+    per-tile onehot-window MXU matmuls (TPU has no vectorized gather).
+
+    Per dst tile the plan stores a node-row WINDOW of 2·``win`` rows
+    starting at block ``blk[t]``·win (node ids cluster around each dst
+    tile on RCM/banded graphs: an edge (i → j) exists only where the seed
+    has a nonzero, so src rows live within the matrix bandwidth of the
+    tile's dst range).  ``lsrc[t, s]`` = src id − blk[t]·win, in
+    [0, 2·win) for in-window slots and 2·win (→ gathered 0) otherwise.
+    The few out-of-window edges (long-range couplings) are routed to a
+    compact outlier list fixed up with one small XLA gather+scatter.
+    """
+
+    lsrc: jax.Array       # int32[T, S] window-local src ids (2·win = miss)
+    blk: jax.Array        # int32[T] window block index (start = blk·win)
+    out_slot: jax.Array   # int32[O] flat slot index of outlier edges (T·S = pad)
+    out_src: jax.Array    # int32[O] src node id of outlier edges (0 = pad)
+    win: int = 0          # window block height (rows); window = 2 blocks
+    rows_pad: int = 0     # vals must be padded to this many rows
+
+    @property
+    def n_outliers(self) -> int:
+        return int(self.out_slot.shape[0])
+
+
+jax.tree_util.register_dataclass(
+    SrcWindows,
+    data_fields=["lsrc", "blk", "out_slot", "out_src"],
+    meta_fields=["win", "rows_pad"],
+)
+
+
+def build_src_windows(tiles: SegTiles, src_ids, num_rows: int,
+                      win: int | None = None,
+                      outlier_cap: float = 0.02) -> SrcWindows:
+    """Host-side plan build.  ``src_ids``: int[T·S] global src row per slot
+    (padding slots may hold anything — they are forced out-of-window so the
+    kernel writes 0, which downstream masking already ignores).
+
+    ``win`` is auto-picked as the smallest power-of-two ≥128 whose windows
+    (centered on each tile's median src) leave ≤ ``outlier_cap`` of real
+    edges outside, capped at 8192 rows (VMEM: 2·win·D·4 B must fit)."""
+    src = np.asarray(src_ids, np.int64).reshape(tiles.tiles, tiles.slots)
+    real = np.asarray(tiles.local_dst) < tiles.tile_nodes        # [T, S]
+    T, S = src.shape
+    med = np.zeros((T,), np.int64)
+    for t in range(T):
+        r = src[t][real[t]]
+        med[t] = np.int64(np.median(r)) if r.size else 0
+
+    def plan(w):
+        blk = np.clip(med - w, 0, None) // w
+        lsrc = src - (blk * w)[:, None]
+        inwin = (lsrc >= 0) & (lsrc < 2 * w) & real
+        return blk, lsrc, inwin
+
+    total_real = max(int(real.sum()), 1)
+    if win is None:
+        win = 128
+        while win < 8192:
+            _, _, inwin = plan(win)
+            if (total_real - int(inwin.sum())) / total_real <= outlier_cap:
+                break
+            win *= 2
+    blk, lsrc, inwin = plan(win)
+    miss = real & ~inwin
+    o_t, o_s = np.nonzero(miss)
+    out_slot = o_t * S + o_s
+    out_src = src[miss]
+    o_pad = _round_up(max(len(out_slot), 1), _LANE)
+    out_slot = np.pad(out_slot, (0, o_pad - len(out_slot)),
+                      constant_values=T * S)
+    out_src = np.pad(out_src, (0, o_pad - len(out_src)))
+    lsrc = np.where(inwin, lsrc, 2 * win)
+    # the (blk+1) window block must exist: pad rows to a multiple of win,
+    # plus one extra block past the top
+    rows_pad = (_round_up(max(num_rows, 1), win) // win + 1) * win
+    return SrcWindows(
+        lsrc=jnp.asarray(lsrc, jnp.int32),
+        blk=jnp.asarray(blk, jnp.int32),
+        out_slot=jnp.asarray(out_slot, jnp.int32),
+        out_src=jnp.asarray(out_src, jnp.int32),
+        win=int(win), rows_pad=int(rows_pad),
+    )
+
+
+def gather_rows_windows_jnp(plan: SrcWindows, tiles: SegTiles,
+                            vals: jax.Array) -> jax.Array:
+    """Oracle/CPU path: the same slot values the kernel produces
+    ([T·S, D]; out-of-window slots come from the outlier fixup)."""
+    T, S = plan.lsrc.shape
+    base = plan.blk[:, None] * plan.win + plan.lsrc            # [T, S]
+    ok = plan.lsrc < 2 * plan.win
+    safe = jnp.where(ok, base, 0)
+    got = jnp.where(ok.reshape(-1)[:, None], vals[safe.reshape(-1)], 0.0)
+    fix = vals[plan.out_src]
+    return got.at[plan.out_slot].set(fix, mode="drop")
+
+
+def _gather_win_kernel(win: int):
+    def kernel(blk_ref, lsrc_ref, w1_ref, w2_ref, out_ref):
+        del blk_ref                                # consumed by index maps
+        lid = lsrc_ref[0, 0, :][None, :]           # [1, S]
+        i1 = jax.lax.broadcasted_iota(jnp.int32, (win, lid.shape[-1]), 0)
+        oh1 = (i1 == lid).astype(w1_ref.dtype)          # [W, S]
+        oh2 = (i1 == (lid - win)).astype(w1_ref.dtype)
+        out_ref[0] = (
+            jnp.matmul(oh1.T, w1_ref[...], precision="high",
+                       preferred_element_type=w1_ref.dtype)
+            + jnp.matmul(oh2.T, w2_ref[...], precision="high",
+                         preferred_element_type=w2_ref.dtype))
+
+    return kernel
+
+
+def _gather_win_pallas(plan: SrcWindows, vals, interpret: bool):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    T, S = plan.lsrc.shape
+    D = vals.shape[-1]
+    W = plan.win
+    vp = jnp.pad(vals, ((0, plan.rows_pad - vals.shape[0]), (0, 0)))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, 1, S), lambda t, blk: (t, 0, 0)),
+            pl.BlockSpec((W, D), lambda t, blk: (blk[t], 0)),
+            pl.BlockSpec((W, D), lambda t, blk: (blk[t] + 1, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, S, D), lambda t, blk: (t, 0, 0)),
+    )
+    out = pl.pallas_call(
+        _gather_win_kernel(W),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((T, S, D), vals.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * T * S * 2 * W * D,
+            bytes_accessed=(T * S * D + 2 * T * W * D + T * S) * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(plan.blk, plan.lsrc.reshape(T, 1, S), vp, vp)
+    return out.reshape(T * S, D)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 3))
+def _gather_rows_p(plan: SrcWindows, src_t, vals, interpret: bool):
+    got = _gather_win_pallas(plan, vals, interpret)
+    fix = vals[plan.out_src]
+    return got.at[plan.out_slot].set(fix, mode="drop")
+
+
+def _gather_rows_fwd(plan, src_t, vals, interpret):
+    return _gather_rows_p(plan, src_t, vals, interpret), (src_t,
+                                                          vals.shape[0])
+
+
+def _gather_rows_bwd(plan, interpret, res, g):
+    # VJP of a row gather = scatter-add by src id (XLA sorted-scatter —
+    # identical to the plain gather's AD, so training cost is unchanged)
+    src_t, n = res
+    dv = jnp.zeros((n, g.shape[-1]), g.dtype).at[src_t].add(
+        g, mode="drop")
+    return (None, dv)
+
+
+_gather_rows_p.defvjp(_gather_rows_fwd, _gather_rows_bwd)
+
+
+def gather_rows_windows(plan: SrcWindows, tiles: SegTiles, src_t,
+                        vals: jax.Array, interpret: bool = False) -> jax.Array:
+    """``vals[src_t]`` ([T·S, D]) without a gather: per-tile onehot-window
+    MXU matmuls + a compact outlier fixup (see ``SrcWindows``).  Padding
+    slots produce 0 (downstream tile ops mask them).  Differentiable; the
+    VJP is the same scatter-add the plain gather's AD performs.  Falls back
+    to the XLA gather off-TPU."""
+    if not (_use_pallas() or interpret):
+        zero = jnp.zeros((1, vals.shape[-1]), vals.dtype)
+        ext = jnp.concatenate([vals, zero], axis=0)
+        safe = jnp.where(src_t < vals.shape[0], src_t, vals.shape[0])
+        return ext[safe]
+    return _gather_rows_p(plan, src_t, vals, interpret)
