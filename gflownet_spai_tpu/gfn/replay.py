@@ -73,12 +73,27 @@ def replay_update(buf: ReplayBuffer, actions: jax.Array,
     return ReplayBuffer(actions=cand_a[keep], rewards=r_sorted[top])
 
 
-def replay_sample(buf: ReplayBuffer, key, num: int):
-    """Draw ``num`` filled slots uniformly (with replacement).  Returns
+def replay_sample(buf: ReplayBuffer, key, num: int,
+                  prioritized: float = 0.0):
+    """Draw ``num`` filled slots with replacement.  Returns
     (actions [num, T], rewards [num], valid [num]) — ``valid`` is False
-    while the buffer is empty, masking the loss contribution."""
+    while the buffer is empty, masking the loss contribution.
+
+    ``prioritized`` (static α ≥ 0): rank-based prioritization — slot with
+    reward-rank r (0 = best) is drawn with P ∝ (1 + r)^(−α).  α = 0 is
+    uniform (default); rank-based rather than reward-proportional because
+    SPAI rewards are an affine mix on an arbitrary scale (can be negative),
+    so softmax-of-reward would be scale-sensitive (Schaul et al. 2016's
+    rank variant, arXiv:1511.05952)."""
     filled = jnp.isfinite(buf.rewards)
-    logits = jnp.where(filled, 0.0, _NEG)
+    if prioritized > 0.0:
+        # rank among filled slots: empty slots sort last (−inf rewards)
+        rank = jnp.argsort(jnp.argsort(-buf.rewards))
+        logits = jnp.where(
+            filled, -prioritized * jnp.log1p(rank.astype(buf.rewards.dtype)),
+            _NEG)
+    else:
+        logits = jnp.where(filled, 0.0, _NEG)
     any_filled = filled.any()
     safe_logits = jnp.where(any_filled, logits, jnp.zeros_like(logits))
     idx = jax.random.categorical(key, safe_logits, shape=(num,))

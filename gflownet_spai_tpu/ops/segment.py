@@ -515,17 +515,19 @@ def gather_rows_windows_jnp(plan: SrcWindows, tiles: SegTiles,
     return got.at[plan.out_slot].set(fix, mode="drop")
 
 
-def _gather_win_kernel(win: int):
+def _gather_win_kernel(win: int, slots: int):
     def kernel(blk_ref, lsrc_ref, w1_ref, w2_ref, out_ref):
         del blk_ref                                # consumed by index maps
-        lid = lsrc_ref[0, 0, :][None, :]           # [1, S]
-        i1 = jax.lax.broadcasted_iota(jnp.int32, (win, lid.shape[-1]), 0)
-        oh1 = (i1 == lid).astype(w1_ref.dtype)          # [W, S]
+        lid = lsrc_ref[0, 0, :][:, None]           # [S, 1]
+        # build the [S, W] onehots directly (no in-kernel transpose —
+        # Mosaic lowers iota-compare + matmul natively)
+        i1 = jax.lax.broadcasted_iota(jnp.int32, (slots, win), 1)
+        oh1 = (i1 == lid).astype(w1_ref.dtype)          # [S, W]
         oh2 = (i1 == (lid - win)).astype(w1_ref.dtype)
         out_ref[0] = (
-            jnp.matmul(oh1.T, w1_ref[...], precision="high",
+            jnp.matmul(oh1, w1_ref[...], precision="high",
                        preferred_element_type=w1_ref.dtype)
-            + jnp.matmul(oh2.T, w2_ref[...], precision="high",
+            + jnp.matmul(oh2, w2_ref[...], precision="high",
                          preferred_element_type=w2_ref.dtype))
 
     return kernel
@@ -550,7 +552,7 @@ def _gather_win_pallas(plan: SrcWindows, vals, interpret: bool):
         out_specs=pl.BlockSpec((1, S, D), lambda t, blk: (t, 0, 0)),
     )
     out = pl.pallas_call(
-        _gather_win_kernel(W),
+        _gather_win_kernel(W, S),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((T, S, D), vals.dtype),
         cost_estimate=pl.CostEstimate(

@@ -49,6 +49,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="top-k reward replay buffer capacity (0 = off)")
     p.add_argument("--replay-samples", type=int, default=d.replay_samples,
                    help="replayed trajectories mixed into each epoch's loss")
+    p.add_argument("--replay-prioritized", type=float,
+                   default=d.replay_prioritized,
+                   help="rank-based replay priority exponent α "
+                        "(P ∝ (1+rank)^−α; 0 = uniform)")
     p.add_argument("--temperature", type=float, default=d.temperature,
                    help="rollout sampling temperature (>1 explores)")
     p.add_argument("--sampler", default=d.sampler,

@@ -48,6 +48,8 @@ class TrainConfig:
     alpha_fixed: float = -1.0       # >=0 pins reward-mix α (else learned)
     replay_size: int = 0            # top-k reward replay buffer (0 = off)
     replay_samples: int = 2         # buffer trajectories mixed per epoch
+    replay_prioritized: float = 0.0 # rank-based replay priority exponent α
+                                    # (P ∝ (1+rank)^−α; 0 = uniform)
     sampler: str = "dense"          # dense | sharded — sharded runs the
                                     # rollout's action head, Gumbel top-k
                                     # AND per-step log-probs over the rows

@@ -155,7 +155,8 @@ def make_train_step(cfg: TrainConfig, env, graph, mcfg, opt):
         replay_arg = None
         if use_replay:
             r_actions, _, r_valid = replay_sample(
-                state.replay, rkey, cfg.replay_samples)
+                state.replay, rkey, cfg.replay_samples,
+                prioritized=cfg.replay_prioritized)
             replay_arg = (r_actions, r_valid)
         (loss, aux), grads = jax.value_and_grad(gfn.loss_fn, has_aux=True)(
             state.params, env, graph, mcfg, sub, cfg.batch_size,
@@ -213,7 +214,8 @@ def _make_dp_step_adapter(cfg: TrainConfig, env, graph, mcfg, opt):
         new_replay = state.replay
         if use_replay:
             r_actions, _, r_valid = replay_sample(
-                state.replay, rkey, cfg.replay_samples)
+                state.replay, rkey, cfg.replay_samples,
+                prioritized=cfg.replay_prioritized)
             params, opt_state, loss, rewards, actions = dp_step(
                 state.params, state.opt_state, state.key, r_actions, r_valid
             )

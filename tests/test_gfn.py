@@ -604,3 +604,28 @@ def test_training_with_tpu_native_backward(backward):
         state, m = step(state)
         losses.append(float(m["loss"]))
     assert all(np.isfinite(l) for l in losses)
+
+
+def test_replay_prioritized_sampling_distribution():
+    """Rank-based priority: higher-reward slots are drawn ∝ (1+rank)^−α;
+    empty slots never drawn; α=0 stays uniform."""
+    from gflownet_spai_tpu.gfn.replay import replay_init, replay_sample, replay_update
+
+    buf = replay_init(capacity=4, traj_len=3)
+    acts = jnp.asarray([[0, 2, -1], [1, 2, -1], [0, 1, 2]], jnp.int32)
+    buf = replay_update(buf, acts, jnp.asarray([10.0, 5.0, 1.0]))
+
+    n = 4000
+    _, rews, valid = replay_sample(buf, jax.random.PRNGKey(7), n,
+                                   prioritized=2.0)
+    assert bool(valid.all())
+    rews = np.asarray(rews)
+    counts = {r: int((rews == r).sum()) for r in (10.0, 5.0, 1.0)}
+    # P ∝ 1, 1/4, 1/9 → normalized ≈ .734, .183, .082
+    assert counts[10.0] > counts[5.0] > counts[1.0]
+    np.testing.assert_allclose(counts[10.0] / n, 36 / 49, atol=0.05)
+
+    _, rews_u, _ = replay_sample(buf, jax.random.PRNGKey(8), n)
+    u = {r: int((np.asarray(rews_u) == r).sum()) / n for r in (10.0, 5.0, 1.0)}
+    for f in u.values():
+        np.testing.assert_allclose(f, 1 / 3, atol=0.05)
