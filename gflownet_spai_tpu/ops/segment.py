@@ -268,7 +268,7 @@ def _sum_kernel(tn: int):
         v = v_ref[0]                                            # [S, D]
         oh = (jax.lax.broadcasted_iota(
             jnp.int32, (tn, lid.shape[-1]), 0) == lid).astype(v.dtype)
-        out_ref[0] = jnp.matmul(oh, v, precision="high",
+        out_ref[0] = jnp.matmul(oh, v, precision="highest",
                                 preferred_element_type=v.dtype)
 
     return kernel
@@ -306,7 +306,7 @@ def _broadcast_kernel(tn: int):
         v = v_ref[0]                                            # [TN, D]
         oh = (jax.lax.broadcasted_iota(
             jnp.int32, (tn, lid.shape[-1]), 0) == lid).astype(v.dtype)
-        out_ref[0] = jnp.matmul(oh.T, v, precision="high",
+        out_ref[0] = jnp.matmul(oh.T, v, precision="highest",
                                 preferred_element_type=v.dtype)  # [S, D]
 
     return kernel
@@ -525,9 +525,9 @@ def _gather_win_kernel(win: int, slots: int):
         oh1 = (i1 == lid).astype(w1_ref.dtype)          # [S, W]
         oh2 = (i1 == (lid - win)).astype(w1_ref.dtype)
         out_ref[0] = (
-            jnp.matmul(oh1, w1_ref[...], precision="high",
+            jnp.matmul(oh1, w1_ref[...], precision="highest",
                        preferred_element_type=w1_ref.dtype)
-            + jnp.matmul(oh2, w2_ref[...], precision="high",
+            + jnp.matmul(oh2, w2_ref[...], precision="highest",
                          preferred_element_type=w2_ref.dtype))
 
     return kernel

@@ -46,10 +46,17 @@ def main(argv=None) -> int:
     p.add_argument("--temperature", type=float, default=1.0)
     p.add_argument("--replay-size", type=int, default=0)
     p.add_argument("--replay-samples", type=int, default=2)
+    p.add_argument("--replay-prioritized", type=float, default=0.0,
+                   help="rank-based replay priority exponent α (0 = uniform)")
     p.add_argument("--from-checkpoint", default=None, metavar="RUN_DIR",
                    help="restore a trained policy from RUN_DIR/checkpoint "
                         "and skip training (still needs matching --matrix/"
                         "--seed-method/--hidden-dim)")
+    p.add_argument("--final-samples", type=int, default=256,
+                   help="terminal sampling-round batch for picking the "
+                        "best M (reference does 10^4 at n=100 — "
+                        "GFlowNet100.py:530-532; shrink at 10^5+-action "
+                        "scale to bound the sampler compile)")
     p.add_argument("--classic-k", type=int, default=1,
                    help="power-pattern order for the classic-SPAI column")
     p.add_argument("--jacobi-poly", type=int, default=0, metavar="SWEEPS",
@@ -84,6 +91,7 @@ def main(argv=None) -> int:
         backward=args.backward,
         temperature=args.temperature, replay_size=args.replay_size,
         replay_samples=args.replay_samples,
+        replay_prioritized=args.replay_prioritized,
     )
     a, seed, env, graph, mcfg, opt, state = setup(cfg)
     print(f"matrix {args.matrix}: n={env.n}, seed nnz={env.num_edges}")
@@ -107,7 +115,7 @@ def main(argv=None) -> int:
     # large final sampling round → best preconditioner (reference does a
     # 10^4-sample terminal rollout, GFlowNet100.py:530-532)
     out = gfn.sample(state.params, env, graph, mcfg,
-                     jax.random.PRNGKey(123), batch_size=256)
+                     jax.random.PRNGKey(123), batch_size=args.final_samples)
     m_best = best_sampled_matrix(env, out.rollout.actions, out.rewards)
     kept = int(jnp.sum(jnp.abs(m_best.data) > 0))
     print(f"best sampled M: kept {kept}/{env.num_edges} entries, "

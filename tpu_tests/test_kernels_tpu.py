@@ -505,8 +505,12 @@ def test_spmv_dia_power_rhs_on_chip():
     d = _poisson_dia(512)
     rng = np.random.default_rng(31)
     X = jnp.asarray(rng.standard_normal((K, d.n)), jnp.float32)
-    tr = D.dia_pp_tile(d)
-    assert D.dia_power_rhs_ok(d, k, K, tr)
+    # the 1-RHS-optimal dia_pp_tile (65536 here) fails the K-scaled VMEM
+    # model — pick the largest n_pad divisor the multi-RHS model admits
+    # (jacobi_multirhs does the equivalent fallback internally)
+    tr = max(t for t in range(1024, D.dia_pp_tile(d) + 1, 1024)
+             if d.n_pad % t == 0 and D.dia_power_rhs_ok(d, k, K, t))
+    assert tr == 16384
     xq = D.dia_pad_pp_rhs(d, X, tr=tr)
     dk = D.dia_power_data(d, k, tr=tr)
 
