@@ -108,18 +108,24 @@ def _baseline_residual_host(original: COO) -> float:
 
 
 def make_env(seed: COO, original: Optional[COO] = None,
-             reward_path: str = "pair") -> SpaiEnv:
+             reward_path: str = "pair",
+             rowblock_dtype=None) -> SpaiEnv:
     """Build the environment.  ``original`` defaults to ``seed`` which
     reproduces the reference driver's (questionable) baseline wiring
     (GFlowNet100.py:173); pass the true A for the corrected objective.
 
     ``reward_path``: ``"pair"`` (gather plan — exact semantics, fine on
     CPU/small) or ``"rowblock"`` (bucketed dense MXU plan — the TPU path
-    for large unstructured seeds; identical residuals, tested)."""
+    for large unstructured seeds; identical residuals, tested).
+    ``rowblock_dtype``: G-block storage dtype (default: seed dtype);
+    ``jnp.bfloat16`` halves the G-read traffic the batched reward is bound
+    by, with f32 MXU accumulation (~1e-3 relative residual noise)."""
     if original is None:
         original = seed
     if reward_path == "rowblock":
-        rb = _rowblock.build_rowblock_plan(seed, original, gemm_dtype=seed.data.dtype)
+        rb = _rowblock.build_rowblock_plan(
+            seed, original,
+            gemm_dtype=rowblock_dtype or seed.data.dtype)
         base_res = jnp.asarray(_baseline_residual_host(original),
                                seed.data.dtype)
         base_flops = 2.0 * original.nnz * original.shape[1]

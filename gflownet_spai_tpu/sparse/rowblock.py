@@ -304,6 +304,12 @@ def build_rowblock_plan(m_pattern: COO, a: COO,
 # Numeric phase (jit-compiled; plan travels as an argument)
 # ---------------------------------------------------------------------------
 
+def _acc_dtype(gemm_dtype):
+    """MXU accumulation dtype: f32 for bf16 storage, else the storage dtype."""
+    return (jnp.float32 if jnp.dtype(gemm_dtype) == jnp.bfloat16
+            else jnp.dtype(gemm_dtype))
+
+
 def residual_sq_batch(plan: RowBlockPlan, m_vals: jax.Array) -> jax.Array:
     """``‖M·A − I‖²_F`` for a batch of M value vectors.
 
@@ -318,8 +324,11 @@ def residual_sq_batch(plan: RowBlockPlan, m_vals: jax.Array) -> jax.Array:
     acc = jnp.zeros((B,), m_vals.dtype)
     for g, idx, dpos in zip(plan.gvals, plan.win_idx, plan.diag_pos):
         kwin = kt[idx]                                   # [R, mp, B]
+        # bf16 G (gemm_dtype=bfloat16 plans: half the G-read traffic, the
+        # reward's bound) still accumulates f32 on the MXU
         y = jnp.einsum("rcm,rmb->rcb", g, kwin.astype(g.dtype),
-                       precision="highest")              # MXU batched matmul
+                       precision="highest",
+                       preferred_element_type=_acc_dtype(g.dtype))
         cp = g.shape[1]
         e = (jnp.arange(cp, dtype=jnp.int32)[None, :]
              == dpos[:, None]).astype(y.dtype)           # [R, cp] δ slots
@@ -353,7 +362,8 @@ def numeric(plan: RowBlockPlan, m_vals: jax.Array) -> jax.Array:
     out = jnp.zeros((plan.out_nnz + 1,), m_vals.dtype)
     for g, idx, opos in zip(plan.gvals, plan.win_idx, plan.out_pos):
         y = jnp.einsum("rcm,rm->rc", g, kt[idx].astype(g.dtype),
-                       precision="highest")
+                       precision="highest",
+                       preferred_element_type=_acc_dtype(g.dtype))
         out = out.at[opos.ravel()].set(y.ravel().astype(out.dtype))
     if plan.n_overflow_slots:
         c = jax.ops.segment_sum(

@@ -31,6 +31,11 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["auto", "coo", "dia", "rowblock"],
                    help="reward path: coo pair-plan, gather-free dia band, "
                         "or rowblock dense-bucket MXU plan (unstructured)")
+    p.add_argument("--rowblock-bf16", action="store_true",
+                   dest="rowblock_bf16",
+                   help="bf16 G-block storage for the rowblock reward "
+                        "(halves its HBM traffic; f32 accumulation, ~1e-3 "
+                        "residual noise)")
     p.add_argument("--reference-baseline", action="store_true",
                    help="score against the seed matrix like the reference driver "
                         "(GFlowNet100.py:173) instead of the true A")

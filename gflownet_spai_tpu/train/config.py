@@ -34,6 +34,9 @@ class TrainConfig:
     rowblock_min_nnz: int = 10000   # "auto" picks rowblock above this seed
                                     # nnz when dia doesn't apply (pair-plan
                                     # gathers scalarize on TPU)
+    rowblock_bf16: bool = False     # bf16 G-block storage (halves the
+                                    # reward's G-read traffic; f32 MXU
+                                    # accumulation, ~1e-3 residual noise)
     gat_tiled_min_edges: int = 100000  # policy graph switches to the
                                     # node-tile Pallas segment substrate
                                     # above this edge count

@@ -119,7 +119,8 @@ def setup(cfg: TrainConfig):
     else:
         env = spai.make_env(
             seed, original=None if cfg.reference_baseline else a,
-            reward_path="rowblock" if fmt == "rowblock" else "pair")
+            reward_path="rowblock" if fmt == "rowblock" else "pair",
+            rowblock_dtype=jnp.bfloat16 if cfg.rowblock_bf16 else None)
         graph = _graph(seed)
     mcfg = gfn.GFlowNetConfig(
         hidden_dim=cfg.hidden_dim, heads=cfg.heads,

@@ -267,3 +267,29 @@ def test_rowblock_overflow_routing_matches_dense():
         np.testing.assert_allclose(got_r, want_r, rtol=1e-4)
         np.testing.assert_allclose(np.asarray(RB.numeric(plan, jnp.asarray(mv))),
                                    want_c, rtol=1e-4, atol=1e-5)
+
+
+def test_rowblock_bf16_storage_accumulates_f32():
+    """gemm_dtype=bfloat16 plans: G reads at half traffic, residuals within
+    bf16 input noise of the f32 plan (f32 MXU accumulation — the einsum
+    output dtype must NOT be bf16)."""
+    from gflownet_spai_tpu.sparse import rowblock as RB
+    from gflownet_spai_tpu.sparse.gallery import random_spd
+    from gflownet_spai_tpu.sparse.types import COO
+
+    a = random_spd(60, density=0.06, seed=9)
+    a = COO(row=a.row, col=a.col, data=a.data.astype(jnp.float32),
+            shape=a.shape)
+    plan32 = RB.build_rowblock_plan(a, a)
+    plan16 = RB.build_rowblock_plan(a, a, gemm_dtype=jnp.bfloat16)
+    assert plan16.gvals[0].dtype == jnp.bfloat16
+    m = jnp.stack([a.data, a.data * 0.5])
+    r32 = np.asarray(RB.residual_sq_batch(plan32, m))
+    r16 = np.asarray(RB.residual_sq_batch(plan16, m))
+    assert r16.dtype == np.float32
+    np.testing.assert_allclose(r16, r32, rtol=2e-2)
+    # make_env knob plumbs through
+    from gflownet_spai_tpu.env.spai import make_env
+    env = make_env(a, original=a, reward_path="rowblock",
+                   rowblock_dtype=jnp.bfloat16)
+    assert env.rb.gvals[0].dtype == jnp.bfloat16
