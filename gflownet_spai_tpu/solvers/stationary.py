@@ -40,6 +40,8 @@ def _pick_power_config(m: DIA, fuse_k: int, sweeps: int) -> tuple[int, int]:
     elements per sweep per row — data windows re-read 2(k−1)h/tr
     redundantly, so the largest k is NOT always cheapest at small tiles.
     Returns (1, 0) when no fused config beats the unfused affine sweep."""
+    from ..ops.dia import dia_power_ok
+
     h, nd = m.halo, m.ndiags
     best_k, best_tr = 1, 0
     best_cost = float(nd + 3)          # unfused: data + x + c + out per row
@@ -48,8 +50,15 @@ def _pick_power_config(m: DIA, fuse_k: int, sweeps: int) -> tuple[int, int]:
         tr = dia_power_tile(m, kk)
         if tr:
             win_d = tr + 2 * (kk - 1) * h
-            win_x = tr + 2 * kk * h
-            cost = (nd * win_d + win_x + win_d + tr) / (kk * tr)
+            if dia_power_ok(m, kk, tr):
+                # resident kernel: x and c live whole in VMEM and are read
+                # once (≈ tr per tile), not at streamed window widths —
+                # charging win_x here overestimated resident configs near
+                # ties (ADVICE r1)
+                win_x, win_c = tr, tr
+            else:
+                win_x, win_c = tr + 2 * kk * h, win_d
+            cost = (nd * win_d + win_x + win_c + tr) / (kk * tr)
             # a modeled tie against the UNFUSED baseline prefers the fused
             # kernel (at the minimal tile nd·win_d ≈ (nd+3)·k·tr exactly, so
             # strict '<' used to reject a feasible fused config); among fused
