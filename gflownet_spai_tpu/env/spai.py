@@ -109,7 +109,8 @@ def _baseline_residual_host(original: COO) -> float:
 
 def make_env(seed: COO, original: Optional[COO] = None,
              reward_path: str = "pair",
-             rowblock_dtype=None) -> SpaiEnv:
+             rowblock_dtype=None,
+             baseline: str = "matrix") -> SpaiEnv:
     """Build the environment.  ``original`` defaults to ``seed`` which
     reproduces the reference driver's (questionable) baseline wiring
     (GFlowNet100.py:173); pass the true A for the corrected objective.
@@ -119,15 +120,35 @@ def make_env(seed: COO, original: Optional[COO] = None,
     for large unstructured seeds; identical residuals, tested).
     ``rowblock_dtype``: G-block storage dtype (default: seed dtype);
     ``jnp.bfloat16`` halves the G-read traffic the batched reward is bound
-    by, with f32 MXU accumulation (~1e-3 relative residual noise)."""
+    by, with f32 MXU accumulation (~1e-3 relative residual noise).
+
+    ``baseline`` — the residual normalizer in the reward's
+    ``1 − res/baseline`` term:
+
+    * ``"matrix"``  — ‖A·A − I‖_F, the reference's formula with the B11
+      intent fix (reference preconditioner.py:28).  DEGENERATE whenever
+      ‖A·A − I‖ ≫ ‖M₀·A − I‖ (unscaled matrices with O(1) entries: the
+      ratio saturates near 0, the residual term stops discriminating, and
+      the flops term drives the policy to delete everything — measured on
+      orsirr_like: thinning a classic-SPAI seed to divergence still scored
+      reward ≈ 967/1000).
+    * ``"identity"`` — ‖0·A − I‖_F = √n, the empty-preconditioner residual:
+      M = 0 scores exactly 0 on the residual term and light thinning of a
+      good M₀ moves the ratio measurably, so residual quality and flops
+      genuinely trade off.  The principled choice for ``seed_method=spai``
+      at scale."""
     if original is None:
         original = seed
+    if baseline not in ("matrix", "identity"):
+        raise ValueError(f"unknown baseline {baseline!r}")
+    identity = baseline == "identity"
+    sqrt_n = jnp.asarray(np.sqrt(float(original.shape[0])), seed.data.dtype)
     if reward_path == "rowblock":
         rb = _rowblock.build_rowblock_plan(
             seed, original,
             gemm_dtype=rowblock_dtype or seed.data.dtype)
-        base_res = jnp.asarray(_baseline_residual_host(original),
-                               seed.data.dtype)
+        base_res = sqrt_n if identity else jnp.asarray(
+            _baseline_residual_host(original), seed.data.dtype)
         base_flops = 2.0 * original.nnz * original.shape[1]
         return SpaiEnv(seed=seed, original=original, plan=None,
                        baseline_residual=base_res, baseline_flops=base_flops,
@@ -135,13 +156,18 @@ def make_env(seed: COO, original: Optional[COO] = None,
     plan = SpGEMMPlan(seed, original)
     # ‖original·original − I‖_F  (reference preconditioner.py:28 computes
     # calculate_residual(original, original))
-    base_plan = plan if original is seed else SpGEMMPlan(original, original)
-    base_vals = base_plan.numeric(original.data, original.data)
-    base_res = jnp.sqrt(
-        frobenius_sq_minus_identity(
-            base_plan.out_row, base_plan.out_col, base_vals, original.shape[0]
+    if identity:
+        base_res = sqrt_n
+    else:
+        base_plan = (plan if original is seed
+                     else SpGEMMPlan(original, original))
+        base_vals = base_plan.numeric(original.data, original.data)
+        base_res = jnp.sqrt(
+            frobenius_sq_minus_identity(
+                base_plan.out_row, base_plan.out_col, base_vals,
+                original.shape[0]
+            )
         )
-    )
     base_flops = 2.0 * original.nnz * original.shape[1]  # preconditioner.py:72
     return SpaiEnv(
         seed=seed,

@@ -84,7 +84,11 @@ def has_phantom_slots(seed_d: DIA) -> int:
 
 
 def make_dia_env(seed: COO | DIA, original: COO | DIA,
-                 allow_phantom: bool = False) -> SpaiDiaEnv:
+                 allow_phantom: bool = False,
+                 baseline: str = "matrix") -> SpaiDiaEnv:
+    """``baseline``: "matrix" = ‖A·A−I‖_F (reference formula, B11-fixed)
+    or "identity" = √n (see env.spai.make_env — the non-degenerate
+    normalizer for approximate-inverse seeds)."""
     seed_d = seed if isinstance(seed, DIA) else coo_to_dia(seed)
     orig_d = original if isinstance(original, DIA) else coo_to_dia(original)
     phantom = has_phantom_slots(seed_d)
@@ -109,8 +113,13 @@ def make_dia_env(seed: COO | DIA, original: COO | DIA,
         seg_len.append(length)
         seg_off.append(off_acc)
         off_acc += length
-    base = spgemm_dia(orig_d, orig_d)
-    base_res = jnp.sqrt(frobenius_sq_minus_identity_dia(base))
+    if baseline == "identity":
+        base_res = jnp.asarray(float(n) ** 0.5, seed_d.data.dtype)
+    elif baseline == "matrix":
+        base = spgemm_dia(orig_d, orig_d)
+        base_res = jnp.sqrt(frobenius_sq_minus_identity_dia(base))
+    else:
+        raise ValueError(f"unknown baseline {baseline!r}")
     return SpaiDiaEnv(
         seed=seed_d,
         original=orig_d,

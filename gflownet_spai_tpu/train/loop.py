@@ -113,14 +113,15 @@ def setup(cfg: TrainConfig):
         return pol.graph_from_seed(edges)
 
     if fmt == "dia":
-        env = spai_dia.make_dia_env(seed, a)
+        env = spai_dia.make_dia_env(seed, a, baseline=cfg.reward_baseline)
         # edge/action ids follow the DIA enumeration → graph must too
         graph = _graph(spai_dia.edge_coo(env))
     else:
         env = spai.make_env(
             seed, original=None if cfg.reference_baseline else a,
             reward_path="rowblock" if fmt == "rowblock" else "pair",
-            rowblock_dtype=jnp.bfloat16 if cfg.rowblock_bf16 else None)
+            rowblock_dtype=jnp.bfloat16 if cfg.rowblock_bf16 else None,
+            baseline=cfg.reward_baseline)
         graph = _graph(seed)
     mcfg = gfn.GFlowNetConfig(
         hidden_dim=cfg.hidden_dim, heads=cfg.heads,

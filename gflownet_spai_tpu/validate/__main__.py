@@ -39,6 +39,9 @@ def main(argv=None) -> int:
     p.add_argument("--platform", default=None)
     p.add_argument("--out-dir", default="runs/validate")
     p.add_argument("--alpha-fixed", type=float, default=-1.0)
+    p.add_argument("--reward-baseline", default="matrix",
+                   choices=["matrix", "identity"],
+                   help="residual normalizer (see train CLI)")
     p.add_argument("--loss", default="tb", choices=["tb", "vargrad", "subtb"])
     p.add_argument("--subtb-lambda", type=float, default=0.9)
     p.add_argument("--backward", default="lstm",
@@ -87,6 +90,7 @@ def main(argv=None) -> int:
         matrix=args.matrix, seed_method=args.seed_method,
         batch_size=args.batch_size, num_epochs=args.epochs, lr=args.lr,
         out_dir=args.out_dir, alpha_fixed=args.alpha_fixed,
+        reward_baseline=args.reward_baseline,
         loss=args.loss, subtb_lambda=args.subtb_lambda,
         backward=args.backward,
         temperature=args.temperature, replay_size=args.replay_size,
