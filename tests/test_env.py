@@ -221,3 +221,27 @@ def test_rowblock_env_is_jit_argument_safe():
     # full-keep residual = ‖LU·A − I‖ with nothing deleted
     want = np.asarray(spai.residual_norm(env, keep[0]))
     np.testing.assert_allclose(np.asarray(out), want, rtol=1e-6)
+
+
+def test_reward_baseline_identity_modes():
+    """baseline="identity" gives sqrt(n) on all three env backends and
+    make_env rejects unknown modes; the matrix default is unchanged."""
+    import numpy as np
+    import pytest
+    from gflownet_spai_tpu.env.spai import make_env
+    from gflownet_spai_tpu.env.spai_dia import make_dia_env
+    from gflownet_spai_tpu.sparse.gallery import get
+
+    a = get("poisson32")        # n=1024, banded (valid for the DIA env too)
+    want = np.sqrt(1024.0)
+    e_pair = make_env(a, original=a, baseline="identity")
+    e_rb = make_env(a, original=a, reward_path="rowblock",
+                    baseline="identity")
+    e_dia = make_dia_env(a, a, baseline="identity", allow_phantom=True)
+    for e in (e_pair, e_rb, e_dia):
+        np.testing.assert_allclose(float(e.baseline_residual), want)
+    assert float(make_env(a, original=a).baseline_residual) != want
+    with pytest.raises(ValueError, match="baseline"):
+        make_env(a, original=a, baseline="nope")
+    with pytest.raises(ValueError, match="baseline"):
+        make_dia_env(a, a, baseline="nope", allow_phantom=True)
