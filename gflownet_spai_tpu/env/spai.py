@@ -93,18 +93,80 @@ jax.tree_util.register_dataclass(
 )
 
 
+def _to_scipy(m: COO):
+    import scipy.sparse as sp
+
+    return sp.csr_matrix(
+        (np.asarray(m.data, np.float64),
+         (np.asarray(m.row), np.asarray(m.col))),
+        shape=m.shape,
+    )
+
+
 def _baseline_residual_host(original: COO) -> float:
     """‖A·A − I‖_F computed host-side in float64 (setup-only; used by the
     rowblock path so no device pair plan is ever built at 1M+ nnz)."""
     import scipy.sparse as sp
 
-    a = sp.csr_matrix(
-        (np.asarray(original.data, np.float64),
-         (np.asarray(original.row), np.asarray(original.col))),
-        shape=original.shape,
-    )
+    a = _to_scipy(original)
     c = (a @ a - sp.eye(original.shape[0], format="csr")).tocoo()
     return float(np.sqrt(np.sum(c.data * c.data)))
+
+
+def _seed_residual_host(seed: COO, original: COO) -> float:
+    """‖M₀·A − I‖_F for the untouched seed (host-side, setup-only) — the
+    top of the residual range the policy can actually explore."""
+    import scipy.sparse as sp
+
+    c = (_to_scipy(seed) @ _to_scipy(original)
+         - sp.eye(original.shape[0], format="csr")).tocoo()
+    return float(np.sqrt(np.sum(c.data * c.data)))
+
+
+#: ``baseline="matrix"`` is declared non-discriminating when
+#: ‖A·A−I‖ exceeds this multiple of ‖M₀·A−I‖: the reachable residual range
+#: then maps to a vanishing slice of ``res/baseline`` and the flops term
+#: dominates the reward (measured on orsirr_like: thinning a classic-SPAI
+#: seed to GMRES divergence still scored ≈967/1000 — VERDICT r2 weak #1).
+DEGENERACY_FACTOR = 20.0
+
+
+def resolve_baseline(seed: COO, original: COO, baseline: str) -> str:
+    """Resolve a ``baseline`` choice (``matrix``/``identity``/``auto``) to a
+    concrete mode, warning loudly when the matrix baseline cannot rank the
+    preconditioners the seed reaches.
+
+    ``auto`` picks ``identity`` whenever ‖A·A−I‖ > 20·‖M₀·A−I‖ (an
+    approximate-inverse seed on an unscaled matrix — the config-4 class)
+    and the reference's ``matrix`` formula otherwise."""
+    if baseline == "identity":
+        return "identity"
+    if baseline not in ("matrix", "auto"):
+        raise ValueError(f"unknown baseline {baseline!r}")
+    import warnings
+
+    base = _baseline_residual_host(original)
+    seed_res = _seed_residual_host(seed, original)
+    degenerate = base > DEGENERACY_FACTOR * max(seed_res, 1e-30)
+    if not degenerate:
+        return "matrix"
+    detail = (
+        f"reward baseline ‖A·A−I‖={base:.3e} is {base / max(seed_res, 1e-30):.0f}× "
+        f"the seed residual ‖M0·A−I‖={seed_res:.3e}: the residual term of the "
+        "reward saturates near its maximum for EVERY reachable pattern and the "
+        "flops term drives the policy toward deleting everything "
+        "(env.spai.make_env docstring; measured on orsirr_like)."
+    )
+    if baseline == "auto":
+        warnings.warn(
+            "reward_baseline='auto' resolved to 'identity': " + detail,
+            stacklevel=2)
+        return "identity"
+    warnings.warn(
+        "DEGENERATE reward baseline: " + detail +
+        " Pass reward_baseline='identity' (or 'auto').",
+        stacklevel=2)
+    return "matrix"
 
 
 def make_env(seed: COO, original: Optional[COO] = None,
@@ -136,11 +198,13 @@ def make_env(seed: COO, original: Optional[COO] = None,
       M = 0 scores exactly 0 on the residual term and light thinning of a
       good M₀ moves the ratio measurably, so residual quality and flops
       genuinely trade off.  The principled choice for ``seed_method=spai``
-      at scale."""
+      at scale.
+    * ``"auto"``     — ``matrix`` unless it is degenerate for this
+      seed/matrix pair (``resolve_baseline``: ‖A·A−I‖ > 20·‖M₀·A−I‖), in
+      which case ``identity`` with a warning."""
     if original is None:
         original = seed
-    if baseline not in ("matrix", "identity"):
-        raise ValueError(f"unknown baseline {baseline!r}")
+    baseline = resolve_baseline(seed, original, baseline)
     identity = baseline == "identity"
     sqrt_n = jnp.asarray(np.sqrt(float(original.shape[0])), seed.data.dtype)
     if reward_path == "rowblock":

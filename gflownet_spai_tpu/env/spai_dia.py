@@ -27,6 +27,7 @@ import numpy as np
 from ..ops.dia import (
     DIA,
     coo_to_dia,
+    dia_to_coo,
     frobenius_sq_minus_identity_dia,
     spgemm_dia,
 )
@@ -113,13 +114,14 @@ def make_dia_env(seed: COO | DIA, original: COO | DIA,
         seg_len.append(length)
         seg_off.append(off_acc)
         off_acc += length
+    from .spai import resolve_baseline
+    baseline = resolve_baseline(dia_to_coo(seed_d), dia_to_coo(orig_d),
+                                baseline)
     if baseline == "identity":
         base_res = jnp.asarray(float(n) ** 0.5, seed_d.data.dtype)
-    elif baseline == "matrix":
+    else:
         base = spgemm_dia(orig_d, orig_d)
         base_res = jnp.sqrt(frobenius_sq_minus_identity_dia(base))
-    else:
-        raise ValueError(f"unknown baseline {baseline!r}")
     return SpaiDiaEnv(
         seed=seed_d,
         original=orig_d,

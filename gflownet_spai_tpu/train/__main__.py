@@ -71,12 +71,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "num_actions: exact; shorter caps weight-0 samples "
                         "whose terminal misses the merged prefix)")
     p.add_argument("--reward-baseline", default=d.reward_baseline,
-                   choices=["matrix", "identity"],
-                   help="residual normalizer: matrix = ||A·A−I||_F "
-                        "(reference formula; saturates on unscaled "
-                        "matrices), identity = sqrt(n) (the empty-"
-                        "preconditioner residual — discriminating for "
-                        "--seed-method spai)")
+                   choices=["auto", "matrix", "identity"],
+                   help="residual normalizer: auto = matrix unless "
+                        "degenerate for this seed (then identity, with a "
+                        "warning), matrix = ||A·A−I||_F (reference "
+                        "formula; saturates on unscaled matrices), "
+                        "identity = sqrt(n) (the empty-preconditioner "
+                        "residual — discriminating for --seed-method spai)")
     p.add_argument("--alpha-fixed", type=float, default=d.alpha_fixed,
                    help=">=0 pins the reward mixing α (0=pure flops, "
                         "1=pure residual); negative = learned (reference)")

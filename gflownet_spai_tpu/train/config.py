@@ -49,12 +49,14 @@ class TrainConfig:
     backward: str = "lstm"          # lstm (parity) | linear | uniform
     temperature: float = 1.0        # rollout sampling temperature
     alpha_fixed: float = -1.0       # >=0 pins reward-mix α (else learned)
-    reward_baseline: str = "matrix" # matrix = ‖A·A−I‖_F (reference B11-
+    reward_baseline: str = "auto"   # auto = matrix unless degenerate for
+                                    # this seed (env.spai.resolve_baseline)
+                                    # | matrix = ‖A·A−I‖_F (reference B11-
                                     # fixed; saturates on unscaled
-                                    # matrices) | identity = √n (the
-                                    # empty-preconditioner residual — the
-                                    # discriminating normalizer for spai
-                                    # seeds; env.spai.make_env docstring)
+                                    # matrices — warns) | identity = √n
+                                    # (the empty-preconditioner residual —
+                                    # the discriminating normalizer for
+                                    # spai seeds)
     replay_size: int = 0            # top-k reward replay buffer (0 = off)
     replay_samples: int = 2         # buffer trajectories mixed per epoch
     replay_prioritized: float = 0.0 # rank-based replay priority exponent α

@@ -29,7 +29,12 @@ def main(argv=None) -> int:
     p.add_argument("--epochs", type=int, default=150)
     p.add_argument("--batch-size", type=int, default=16)
     p.add_argument("--lr", type=float, default=5e-3)
-    p.add_argument("--seed-method", default="ilu0",
+    # defaults = the quality recipe established on both the SPD and the
+    # nonsymmetric (config-4) classes: classic-SPAI seed + SubTB + the
+    # associative-scan backward policy + auto reward baseline (ilu0 seeds —
+    # LU ≈ A, an approximation of A, not A⁻¹ — make keep-nothing the reward
+    # optimum on matrices with large ‖A·A−I‖; VERDICT r2 weak #8)
+    p.add_argument("--seed-method", default="spai",
                    choices=["ilu0", "spilu", "pattern", "spai"])
     p.add_argument("--method", default="gmres", choices=["gmres", "cg"],
                    help="cg for SPD systems")
@@ -39,17 +44,17 @@ def main(argv=None) -> int:
     p.add_argument("--platform", default=None)
     p.add_argument("--out-dir", default="runs/validate")
     p.add_argument("--alpha-fixed", type=float, default=-1.0)
-    p.add_argument("--reward-baseline", default="matrix",
-                   choices=["matrix", "identity"],
+    p.add_argument("--reward-baseline", default="auto",
+                   choices=["auto", "matrix", "identity"],
                    help="residual normalizer (see train CLI)")
-    p.add_argument("--loss", default="tb", choices=["tb", "vargrad", "subtb"])
+    p.add_argument("--loss", default="subtb", choices=["tb", "vargrad", "subtb"])
     p.add_argument("--subtb-lambda", type=float, default=0.9)
-    p.add_argument("--backward", default="lstm",
+    p.add_argument("--backward", default="linear",
                    choices=["lstm", "linear", "uniform"])
     p.add_argument("--temperature", type=float, default=1.0)
-    p.add_argument("--replay-size", type=int, default=0)
+    p.add_argument("--replay-size", type=int, default=16)
     p.add_argument("--replay-samples", type=int, default=2)
-    p.add_argument("--replay-prioritized", type=float, default=0.0,
+    p.add_argument("--replay-prioritized", type=float, default=1.0,
                    help="rank-based replay priority exponent α (0 = uniform)")
     p.add_argument("--from-checkpoint", default=None, metavar="RUN_DIR",
                    help="restore a trained policy from RUN_DIR/checkpoint "
