@@ -46,11 +46,19 @@ class ShardedRollout(NamedTuple):
 def sharded_rollout(mesh: Mesh, p: pol.ForwardPolicyParams, graph,
                     num_actions: int, hidden_dim: int, key,
                     batch_size: int, t_cap: int, heads: int = 4,
-                    axis: str = "rows") -> ShardedRollout:
+                    axis: str = "rows",
+                    temperature: float = 1.0) -> ShardedRollout:
     """Rollout a batch with head matmul + Gumbel top-k sharded over
     ``axis``.  ``p`` must carry a column-sharded head (``tp.shard_head``).
     No device ever materializes a [B, A] tensor — peak per-device is
-    [B, A/R] + [B, R·t_cap]."""
+    [B, A/R] + [B, R·t_cap].
+
+    ``temperature`` tempers the SAMPLING distribution only (the perturbed
+    sort runs on ``logits/τ``); the returned per-step log-probs are always
+    evaluated under the untempered policy — the same off-policy re-scoring
+    semantics as the dense path (gfn.gflownet.sample), and it falls out for
+    free here because the suffix normalizers never depended on how the
+    prefix was ordered."""
     pooled = pol.forward_policy_pooled(p, graph, hidden_dim, heads)
     A_pad = p.fc_w.shape[1]
     R = mesh.shape[axis]
@@ -65,7 +73,7 @@ def sharded_rollout(mesh: Mesh, p: pol.ForwardPolicyParams, graph,
         l_loc = jnp.where(gids < num_actions, l_loc, -jnp.inf)
         g = jax.random.gumbel(jax.random.fold_in(key, j),
                               (batch_size, a_loc), l_loc.dtype)
-        pert = l_loc[None, :] + g                              # [B, a_loc]
+        pert = l_loc[None, :] / temperature + g                # [B, a_loc]
 
         # total logit mass (for the tail term of the suffix normalizers)
         m = jax.lax.pmax(jnp.max(l_loc), axis)
@@ -134,7 +142,8 @@ def replicated_oracle_gumbels(key, num_actions: int, a_pad: int, n_shards: int,
 
 def make_sharded_sampler_train_step(mesh: Mesh, env, graph, cfg, opt,
                                     batch_size: int, t_cap: int,
-                                    axis: str = "rows"):
+                                    axis: str = "rows",
+                                    replay_samples: int = 0):
     """Train step whose ROLLOUT is sharded too: the action head, the Gumbel
     top-k sort, and the per-step forward log-probs all run over ``axis``
     without any device materializing [B, A] (SURVEY.md §7 hard part 3;
@@ -156,6 +165,19 @@ def make_sharded_sampler_train_step(mesh: Mesh, env, graph, cfg, opt,
     normalizers use suffix sums over the differentiable prefix logits plus
     the psum'd tail mass — gradients flow through shard_map's collective
     transposes, so no manual grad reductions are needed.
+
+    ``cfg.temperature != 1`` tempers the sampling sort only; the loss sees
+    untempered log-probs (see ``sharded_rollout``).
+
+    ``replay_samples > 0`` composes the top-k replay buffer (gfn.replay):
+    the step takes two extra args ``(replay_actions [S, t_cap],
+    replay_valid [S])`` (replicated) and additionally returns the fresh
+    batch's actions (padded to ``t_cap``) for the buffer update.  Replayed
+    trajectories are re-scored under the current sharded policy by
+    all-gathering the [A_pad] logits vector once (O(A) per device — fine;
+    it is the [B, A] rollout tensors this sampler exists to avoid) and
+    running ``rollout.trajectory_logprobs`` replicated; their loss weight
+    is ``valid/dp``, the same exactness trick as ``parallel.dp``.
     """
     import optax
 
@@ -163,11 +185,10 @@ def make_sharded_sampler_train_step(mesh: Mesh, env, graph, cfg, opt,
     from ..gfn import gflownet as gfn
     from ..gfn.loss import (log_reward, subtb_loss, trajectory_balance_loss,
                             vargrad_loss)
+    from ..gfn.rollout import trajectory_logprobs
     from .dp import _make_residual_provider
     from .tp import shard_head
 
-    if cfg.temperature != 1.0:
-        raise NotImplementedError("sharded sampler: temperature must be 1")
     dp = mesh.shape["dp"]
     R = mesh.shape[axis]
     if batch_size % dp:
@@ -186,7 +207,7 @@ def make_sharded_sampler_train_step(mesh: Mesh, env, graph, cfg, opt,
     def _shard_fwd(params):
         return params._replace(forward=shard_head(mesh, params.forward, axis))
 
-    def local(params, key, aux, graph_arg):
+    def local(params, key, aux, graph_arg, r_actions, r_valid):
         j = jax.lax.axis_index(axis)
         key = jax.random.fold_in(key, jax.lax.axis_index("dp"))
         pooled = pol.forward_policy_pooled(params.forward, graph_arg,
@@ -197,10 +218,10 @@ def make_sharded_sampler_train_step(mesh: Mesh, env, graph, cfg, opt,
         live = gids < num_actions
         l_loc = jnp.where(live, l_loc, -jnp.inf)
 
-        # ---- sampling (gradient-free) ----
+        # ---- sampling (gradient-free; tempered sort, untempered scoring) --
         g = jax.random.gumbel(jax.random.fold_in(key, j),
                               (b_local, a_loc), pooled.dtype)
-        pert = jax.lax.stop_gradient(l_loc)[None, :] + g
+        pert = jax.lax.stop_gradient(l_loc)[None, :] / cfg.temperature + g
         k_loc = min(t_cap, a_loc)
         pv, pi = jax.lax.top_k(pert, k_loc)
         cand_id = gids[pi]
@@ -240,6 +261,29 @@ def make_sharded_sampler_train_step(mesh: Mesh, env, graph, cfg, opt,
         fwd_lp = jnp.where(on_traj, step_lp, 0.0)
         lengths = jnp.where(valid, kpos + 1, top).astype(jnp.int32)
 
+        w = valid.astype(fwd_lp.dtype)
+        if replay_samples:
+            # pad the fresh prefix to the buffer width (no-op when
+            # top == t_cap; padding is -1 actions / log-prob 0)
+            pad = t_cap - top
+            if pad:
+                actions = jnp.pad(actions, ((0, 0), (0, pad)),
+                                  constant_values=-1)
+                fwd_lp = jnp.pad(fwd_lp, ((0, 0), (0, pad)))
+            # off-policy re-scoring: ONE [A_pad] logits vector per device
+            # (fine — the sampler exists to avoid [B, A], not [A])
+            full_l = jax.lax.all_gather(l_loc, axis).reshape(-1)
+            r_fwd = jax.vmap(
+                lambda t: trajectory_logprobs(full_l, t))(r_actions)
+            actions = jnp.concatenate(
+                [actions, r_actions.astype(jnp.int32)], 0)
+            fwd_lp = jnp.concatenate([fwd_lp, r_fwd], 0)
+            lengths = jnp.concatenate(
+                [lengths, (r_actions >= 0).sum(-1).astype(lengths.dtype)], 0)
+            # weight valid/dp: replicated replays carry exactly the
+            # single-device weight in the pmean'd weighted mean (parallel.dp)
+            w = jnp.concatenate([w, r_valid.astype(fwd_lp.dtype) / dp], 0)
+
         # ---- reward + loss ----
         alpha = pol.forward_policy_alpha(params.forward)
         if cfg.alpha_fixed >= 0:
@@ -253,7 +297,6 @@ def make_sharded_sampler_train_step(mesh: Mesh, env, graph, cfg, opt,
                    + (1 - alpha) * (1 - comp_ratio)) * 1000.0
 
         back_lp = gfn.backward_logprobs(params, cfg, actions)
-        w = valid.astype(fwd_lp.dtype)
         if cfg.loss == "vargrad":
             loss = vargrad_loss(log_reward(rewards), fwd_lp.sum(-1),
                                 back_lp.sum(-1), weights=w)
@@ -269,9 +312,10 @@ def make_sharded_sampler_train_step(mesh: Mesh, env, graph, cfg, opt,
                 params.log_z, log_reward(rewards),
                 fwd_lp.sum(-1), back_lp.sum(-1), weights=w)
         loss = jax.lax.pmean(loss, "dp")
-        return loss, rewards, valid, lengths
+        return (loss, rewards[:b_local], valid, lengths[:b_local],
+                actions[:b_local])
 
-    def loss_fn(params, key, aux, graph_arg):
+    def loss_fn(params, key, aux, graph_arg, r_actions, r_valid):
         fwd = jax.tree_util.tree_map(lambda _: P(), params.forward)
         fwd = fwd._replace(fc_w=P(None, axis), fc_b=P(axis))
         p_spec = jax.tree_util.tree_map(lambda _: P(), params)
@@ -279,19 +323,29 @@ def make_sharded_sampler_train_step(mesh: Mesh, env, graph, cfg, opt,
         g_spec = jax.tree_util.tree_map(lambda _: P(), graph_arg)
         out = shard_map(
             local, mesh=mesh,
-            in_specs=(p_spec, P(), aux_specs, g_spec),
-            out_specs=(P(), P("dp"), P("dp"), P("dp")),
+            in_specs=(p_spec, P(), aux_specs, g_spec, P(), P()),
+            out_specs=(P(), P("dp"), P("dp"), P("dp"), P("dp")),
             check_vma=False,
-        )(params, key, aux, graph_arg)
-        loss, rewards, valid, lengths = out
-        return loss, (rewards, valid, lengths)
+        )(params, key, aux, graph_arg, r_actions, r_valid)
+        loss, rewards, valid, lengths, actions = out
+        return loss, (rewards, valid, lengths, actions)
 
     @jax.jit
-    def step(params, opt_state, key):
-        (loss, (rewards, valid, lengths)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(params, key, aux, graph)
+    def _step(params, opt_state, key, r_actions, r_valid):
+        (loss, (rewards, valid, lengths, actions)), grads = (
+            jax.value_and_grad(loss_fn, has_aux=True)(
+                params, key, aux, graph, r_actions, r_valid))
         updates, opt_state = opt.update(grads, opt_state, params, value=loss)
         params = optax.apply_updates(params, updates)
-        return params, opt_state, loss, rewards, valid, lengths
+        return params, opt_state, loss, rewards, valid, lengths, actions
+
+    if replay_samples:
+        step = _step
+    else:
+        dummy_a = jnp.full((1, t_cap), -1, jnp.int32)
+        dummy_v = jnp.zeros((1,), bool)
+
+        def step(params, opt_state, key):
+            return _step(params, opt_state, key, dummy_a, dummy_v)[:6]
 
     return step, _shard_fwd, env

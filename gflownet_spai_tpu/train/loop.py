@@ -251,29 +251,48 @@ def _make_sharded_sampler_adapter(cfg: TrainConfig, env, graph, mcfg, opt):
     single-device step's interface.  The forward head is column-sharded
     over ``rows`` on entry (``transform``), which also re-initializes the
     optimizer state on the sharded params — resuming a dense checkpoint
-    therefore resets Adam moments (params themselves carry over)."""
+    therefore resets Adam moments (params themselves carry over).  With
+    replay on, ``transform`` likewise resets the buffer to the sampler's
+    ``t_cap`` trajectory width."""
     from ..parallel import make_mesh
     from ..parallel.sampler import make_sharded_sampler_train_step
 
-    if cfg.replay_size > 0:
-        raise NotImplementedError(
-            "--sampler sharded does not compose with --replay-size yet")
     mesh = make_mesh(dp=cfg.dp_devices, rows=cfg.rows_devices)
     t_cap = cfg.t_cap or mcfg.num_actions
+    use_replay = cfg.replay_size > 0
     sh_step, shard_fwd, _ = make_sharded_sampler_train_step(
-        mesh, env, graph, mcfg, opt, batch_size=cfg.batch_size, t_cap=t_cap)
+        mesh, env, graph, mcfg, opt, batch_size=cfg.batch_size, t_cap=t_cap,
+        replay_samples=cfg.replay_samples if use_replay else 0)
 
     def transform(state: TrainState) -> TrainState:
         params = shard_fwd(state.params)
-        return state._replace(params=params, opt_state=opt.init(params))
+        replay = state.replay
+        if use_replay:
+            replay = replay_init(cfg.replay_size, t_cap, jnp.dtype(cfg.dtype))
+        return state._replace(params=params, opt_state=opt.init(params),
+                              replay=replay)
 
     def step(state: TrainState):
-        key, _ = jax.random.split(state.key)
-        params, opt_state, loss, rewards, valid, lengths = sh_step(
-            state.params, state.opt_state, state.key)
+        key, rkey = jax.random.split(state.key)
+        new_replay = state.replay
+        if use_replay:
+            r_actions, _, r_valid = replay_sample(
+                state.replay, rkey, cfg.replay_samples,
+                prioritized=cfg.replay_prioritized)
+            params, opt_state, loss, rewards, valid, lengths, actions = (
+                sh_step(state.params, state.opt_state, state.key,
+                        r_actions, r_valid))
+            # invalid rollouts (terminal missed the prefix) never enter the
+            # buffer — their reward scored a truncated pattern
+            new_replay = replay_update(
+                state.replay, actions,
+                jnp.where(valid, rewards, -jnp.inf))
+        else:
+            params, opt_state, loss, rewards, valid, lengths = sh_step(
+                state.params, state.opt_state, state.key)
         new_state = TrainState(
             params=params, opt_state=opt_state, key=key,
-            epoch=state.epoch + 1, replay=state.replay,
+            epoch=state.epoch + 1, replay=new_replay,
         )
         metrics = {
             "loss": loss,

@@ -571,3 +571,138 @@ def test_sharded_sampler_subtb_matches_oracle(mesh8):
             lf, log_reward(rew), roll.fwd_logprobs, back, roll.lengths,
             lam=cfg.subtb_lambda)))
     np.testing.assert_allclose(float(loss_sh), np.mean(losses), rtol=2e-4)
+
+
+def test_sharded_rollout_temperature(rows_mesh):
+    """Temperature on the sharded sampler: the SORT runs on logits/τ (same
+    trajectories as the dense tempered sampler with the same per-shard
+    noise) while the reported log-probs stay those of the UNtempered
+    policy (off-policy re-scoring, matching gfn.gflownet.sample)."""
+    from gflownet_spai_tpu.env import make_env, seed_pattern
+    from gflownet_spai_tpu.gfn.rollout import (gumbel_topk_rollout,
+                                               trajectory_logprobs)
+    from gflownet_spai_tpu.models import graph_from_seed
+    from gflownet_spai_tpu.models.policies import forward_policy_logits
+    from gflownet_spai_tpu.parallel import (replicated_oracle_gumbels,
+                                            shard_head, sharded_rollout)
+
+    a = gallery.get("bcsstk03_like")
+    seed = seed_pattern(a, method="ilu0", dtype=jnp.float32)
+    env = make_env(seed, original=a)
+    graph = graph_from_seed(seed)
+    A = env.num_actions
+    from gflownet_spai_tpu.gfn import GFlowNetConfig, init_params
+    params = init_params(jax.random.PRNGKey(0),
+                         GFlowNetConfig(hidden_dim=4, heads=4, num_actions=A))
+    p_sharded = shard_head(rows_mesh, params.forward)
+    B, tau = 3, 2.5
+    key = jax.random.PRNGKey(11)
+
+    out = sharded_rollout(rows_mesh, p_sharded, graph, A, 4, key,
+                          batch_size=B, t_cap=A, temperature=tau)
+    assert np.asarray(out.valid).all()
+    logits = forward_policy_logits(params.forward, graph, A, 4)
+    g = replicated_oracle_gumbels(key, A, p_sharded.fc_w.shape[1],
+                                  rows_mesh.shape["rows"], B)
+    want = gumbel_topk_rollout(jnp.broadcast_to(logits / tau, (B, A)),
+                               key, terminal_action=A - 1, gumbels=g)
+    np.testing.assert_array_equal(np.asarray(out.rollout.actions),
+                                  np.asarray(want.actions))
+    # log-probs = UNtempered trajectory re-scoring, not the tempered ones
+    want_lp = jax.vmap(lambda t: trajectory_logprobs(logits, t))(want.actions)
+    np.testing.assert_allclose(np.asarray(out.rollout.fwd_logprobs),
+                               np.asarray(want_lp), rtol=2e-4, atol=2e-5)
+
+
+def test_sharded_sampler_replay_matches_oracle(mesh8):
+    """Sharded sampler + replay buffer (VERDICT r2 weak #4): with
+    t_cap = A the step's loss equals the replicated weighted-TB oracle —
+    per dp shard, fresh oracle trajectories at weight 1 concatenated with
+    the replicated replayed ones at weight valid/dp, then averaged."""
+    import optax
+    from gflownet_spai_tpu.env import make_env, seed_pattern
+    from gflownet_spai_tpu.env.spai import batched_rewards
+    from gflownet_spai_tpu.gfn import GFlowNetConfig, init_params
+    from gflownet_spai_tpu.gfn.gflownet import backward_logprobs
+    from gflownet_spai_tpu.gfn.loss import log_reward, trajectory_balance_loss
+    from gflownet_spai_tpu.gfn.rollout import (gumbel_topk_rollout,
+                                               trajectory_logprobs)
+    from gflownet_spai_tpu.models import graph_from_seed
+    from gflownet_spai_tpu.models.policies import (forward_policy_alpha,
+                                                   forward_policy_logits)
+    from gflownet_spai_tpu.parallel import replicated_oracle_gumbels
+    from gflownet_spai_tpu.parallel.sampler import (
+        make_sharded_sampler_train_step)
+
+    a = gallery.get("LF10_like")
+    seed = seed_pattern(a, method="ilu0", dtype=jnp.float32)
+    env = make_env(seed, original=a)
+    graph = graph_from_seed(seed)
+    A = env.num_actions
+    cfg = GFlowNetConfig(hidden_dim=4, heads=4, num_actions=A,
+                         backward="linear")
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    dp, R = mesh8.shape["dp"], mesh8.shape["rows"]
+    b_local, S = 2, 3
+
+    # hand-built replay: two real trajectories + one invalid slot
+    rng = np.random.default_rng(3)
+    r_np = np.full((S, A), -1, np.int32)
+    for s in range(S - 1):
+        length = rng.integers(3, 9)
+        acts = rng.choice(A - 1, size=length - 1, replace=False)
+        r_np[s, :length - 1] = acts
+        r_np[s, length - 1] = A - 1          # terminal
+    r_actions = jnp.asarray(r_np)
+    r_valid = jnp.asarray([True, True, False])
+
+    step, shard_fwd, _ = make_sharded_sampler_train_step(
+        mesh8, env, graph, cfg, optax.sgd(0.0),
+        batch_size=b_local * dp, t_cap=A, replay_samples=S)
+    p_sh = shard_fwd(params)
+    _, _, loss_sh, rewards_sh, valid, _, actions_out = step(
+        p_sh, optax.sgd(0.0).init(p_sh), jax.random.PRNGKey(5),
+        r_actions, r_valid)
+    assert np.asarray(valid).all()
+    assert actions_out.shape == (b_local * dp, A)
+
+    logits = forward_policy_logits(params.forward, graph, A, 4)
+    alpha = forward_policy_alpha(params.forward)
+    a_pad = p_sh.forward.fc_w.shape[1]
+    r_fwd = jax.vmap(lambda t: trajectory_logprobs(logits, t))(r_actions)
+    r_rew = batched_rewards(env, r_actions, alpha)
+    r_back = backward_logprobs(params, cfg, r_actions)
+    losses = []
+    for i in range(dp):
+        k_i = jax.random.fold_in(jax.random.PRNGKey(5), i)
+        g = replicated_oracle_gumbels(k_i, A, a_pad, R, b_local)
+        roll = gumbel_topk_rollout(jnp.broadcast_to(logits, (b_local, A)),
+                                   k_i, terminal_action=A - 1, gumbels=g)
+        rew = batched_rewards(env, roll.actions, alpha)
+        back = backward_logprobs(params, cfg, roll.actions)
+        fwd = jnp.concatenate([roll.fwd_logprobs, r_fwd], 0)
+        bck = jnp.concatenate([back, r_back], 0)
+        lr = jnp.concatenate([log_reward(rew), log_reward(r_rew)], 0)
+        w = jnp.concatenate([jnp.ones((b_local,)),
+                             r_valid.astype(jnp.float32) / dp], 0)
+        losses.append(float(trajectory_balance_loss(
+            params.log_z, lr, fwd.sum(-1), bck.sum(-1), weights=w)))
+    np.testing.assert_allclose(float(loss_sh), np.mean(losses), rtol=2e-4)
+
+
+def test_sharded_sampler_replay_trains_end_to_end(mesh8):
+    """Train CLI path: --sampler sharded + --replay-size compose (the buffer
+    fills at t_cap width, losses stay finite, loss improves)."""
+    from gflownet_spai_tpu.train import TrainConfig, train
+
+    cfg = TrainConfig(
+        matrix="LF10_like", batch_size=4, num_epochs=40, lr=5e-3,
+        sampler="sharded", dp_devices=2, rows_devices=4,
+        replay_size=8, replay_samples=2, replay_prioritized=1.0,
+        backward="linear", temperature=1.3,
+        out_dir="/tmp/sharded_replay_run", log_every=100,
+    )
+    state, history = train(cfg, progress=False)
+    assert np.isfinite(history).all()
+    assert np.isfinite(np.asarray(state.replay.rewards)).any()
+    assert np.mean(history[-10:]) < np.mean(history[:10])
