@@ -120,6 +120,7 @@ def gatv2_apply_tiled(p: GATv2Params, x: jax.Array, tiles, src_t: jax.Array,
       policy stack) rides the windowed-onehot gather kernel when a
       ``srcwin`` plan is given (``ops.segment.SrcWindows``), else an XLA
       row gather."""
+    from ..ops.gat_fused import gat_tile_fused
     from ..ops.segment import (gather_rows_windows, segment_broadcast_tiles,
                                segment_softmax_tiles_mh, segment_sum_tiles)
 
@@ -128,6 +129,29 @@ def gatv2_apply_tiled(p: GATv2Params, x: jax.Array, tiles, src_t: jax.Array,
     uniform = x.shape[0] == 1                      # static under jit
     xs = x @ p.w_src + p.b_src                     # [N or 1, H*D]
     xd = x @ p.w_dst
+
+    if p.w_edge.shape[0] == 1:
+        # edge_dim = 1 (the policy stack): the whole score → softmax →
+        # weighted-sum chain runs as ONE Pallas launch per tile — the
+        # [T·S, H·D] slot tensors never touch HBM (ops.gat_fused)
+        if uniform:
+            xs_slot = xs                           # [1, H*D]
+            xd_in = xd
+        else:
+            if srcwin is not None:
+                xs_slot = gather_rows_windows(srcwin, tiles, src_t, xs,
+                                              interpret=interpret)
+            else:
+                xs_slot = xs[src_t]                # [T·S, H*D]
+            xd_in = jnp.pad(xd, ((0, tiles.n_pad - xd.shape[0]), (0, 0)))
+        out = gat_tile_fused(tiles, attr_t.reshape(-1), xs_slot, xd_in,
+                             p.w_edge[0], p.att.reshape(H, D),
+                             negative_slope=negative_slope,
+                             interpret=interpret)
+        out = out[:num_nodes]
+        out = out if concat else out.reshape(num_nodes, H, D).mean(axis=1)
+        return out + p.bias
+
     ea = attr_t @ p.w_edge                         # [T·S, H*D]
 
     if uniform:

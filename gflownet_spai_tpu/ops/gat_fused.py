@@ -1,0 +1,365 @@
+"""Fully-fused GATv2 tile kernel: score → softmax → weighted segment-sum
+in ONE Pallas launch per node tile.
+
+The tiled GAT substrate (ops.segment + models.gat.gatv2_apply_tiled) runs
+the per-edge elementwise chain between its Pallas calls in XLA over
+[T·S, H·D] slot tensors — ~3 extra HBM round trips of the largest arrays
+in the layer (VERDICT r2 weak #6; docs/ROADMAP round-2 item 1).  This
+module folds the whole per-tile dataflow into one kernel, so the slot
+tensors live only in VMEM:
+
+    e        = attr ⊗ w_e                      (edge_dim = 1 outer product)
+    xd_slot  = onehotᵀ @ xd_tile               (dst broadcast — matmul)
+    msg      = xs_slot + xd_slot + e
+    act      = leaky_relu(msg)
+    scores   = act @ blockdiag(att)            ([S, HD] @ [HD, H] matmul)
+    α        = segment-softmax(scores)          (onehot matmuls, see below)
+    out      = onehot @ (xs_slot ⊙ (α @ E))    (weighted segment-sum)
+
+Only ``out`` ([TN, HD] per tile) and the kernel inputs touch HBM.  The
+multi-head segment softmax avoids the per-head loop of
+``ops.segment._softmax_kernel`` entirely: with the tile-level max as the
+(mathematically arbitrary) stability shift, the per-segment normalizers
+are ``onehot @ exp(scores)`` followed by the ``onehotᵀ`` broadcast — two
+MXU matmuls covering every head at once.  Padding slots have an all-zero
+onehot column, so their normalizer is exactly 0 and they are masked by
+``where(den > 0, ex/den, 0)`` without needing the slot ids in sublane
+layout.
+
+The backward pass is a second fused kernel that *recomputes* the forward
+in VMEM (the residuals it would otherwise save are exactly the slot
+tensors fusion exists to keep out of HBM) and emits
+``(∂xs_slot, ∂xd, ∂att, ∂w_e)`` — per-tile weight grads are summed
+outside.  ``attr`` (the seed's edge values) is static graph data and
+gets no gradient, matching the unfused path where it enters via a
+constant.
+
+Substrate parity: reference policy.py:21,29 (torch_geometric GATv2Conv /
+torch_scatter CUDA segment kernels — SURVEY.md §2 row L0).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .segment import SegTiles
+
+
+def _blockdiag_att(att: jax.Array) -> jax.Array:
+    """[H, D] attention vectors → [H·D, H] block-diagonal score matrix so
+    ``scores = act @ A`` computes the per-head einsum in one matmul."""
+    H, D = att.shape
+    eye = jnp.eye(H, dtype=att.dtype)                       # [H, H]
+    return (att[:, :, None] * eye[:, None, :]).reshape(H * D, H)
+
+
+def _expand_mat(heads: int, out_dim: int, dtype) -> jax.Array:
+    """[H, H·D] 0/1 matrix broadcasting per-head α to per-(head, channel)."""
+    eye = jnp.eye(heads, dtype=dtype)
+    return jnp.repeat(eye, out_dim, axis=1)                 # [H, H*D]
+
+
+# ---------------------------------------------------------------------------
+# jnp reference (CPU path + VJP oracle)
+# ---------------------------------------------------------------------------
+
+def gat_tile_fused_jnp(tiles: SegTiles, attr: jax.Array, xs_slot: jax.Array,
+                       xd: jax.Array, w_e: jax.Array, att: jax.Array,
+                       negative_slope: float = 0.2) -> jax.Array:
+    """Reference semantics of the fused kernel ([T·S]-flat slot inputs →
+    [n_pad, H·D] node outputs).  ``xs_slot``: [T·S, HD] (or [1, HD] for
+    uniform source features); ``xd``: [n_pad, HD] node features (or
+    [1, HD] uniform); ``attr``: [T·S] edge scalars; ``w_e``: [HD];
+    ``att``: [H, D]."""
+    T, S, TN = tiles.tiles, tiles.slots, tiles.tile_nodes
+    H, D = att.shape
+    HD = H * D
+    oh = (jax.lax.broadcasted_iota(
+        jnp.int32, (T, TN, S), 1) == tiles.local_dst[:, None, :])
+    ohf = oh.astype(attr.dtype)                             # [T, TN, S]
+    e = attr[:, None] * w_e[None, :]                        # [T·S, HD]
+    if xd.shape[0] == 1:
+        xd_slot = jnp.broadcast_to(xd, (T * S, HD))
+    else:
+        xd_t = xd.reshape(T, TN, HD)
+        xd_slot = jnp.einsum("tvs,tvc->tsc", ohf, xd_t,
+                             precision="highest").reshape(T * S, HD)
+    msg = xs_slot + xd_slot + e                             # broadcasts [1,HD]
+    act = jax.nn.leaky_relu(msg, negative_slope)
+    scores = jnp.matmul(act, _blockdiag_att(att),
+                        precision="highest")                # [T·S, H]
+    sc_t = scores.reshape(T, S, H)
+    m = jnp.max(sc_t, axis=1, keepdims=True)                # tile-level shift
+    ex = jnp.exp(sc_t - m)
+    den = jnp.einsum("tvs,tsh->tvh", ohf, ex, precision="highest")
+    den_s = jnp.einsum("tvs,tvh->tsh", ohf, den, precision="highest")
+    alpha = jnp.where(den_s > 0, ex / jnp.where(den_s > 0, den_s, 1.0), 0.0)
+    al_hd = jnp.matmul(alpha.reshape(T * S, H), _expand_mat(H, D, attr.dtype),
+                       precision="highest")
+    wgt = (xs_slot * al_hd).reshape(T, S, HD)
+    out = jnp.einsum("tvs,tsc->tvc", ohf, wgt, precision="highest")
+    return out.reshape(T * TN, HD)
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernels
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel(tn: int, uniform: bool, negative_slope: float):
+    def kernel(lid_ref, attr_ref, xs_ref, xd_ref, we_ref, A_ref, E_ref,
+               out_ref):
+        lid = lid_ref[0, 0, :][None, :]                     # [1, S]
+        S = lid.shape[-1]
+        ohf = (jax.lax.broadcasted_iota(jnp.int32, (tn, S), 0)
+               == lid).astype(we_ref.dtype)                 # [TN, S]
+        a_col = attr_ref[0, 0, :][:, None]                  # [S, 1]
+        e = a_col * we_ref[...]                             # [S, HD]
+        if uniform:
+            msg = e + xs_ref[...] + xd_ref[...]             # rows broadcast
+        else:
+            xd_slot = jnp.matmul(ohf.T, xd_ref[0], precision="highest",
+                                 preferred_element_type=e.dtype)
+            msg = e + xs_ref[0] + xd_slot
+        act = jnp.where(msg > 0, msg, negative_slope * msg)
+        scores = jnp.matmul(act, A_ref[...], precision="highest",
+                            preferred_element_type=e.dtype)  # [S, H]
+        m = jnp.max(scores, axis=0, keepdims=True)           # [1, H]
+        ex = jnp.exp(scores - m)
+        den = jnp.matmul(ohf, ex, precision="highest",
+                         preferred_element_type=e.dtype)     # [TN, H]
+        den_s = jnp.matmul(ohf.T, den, precision="highest",
+                           preferred_element_type=e.dtype)   # [S, H]
+        alpha = jnp.where(den_s > 0, ex / jnp.where(den_s > 0, den_s, 1.0),
+                          0.0)
+        al_hd = jnp.matmul(alpha, E_ref[...], precision="highest",
+                           preferred_element_type=e.dtype)   # [S, HD]
+        wgt = (xs_ref[...] if uniform else xs_ref[0]) * al_hd
+        out_ref[0] = jnp.matmul(ohf, wgt, precision="highest",
+                                preferred_element_type=e.dtype)
+
+    return kernel
+
+
+def _bwd_kernel(tn: int, uniform: bool, negative_slope: float):
+    def kernel(lid_ref, attr_ref, xs_ref, xd_ref, we_ref, A_ref, E_ref,
+               g_ref, dxs_ref, dxd_ref, dA_ref, dwe_ref):
+        lid = lid_ref[0, 0, :][None, :]
+        S = lid.shape[-1]
+        dt = we_ref.dtype
+        ohf = (jax.lax.broadcasted_iota(jnp.int32, (tn, S), 0)
+               == lid).astype(dt)
+        a_col = attr_ref[0, 0, :][:, None]
+        xs = xs_ref[...] if uniform else xs_ref[0]
+        e = a_col * we_ref[...]
+        if uniform:
+            msg = e + xs + xd_ref[...]
+        else:
+            xd_slot = jnp.matmul(ohf.T, xd_ref[0], precision="highest",
+                                 preferred_element_type=dt)
+            msg = e + xs + xd_slot
+        act = jnp.where(msg > 0, msg, negative_slope * msg)
+        scores = jnp.matmul(act, A_ref[...], precision="highest",
+                            preferred_element_type=dt)
+        m = jnp.max(scores, axis=0, keepdims=True)
+        ex = jnp.exp(scores - m)
+        den = jnp.matmul(ohf, ex, precision="highest",
+                         preferred_element_type=dt)
+        den_s = jnp.matmul(ohf.T, den, precision="highest",
+                           preferred_element_type=dt)
+        alpha = jnp.where(den_s > 0, ex / jnp.where(den_s > 0, den_s, 1.0),
+                          0.0)
+        al_hd = jnp.matmul(alpha, E_ref[...], precision="highest",
+                           preferred_element_type=dt)
+
+        g = g_ref[0]                                         # [TN, HD]
+        wgt_bar = jnp.matmul(ohf.T, g, precision="highest",
+                             preferred_element_type=dt)      # [S, HD]
+        xs_bar1 = wgt_bar * al_hd
+        al_hd_bar = wgt_bar * (jnp.broadcast_to(xs, al_hd.shape)
+                               if uniform else xs)
+        al_bar = jnp.matmul(al_hd_bar, E_ref[...].T, precision="highest",
+                            preferred_element_type=dt)       # [S, H]
+        t1 = alpha * al_bar
+        seg = jnp.matmul(ohf, t1, precision="highest",
+                         preferred_element_type=dt)          # [TN, H]
+        segb = jnp.matmul(ohf.T, seg, precision="highest",
+                          preferred_element_type=dt)         # [S, H]
+        s_bar = alpha * (al_bar - segb)                      # [S, H]
+        act_bar = jnp.matmul(s_bar, A_ref[...].T, precision="highest",
+                             preferred_element_type=dt)      # [S, HD]
+        m_bar = jnp.where(msg > 0, act_bar, negative_slope * act_bar)
+        dA_ref[0] = jnp.matmul(act.T, s_bar, precision="highest",
+                               preferred_element_type=dt)    # [HD, H]
+        dwe_ref[0] = jnp.matmul(a_col.T, m_bar, precision="highest",
+                                preferred_element_type=dt)   # [1, HD]
+        if uniform:
+            ones = jnp.ones((1, S), dt)
+            dxs_ref[0] = jnp.matmul(ones, xs_bar1 + m_bar,
+                                    precision="highest",
+                                    preferred_element_type=dt)
+            dxd_ref[0] = jnp.matmul(ones, m_bar, precision="highest",
+                                    preferred_element_type=dt)
+        else:
+            dxs_ref[0] = xs_bar1 + m_bar                     # [S, HD]
+            dxd_ref[0] = jnp.matmul(ohf, m_bar, precision="highest",
+                                    preferred_element_type=dt)
+
+    return kernel
+
+
+def _run_fwd(tiles: SegTiles, negative_slope, interpret,
+             attr, xs, xd, w_e, att):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    T, S, TN = tiles.tiles, tiles.slots, tiles.tile_nodes
+    H, D = att.shape
+    HD = H * D
+    uniform = xs.shape[0] == 1
+    A_blk = _blockdiag_att(att)
+    E_exp = _expand_mat(H, D, att.dtype)
+    xs_in = xs if uniform else xs.reshape(T, S, HD)
+    xd_in = xd if xd.shape[0] == 1 else xd.reshape(T, TN, HD)
+    xs_spec = (pl.BlockSpec((1, HD), lambda t: (0, 0)) if uniform
+               else pl.BlockSpec((1, S, HD), lambda t: (t, 0, 0)))
+    xd_spec = (pl.BlockSpec((1, HD), lambda t: (0, 0)) if xd.shape[0] == 1
+               else pl.BlockSpec((1, TN, HD), lambda t: (t, 0, 0)))
+    out = pl.pallas_call(
+        _fwd_kernel(TN, uniform, negative_slope),
+        out_shape=jax.ShapeDtypeStruct((T, TN, HD), att.dtype),
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, 1, S), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, S), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            xs_spec,
+            xd_spec,
+            pl.BlockSpec((1, HD), lambda t: (0, 0)),
+            pl.BlockSpec((HD, H), lambda t: (0, 0)),
+            pl.BlockSpec((H, HD), lambda t: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, TN, HD), lambda t: (t, 0, 0)),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * T * S * TN * (2 * HD + 2 * H) + 8 * T * S * HD,
+            bytes_accessed=(T * S * (2 + (0 if uniform else HD))
+                            + 2 * T * TN * HD) * 4,
+            transcendentals=T * S * H,
+        ),
+        interpret=interpret,
+    )(tiles.local_dst.reshape(T, 1, S), attr.reshape(T, 1, S),
+      xs_in, xd_in, w_e[None, :], A_blk, E_exp)
+    return out.reshape(T * TN, HD)
+
+
+def _run_bwd(tiles: SegTiles, negative_slope, interpret,
+             attr, xs, xd, w_e, att, g):
+    from jax.experimental import pallas as pl
+
+    T, S, TN = tiles.tiles, tiles.slots, tiles.tile_nodes
+    H, D = att.shape
+    HD = H * D
+    uniform = xs.shape[0] == 1
+    A_blk = _blockdiag_att(att)
+    E_exp = _expand_mat(H, D, att.dtype)
+    xs_in = xs if uniform else xs.reshape(T, S, HD)
+    xd_in = xd if xd.shape[0] == 1 else xd.reshape(T, TN, HD)
+    xs_spec = (pl.BlockSpec((1, HD), lambda t: (0, 0)) if uniform
+               else pl.BlockSpec((1, S, HD), lambda t: (t, 0, 0)))
+    xd_spec = (pl.BlockSpec((1, HD), lambda t: (0, 0)) if xd.shape[0] == 1
+               else pl.BlockSpec((1, TN, HD), lambda t: (t, 0, 0)))
+    dxs_shape = ((T, 1, HD) if uniform else (T, S, HD))
+    dxs_spec = (pl.BlockSpec((1, 1, HD), lambda t: (t, 0, 0)) if uniform
+                else pl.BlockSpec((1, S, HD), lambda t: (t, 0, 0)))
+    dxd_shape = ((T, 1, HD) if xd.shape[0] == 1 else (T, TN, HD))
+    dxd_spec = (pl.BlockSpec((1, 1, HD), lambda t: (t, 0, 0))
+                if xd.shape[0] == 1
+                else pl.BlockSpec((1, TN, HD), lambda t: (t, 0, 0)))
+    dxs, dxd, dA, dwe = pl.pallas_call(
+        _bwd_kernel(TN, uniform, negative_slope),
+        out_shape=(
+            jax.ShapeDtypeStruct(dxs_shape, att.dtype),
+            jax.ShapeDtypeStruct(dxd_shape, att.dtype),
+            jax.ShapeDtypeStruct((T, HD, H), att.dtype),
+            jax.ShapeDtypeStruct((T, 1, HD), att.dtype),
+        ),
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, 1, S), lambda t: (t, 0, 0)),
+            pl.BlockSpec((1, 1, S), lambda t: (t, 0, 0)),
+            xs_spec,
+            xd_spec,
+            pl.BlockSpec((1, HD), lambda t: (0, 0)),
+            pl.BlockSpec((HD, H), lambda t: (0, 0)),
+            pl.BlockSpec((H, HD), lambda t: (0, 0)),
+            pl.BlockSpec((1, TN, HD), lambda t: (t, 0, 0)),
+        ],
+        out_specs=(
+            dxs_spec,
+            dxd_spec,
+            pl.BlockSpec((1, HD, H), lambda t: (t, 0, 0)),
+            pl.BlockSpec((1, 1, HD), lambda t: (t, 0, 0)),
+        ),
+        interpret=interpret,
+    )(tiles.local_dst.reshape(T, 1, S), attr.reshape(T, 1, S),
+      xs_in, xd_in, w_e[None, :], A_blk, E_exp,
+      g.reshape(T, TN, HD))
+    # per-tile weight grads → totals; blockdiag/expand transposes undone
+    dA_blk = jnp.sum(dA, axis=0)                             # [HD, H]
+    datt = jnp.stack([dA_blk[h * D:(h + 1) * D, h] for h in range(H)])
+    dwe_tot = jnp.sum(dwe, axis=0)[0]                        # [HD]
+    if uniform:
+        dxs_out = jnp.sum(dxs, axis=0)                       # [1, HD]
+    else:
+        dxs_out = dxs.reshape(T * S, HD)
+    if xd.shape[0] == 1:
+        dxd_out = jnp.sum(dxd, axis=0)                       # [1, HD]
+    else:
+        dxd_out = dxd.reshape(T * TN, HD)
+    return dxs_out, dxd_out, dwe_tot, datt
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _gat_fused_p(tiles, negative_slope, interpret, attr, xs, xd, w_e, att):
+    return _run_fwd(tiles, negative_slope, interpret, attr, xs, xd, w_e, att)
+
+
+def _gat_fused_fwd(tiles, negative_slope, interpret, attr, xs, xd, w_e, att):
+    out = _run_fwd(tiles, negative_slope, interpret, attr, xs, xd, w_e, att)
+    return out, (attr, xs, xd, w_e, att)
+
+
+def _gat_fused_bwd(tiles, negative_slope, interpret, res, g):
+    attr, xs, xd, w_e, att = res
+    dxs, dxd, dwe, datt = _run_bwd(tiles, negative_slope, interpret,
+                                   attr, xs, xd, w_e, att, g)
+    return (None, dxs, dxd, dwe, datt)
+
+
+_gat_fused_p.defvjp(_gat_fused_fwd, _gat_fused_bwd)
+
+
+def gat_tile_fused(tiles: SegTiles, attr: jax.Array, xs_slot: jax.Array,
+                   xd: jax.Array, w_e: jax.Array, att: jax.Array,
+                   negative_slope: float = 0.2,
+                   interpret: bool = False) -> jax.Array:
+    """One-launch-per-tile fused GATv2 step (see module docstring).
+
+    ``attr``:    [T·S] edge scalars in slot order (edge_dim = 1).
+    ``xs_slot``: [T·S, H·D] source-transformed slot features, or [1, H·D]
+                 for uniform node features (both layer-1 gathers vanish).
+    ``xd``:      [n_pad, H·D] target-transformed node features (or [1, H·D]
+                 uniform) — the dst broadcast happens in-kernel.
+    ``w_e``:     [H·D] edge transform row; ``att``: [H, D].
+
+    Returns [n_pad, H·D] aggregated node features (no bias).
+    Differentiable in (xs_slot, xd, w_e, att); ``attr`` is static graph
+    data.  Falls back to the jnp reference off-TPU."""
+    if not (jax.default_backend() == "tpu" or interpret):
+        return gat_tile_fused_jnp(tiles, attr, xs_slot, xd, w_e, att,
+                                  negative_slope)
+    return _gat_fused_p(tiles, float(negative_slope), interpret,
+                        attr, xs_slot, xd, w_e, att)

@@ -267,3 +267,48 @@ def test_gatv2_tiled_srcwin_interpret_matches_dense():
                     jax.tree_util.tree_leaves(gt)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=5e-3, atol=5e-4)
+
+
+def test_gat_fused_kernel_interpret_fwd_and_vjp():
+    """The one-launch fused GATv2 tile kernel (ops.gat_fused): forward and
+    ALL gradients (xs_slot, xd, w_e, att) match the jnp reference, for both
+    the non-uniform and the uniform-x variants."""
+    from gflownet_spai_tpu.ops import gat_fused as gf
+
+    rng = np.random.default_rng(7)
+    n, e, H, D = 220, 1800, 4, 4
+    HD = H * D
+    ids = rng.integers(0, n, e)
+    tiles = seg.build_seg_tiles(ids, n, tile_nodes=64)
+    T, S = tiles.tiles, tiles.slots
+    attr = jnp.asarray(rng.standard_normal(T * S), jnp.float32)
+    w_e = jnp.asarray(rng.standard_normal(HD), jnp.float32)
+    att = jnp.asarray(rng.standard_normal((H, D)), jnp.float32)
+    tgt = jnp.asarray(rng.standard_normal((tiles.n_pad, HD)), jnp.float32)
+
+    for uniform in (False, True):
+        xs = jnp.asarray(rng.standard_normal(
+            (1 if uniform else T * S, HD)), jnp.float32)
+        xd = jnp.asarray(rng.standard_normal(
+            (1 if uniform else tiles.n_pad, HD)), jnp.float32)
+
+        got = gf.gat_tile_fused(tiles, attr, xs, xd, w_e, att,
+                                interpret=True)
+        want = gf.gat_tile_fused_jnp(tiles, attr, xs, xd, w_e, att)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-4, atol=2e-5)
+
+        def loss_p(xs, xd, w_e, att):
+            return jnp.sum(gf.gat_tile_fused(
+                tiles, attr, xs, xd, w_e, att, interpret=True) * tgt)
+
+        def loss_j(xs, xd, w_e, att):
+            return jnp.sum(gf.gat_tile_fused_jnp(
+                tiles, attr, xs, xd, w_e, att) * tgt)
+
+        gp = jax.grad(loss_p, argnums=(0, 1, 2, 3))(xs, xd, w_e, att)
+        gj = jax.grad(loss_j, argnums=(0, 1, 2, 3))(xs, xd, w_e, att)
+        for a, b, name in zip(gp, gj, ("xs", "xd", "w_e", "att")):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-5,
+                err_msg=f"uniform={uniform} grad {name}")
