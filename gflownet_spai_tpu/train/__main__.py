@@ -84,6 +84,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch-size", type=int, default=d.batch_size)
     p.add_argument("--epochs", type=int, default=d.num_epochs, dest="num_epochs")
     p.add_argument("--lr", type=float, default=d.lr)
+    p.add_argument("--plateau-patience", type=int, default=d.plateau_patience,
+                   help="ReduceLROnPlateau patience (reference "
+                        "GFlowNet100.py:267); 0 DISABLES the schedule — "
+                        "on noisy TB/SubTB objectives the plateau decay "
+                        "reaches its 5%% floor within ~100 epochs and "
+                        "freezes training (measured on orsirr_like150)")
+    p.add_argument("--plateau-factor", type=float, default=d.plateau_factor)
     p.add_argument("--prng-seed", type=int, default=d.prng_seed)
     p.add_argument("--dtype", default=d.dtype)
     p.add_argument("--platform", default=None, help="cpu to force CPU backend")
