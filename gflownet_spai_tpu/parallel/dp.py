@@ -66,11 +66,14 @@ def _pad_rowblock(plan: _rowblock.RowBlockPlan,
     slot, and no diagonal — they contribute exactly 0 to the residual."""
     gv, wi, dp_ = [], [], []
     for g, w, d in zip(plan.gvals, plan.win_idx, plan.diag_pos):
-        r, cp, mp = g.shape
+        r = g.shape[0]
+        cp = g.shape[1] if plan.layout == "cm" else g.shape[2]
+        mp = g.shape[2] if plan.layout == "cm" else g.shape[1]
         target = -(-r // n_shards) * n_shards
         pad = target - r
         if pad:
-            g = jnp.concatenate([g, jnp.zeros((pad, cp, mp), g.dtype)])
+            g = jnp.concatenate(
+                [g, jnp.zeros((pad,) + g.shape[1:], g.dtype)])
             w = jnp.concatenate(
                 [w, jnp.full((pad, mp), plan.nnz_m, jnp.int32)])
             d = jnp.concatenate([d, jnp.full((pad,), cp, jnp.int32)])
@@ -102,20 +105,33 @@ def _rowblock_residual_body(plan_meta, m_vals, gvals, win_idx, diag_pos,
     local partial Σ(y−δ)² psum-reduced.  [B, nnz_m] (replicated) → [B].
     The overflow sub-plan is replicated, so its contribution is divided by
     the rows-axis size before the psum (counted once globally)."""
-    nnz_m, n_missing, n_ov, rows = plan_meta
+    nnz_m, n_missing, n_ov, rows, layout = plan_meta
     B = m_vals.shape[0]
-    kt = jnp.concatenate(
-        [m_vals, jnp.zeros((B, 1), m_vals.dtype)], axis=1).T
     acc = jnp.zeros((B,), m_vals.dtype)
-    for g, idx, dpos in zip(gvals, win_idx, diag_pos):
-        kwin = kt[idx]
-        y = jnp.einsum("rcm,rmb->rcb", g, kwin.astype(g.dtype),
-                       precision="highest")
-        cp = g.shape[1]
-        e = (jnp.arange(cp, dtype=jnp.int32)[None, :]
-             == dpos[:, None]).astype(y.dtype)
-        acc = acc + jnp.sum(
-            jnp.square(y - e[..., None]), axis=(0, 1)).astype(acc.dtype)
+    if layout == "mc":
+        k2 = jnp.concatenate(
+            [m_vals, jnp.zeros((B, 1), m_vals.dtype)], axis=1)
+        for g, idx, dpos in zip(gvals, win_idx, diag_pos):
+            kwin = k2[:, idx]                            # [B, R, mp]
+            y = jnp.einsum("brm,rmc->brc", kwin.astype(g.dtype), g,
+                           precision="highest")
+            cp = g.shape[2]
+            e = (jnp.arange(cp, dtype=jnp.int32)[None, :]
+                 == dpos[:, None]).astype(y.dtype)
+            acc = acc + jnp.sum(
+                jnp.square(y - e[None]), axis=(1, 2)).astype(acc.dtype)
+    else:
+        kt = jnp.concatenate(
+            [m_vals, jnp.zeros((B, 1), m_vals.dtype)], axis=1).T
+        for g, idx, dpos in zip(gvals, win_idx, diag_pos):
+            kwin = kt[idx]
+            y = jnp.einsum("rcm,rmb->rcb", g, kwin.astype(g.dtype),
+                           precision="highest")
+            cp = g.shape[1]
+            e = (jnp.arange(cp, dtype=jnp.int32)[None, :]
+                 == dpos[:, None]).astype(y.dtype)
+            acc = acc + jnp.sum(
+                jnp.square(y - e[..., None]), axis=(0, 1)).astype(acc.dtype)
     if n_ov:
         ov_pair_m, ov_w, ov_seg, ov_diag = ov_arrays
         prod = m_vals[:, ov_pair_m] * ov_w[None, :].astype(m_vals.dtype)
@@ -153,7 +169,7 @@ def _make_residual_provider(env, rows: int):
     if env.rb is not None:
         rb = _pad_rowblock(env.rb, rows)
         env = dataclasses.replace(env, rb=rb)
-        meta = (rb.nnz_m, rb.n_missing_diag, rb.n_overflow_slots, rows)
+        meta = (rb.nnz_m, rb.n_missing_diag, rb.n_overflow_slots, rows, rb.layout)
         seed_dtype = env.seed.data.dtype
 
         def fn_rb(keep, aux):
@@ -220,7 +236,7 @@ def sharded_rowblock_residual_norms(mesh: Mesh, env: spai.SpaiEnv,
     [B] norms.  Buckets padded internally to the rows-axis size."""
     rows = mesh.shape["rows"]
     rb = _pad_rowblock(env.rb, rows)
-    meta = (rb.nnz_m, rb.n_missing_diag, rb.n_overflow_slots, rows)
+    meta = (rb.nnz_m, rb.n_missing_diag, rb.n_overflow_slots, rows, rb.layout)
 
     def local(m_vals_rep, gvals, win_idx, diag_pos, ov_arrays):
         return _rowblock_residual_body(meta, m_vals_rep, gvals, win_idx,

@@ -293,3 +293,57 @@ def test_rowblock_bf16_storage_accumulates_f32():
     env = make_env(a, original=a, reward_path="rowblock",
                    rowblock_dtype=jnp.bfloat16)
     assert env.rb.gvals[0].dtype == jnp.bfloat16
+
+
+def test_rowblock_layout_and_class_step_equivalence():
+    """The "mc" (batch-in-sublanes) G-block layout and the finer ×1.25
+    class ladder produce the same residuals/numeric values as the default
+    plan — and the finer ladder strictly reduces padded slots."""
+    import numpy as np
+    from gflownet_spai_tpu.sparse import rowblock as RB
+    from gflownet_spai_tpu.sparse.gallery import get
+
+    a = get("orsirr_like32")
+    ref = RB.build_rowblock_plan(a, a)
+    rng = np.random.default_rng(5)
+    m_vals = jnp.asarray(rng.random((4, a.nnz)), jnp.float32)
+    want = RB.residual_norm_batch(ref, m_vals)
+    want_c = RB.numeric(ref, m_vals[0])
+
+    for kw in ({"layout": "mc"}, {"class_step": 1.25},
+               {"layout": "mc", "class_step": 1.25}):
+        plan = RB.build_rowblock_plan(a, a, **kw)
+        got = RB.residual_norm_batch(plan, m_vals)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, err_msg=str(kw))
+        np.testing.assert_allclose(np.asarray(RB.numeric(plan, m_vals[0])),
+                                   np.asarray(want_c), rtol=1e-5,
+                                   atol=1e-6, err_msg=str(kw))
+
+    fine = RB.build_rowblock_plan(a, a, class_step=1.25)
+    assert fine.padded_slots <= ref.padded_slots
+    with pytest.raises(ValueError, match="layout"):
+        RB.build_rowblock_plan(a, a, layout="zz")
+
+
+def test_rowblock_mc_layout_shards_over_rows():
+    """The dp residual provider handles an "mc"-layout plan (bucket rows
+    sharded over the mesh rows axis) identically to single-device."""
+    import dataclasses
+    import numpy as np
+    from gflownet_spai_tpu.env import make_env
+    from gflownet_spai_tpu.parallel import make_mesh
+    from gflownet_spai_tpu.parallel.dp import sharded_rowblock_residual_norms
+    from gflownet_spai_tpu.sparse import rowblock as RB
+    from gflownet_spai_tpu.sparse.gallery import get
+
+    a = get("orsirr_like32")
+    env = make_env(a, original=a, reward_path="rowblock")
+    env = dataclasses.replace(
+        env, rb=RB.build_rowblock_plan(a, a, layout="mc", class_step=1.25))
+    mesh = make_mesh(dp=1, rows=8)
+    rng = np.random.default_rng(6)
+    m_vals = jnp.asarray(rng.random((3, a.nnz)), jnp.float32)
+    got = sharded_rowblock_residual_norms(mesh, env, m_vals)
+    want = RB.residual_norm_batch(env.rb, m_vals)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5)
