@@ -172,7 +172,9 @@ def resolve_baseline(seed: COO, original: COO, baseline: str) -> str:
 def make_env(seed: COO, original: Optional[COO] = None,
              reward_path: str = "pair",
              rowblock_dtype=None,
-             baseline: str = "matrix") -> SpaiEnv:
+             baseline: str = "matrix",
+             rowblock_layout: str = "cm",
+             rowblock_class_step: float = 1.5) -> SpaiEnv:
     """Build the environment.  ``original`` defaults to ``seed`` which
     reproduces the reference driver's (questionable) baseline wiring
     (GFlowNet100.py:173); pass the true A for the corrected objective.
@@ -210,7 +212,8 @@ def make_env(seed: COO, original: Optional[COO] = None,
     if reward_path == "rowblock":
         rb = _rowblock.build_rowblock_plan(
             seed, original,
-            gemm_dtype=rowblock_dtype or seed.data.dtype)
+            gemm_dtype=rowblock_dtype or seed.data.dtype,
+            layout=rowblock_layout, class_step=rowblock_class_step)
         base_res = sqrt_n if identity else jnp.asarray(
             _baseline_residual_host(original), seed.data.dtype)
         base_flops = 2.0 * original.nnz * original.shape[1]

@@ -76,6 +76,10 @@ def main(argv=None) -> int:
                         "(λmax via power iteration; λmin = λmax/"
                         "--cheby-lmin-ratio)")
     p.add_argument("--cheby-lmin-ratio", type=float, default=30.0)
+    p.add_argument("--vcycle", type=int, default=0, metavar="LEVELS",
+                   help="add an aggregation-V-cycle preconditioner row "
+                        "with that many grid levels (>=2; fused-Jacobi "
+                        "smoothing on every level — solvers.multigrid)")
     args = p.parse_args(argv)
 
     if args.platform:
@@ -209,6 +213,13 @@ def main(argv=None) -> int:
                           degree=args.chebyshev)
         report["chebyshev"] = solve_row(op) | {
             "degree": args.chebyshev, "lmax_est": lmax}
+
+    if args.vcycle >= 2:
+        from ..ops.dia import coo_to_dia
+        from ..solvers.multigrid import vcycle_op
+
+        op = vcycle_op(coo_to_dia(a), levels=args.vcycle)
+        report["vcycle"] = solve_row(op) | {"levels": args.vcycle}
 
     out_dir = Path(args.out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)

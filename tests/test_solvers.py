@@ -567,3 +567,60 @@ def test_gmres_right_preconditioning(name):
     res_l = gmres(partial(spmv, a), jnp.asarray(b), m_op=m_apply,
                   restart=20, maxiter=500, rtol=1e-8, side="left")
     np.testing.assert_allclose(np.asarray(res_l.x), x, atol=1e-4)
+
+
+def test_vcycle_galerkin_coarse_matches_dense():
+    """A_c = 0.5 Pᵀ A P (size-2 aggregation) — checked against the dense
+    triple product."""
+    from gflownet_spai_tpu.ops import coo_to_dia
+    from gflownet_spai_tpu.solvers.multigrid import galerkin_coarse_dia
+
+    A = gallery.get("poisson32")
+    d = coo_to_dia(A)
+    n = A.shape[0]
+    n_c = (n + 1) // 2
+    P = np.zeros((n, n_c))
+    P[np.arange(n), np.arange(n) // 2] = 1.0
+    want = 0.5 * P.T @ np.asarray(coo_to_scipy(A).toarray()) @ P
+    ac = galerkin_coarse_dia(d)
+    np.testing.assert_allclose(np.asarray(ac.todense()), want,
+                               rtol=1e-6, atol=1e-7)
+    # bandwidth halves
+    assert max(abs(o) for o in ac.offsets) <= max(
+        abs(o) for o in d.offsets) // 2 + 1
+
+
+def test_vcycle_preconditioner_cuts_iterations():
+    """The aggregation V-cycle (fused-Jacobi smoothing on every level) is
+    symmetric for symmetric A and cuts CG iterations vs both none and the
+    same-sweep-budget plain Jacobi polynomial."""
+    from gflownet_spai_tpu.ops import coo_to_dia
+    from gflownet_spai_tpu.solvers.stationary import jacobi_sweeps_op
+    from gflownet_spai_tpu.solvers.multigrid import vcycle_op
+
+    A = gallery.get("poisson32")
+    d = coo_to_dia(A)
+    As = coo_to_scipy(A).tocsr()
+    n = A.shape[0]
+    rng = np.random.default_rng(21)
+
+    op = vcycle_op(d, pre=2, post=2, levels=3, coarse_sweeps=8,
+                   min_coarse_n=64)
+    # symmetry: x·(M y) == y·(M x)
+    x = jnp.asarray(rng.standard_normal(n), d.data.dtype)
+    y = jnp.asarray(rng.standard_normal(n), d.data.dtype)
+    sx = float(jnp.dot(x, op(y)))
+    sy = float(jnp.dot(y, op(x)))
+    assert abs(sx - sy) <= 1e-4 * max(abs(sx), 1.0)
+
+    b = jnp.asarray(rng.standard_normal(n), d.data.dtype)
+    base = cg(d, b, maxiter=600, rtol=1e-8)
+    mg = cg(d, b, m_op=op, maxiter=600, rtol=1e-8)
+    jac = cg(d, b, m_op=jacobi_sweeps_op(d, sweeps=12), maxiter=600,
+             rtol=1e-8)
+    for res in (base, mg, jac):
+        xx = np.asarray(res.x)
+        assert (np.linalg.norm(As @ xx - np.asarray(b))
+                <= 1e-5 * np.linalg.norm(np.asarray(b)))
+    assert int(mg.iterations) * 2 < int(base.iterations)
+    assert int(mg.iterations) < int(jac.iterations)

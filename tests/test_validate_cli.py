@@ -10,11 +10,11 @@ def test_validate_cli_end_to_end(tmp_path, capsys):
     rc = main([
         "--matrix", "LF10_like", "--epochs", "8", "--batch-size", "4",
         "--maxiter", "500", "--out-dir", str(tmp_path),
-        "--jacobi-poly", "4", "--chebyshev", "4",
+        "--jacobi-poly", "4", "--chebyshev", "4", "--vcycle", "2",
     ])
     report = json.loads((tmp_path / "validation.json").read_text())
     for key in ("none", "ilu", "sampled_spai", "classic_spai", "jacobi_poly",
-                "chebyshev"):
+                "chebyshev", "vcycle"):
         assert key in report
         assert report[key]["iterations"] >= 1
     assert report["jacobi_poly"]["iterations"] <= report["none"]["iterations"]

@@ -30,6 +30,11 @@ def main():
                     help="skip the (very slow) pair-plan baseline")
     ap.add_argument("--bf16", action="store_true",
                     help="bf16 G-block storage (f32 accumulation)")
+    ap.add_argument("--layout", default="cm", choices=["cm", "mc"],
+                    help="G-block layout: mc = batch on sublanes / C cols "
+                         "on lanes (sparse.rowblock)")
+    ap.add_argument("--class-step", type=float, default=1.5,
+                    help="size-class ladder spacing (1.25 = finer buckets)")
     args = ap.parse_args()
 
     # unstructured: random SPD-ish pattern, ~9 nnz/row, couplings within a
@@ -61,7 +66,9 @@ def main():
 
     t0 = time.time()
     env_rb = spai.make_env(seed, original=a, reward_path="rowblock",
-                           rowblock_dtype=jnp.bfloat16 if args.bf16 else None)
+                           rowblock_dtype=jnp.bfloat16 if args.bf16 else None,
+                           rowblock_layout=args.layout,
+                           rowblock_class_step=args.class_step)
     print(f"rowblock build: {time.time()-t0:.1f}s  pairs={env_rb.rb.npairs} "
           f"padded={env_rb.rb.padded_slots} "
           f"buckets={[tuple(g.shape) for g in env_rb.rb.gvals]}")
