@@ -36,6 +36,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="bf16 G-block storage for the rowblock reward "
                         "(halves its HBM traffic; f32 accumulation, ~1e-3 "
                         "residual noise)")
+    p.add_argument("--rowblock-layout", default=d.rowblock_layout,
+                   choices=["cm", "mc"], dest="rowblock_layout",
+                   help="rowblock G-block layout: mc puts the batch on MXU "
+                        "sublanes / C columns on lanes")
+    p.add_argument("--rowblock-class-step", type=float,
+                   default=d.rowblock_class_step, dest="rowblock_class_step",
+                   help="rowblock bucket ladder spacing (1.25 = finer)")
     p.add_argument("--reference-baseline", action="store_true",
                    help="score against the seed matrix like the reference driver "
                         "(GFlowNet100.py:173) instead of the true A")

@@ -37,6 +37,12 @@ class TrainConfig:
     rowblock_bf16: bool = False     # bf16 G-block storage (halves the
                                     # reward's G-read traffic; f32 MXU
                                     # accumulation, ~1e-3 residual noise)
+    rowblock_layout: str = "cm"     # G-block axis order: cm = [R,cp,mp]
+                                    # (batch in lanes) | mc = [R,mp,cp]
+                                    # (batch in sublanes, C cols in lanes)
+    rowblock_class_step: float = 1.5  # bucket size-class ladder spacing
+                                    # (1.25 = finer buckets, fewer padded
+                                    # slots, ~2x the einsum count)
     gat_tiled_min_edges: int = 100000  # policy graph switches to the
                                     # node-tile Pallas segment substrate
                                     # above this edge count

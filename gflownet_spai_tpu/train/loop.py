@@ -121,7 +121,9 @@ def setup(cfg: TrainConfig):
             seed, original=None if cfg.reference_baseline else a,
             reward_path="rowblock" if fmt == "rowblock" else "pair",
             rowblock_dtype=jnp.bfloat16 if cfg.rowblock_bf16 else None,
-            baseline=cfg.reward_baseline)
+            baseline=cfg.reward_baseline,
+            rowblock_layout=cfg.rowblock_layout,
+            rowblock_class_step=cfg.rowblock_class_step)
         graph = _graph(seed)
     mcfg = gfn.GFlowNetConfig(
         hidden_dim=cfg.hidden_dim, heads=cfg.heads,

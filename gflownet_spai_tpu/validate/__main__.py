@@ -29,6 +29,10 @@ def main(argv=None) -> int:
     p.add_argument("--epochs", type=int, default=150)
     p.add_argument("--batch-size", type=int, default=16)
     p.add_argument("--lr", type=float, default=5e-3)
+    p.add_argument("--plateau-patience", type=int, default=10,
+                   help="ReduceLROnPlateau patience; 0 disables (must "
+                        "match the training run when restoring a "
+                        "checkpoint — the optimizer state shape differs)")
     # defaults = the quality recipe established on both the SPD and the
     # nonsymmetric (config-4) classes: classic-SPAI seed + SubTB + the
     # associative-scan backward policy + auto reward baseline (ilu0 seeds —
@@ -98,6 +102,7 @@ def main(argv=None) -> int:
     cfg = TrainConfig(
         matrix=args.matrix, seed_method=args.seed_method,
         batch_size=args.batch_size, num_epochs=args.epochs, lr=args.lr,
+        plateau_patience=args.plateau_patience,
         out_dir=args.out_dir, alpha_fixed=args.alpha_fixed,
         reward_baseline=args.reward_baseline,
         loss=args.loss, subtb_lambda=args.subtb_lambda,
