@@ -43,9 +43,11 @@ def poisson_dia(k):
 def main():
     import jax.numpy as jnp
     from gflownet_spai_tpu.solvers import cg, chebyshev_op, estimate_lmax
+    from gflownet_spai_tpu.solvers.multigrid import vcycle_op
 
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 1000
     degree = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+    levels = int(sys.argv[3]) if len(sys.argv) > 3 else 6
     d = poisson_dia(k)
     b = jnp.ones((d.n,), jnp.float32)
     print(f"Poisson {k}x{k}: n={d.n}, nnz={d.nnz}")
@@ -56,7 +58,10 @@ def main():
 
     for tag, m_op in (("none", None),
                       (f"chebyshev(deg={degree})",
-                       chebyshev_op(d, lmax=lmax, lmin=lmin, degree=degree))):
+                       chebyshev_op(d, lmax=lmax, lmin=lmin, degree=degree)),
+                      (f"vcycle(levels={levels})",
+                       vcycle_op(d, pre=2, post=2, levels=levels,
+                                 coarse_sweeps=16))):
         res = cg(d, b, m_op=m_op, maxiter=4000, rtol=1e-5)   # compile+run
         t0 = time.time()
         res = cg(d, b, m_op=m_op, maxiter=4000, rtol=1e-5)

@@ -603,3 +603,46 @@ def test_gather_windows_and_tiled_gat_on_chip():
     got_e = np.asarray(jax.jit(
         lambda p: forward_policy_pooled(p, tg, 4))(params))
     np.testing.assert_allclose(got_e, want_e, rtol=2e-3, atol=2e-4)
+
+
+def test_gat_fused_kernel_on_chip():
+    """One-launch fused GATv2 tile kernel (ops.gat_fused): real-Mosaic
+    forward + analytic backward vs the f32 jnp reference, both variants."""
+    from gflownet_spai_tpu.ops import gat_fused as gf
+    from gflownet_spai_tpu.ops import segment as seg
+
+    rng = np.random.default_rng(7)
+    n, e, H, D = 2200, 18000, 4, 4
+    HD = H * D
+    tiles = seg.build_seg_tiles(rng.integers(0, n, e), n, tile_nodes=128)
+    T, S = tiles.tiles, tiles.slots
+    attr = jnp.asarray(rng.standard_normal(T * S), jnp.float32)
+    w_e = jnp.asarray(rng.standard_normal(HD), jnp.float32)
+    att = jnp.asarray(rng.standard_normal((H, D)), jnp.float32)
+    tgt = jnp.asarray(rng.standard_normal((tiles.n_pad, HD)), jnp.float32)
+    for uniform in (False, True):
+        xs = jnp.asarray(rng.standard_normal(
+            (1 if uniform else T * S, HD)), jnp.float32)
+        xd = jnp.asarray(rng.standard_normal(
+            (1 if uniform else tiles.n_pad, HD)), jnp.float32)
+        got = jax.jit(lambda *a: gf.gat_tile_fused(tiles, *a))(
+            attr, xs, xd, w_e, att)
+        want = gf.gat_tile_fused_jnp(tiles, attr, xs, xd, w_e, att)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=5e-4, atol=5e-5)
+        gp = jax.jit(jax.grad(
+            lambda xs, xd, w, a: jnp.sum(
+                gf.gat_tile_fused(tiles, attr, xs, xd, w, a) * tgt),
+            argnums=(0, 1, 2, 3)))(xs, xd, w_e, att)
+        gj = jax.grad(
+            lambda xs, xd, w, a: jnp.sum(
+                gf.gat_tile_fused_jnp(tiles, attr, xs, xd, w, a) * tgt),
+            argnums=(0, 1, 2, 3))(xs, xd, w_e, att)
+        # the accumulated weight grads (w_e, att) can be near-zero by
+        # cancellation over ~18k random-sign slot summands, so floor the
+        # tolerance on the LARGEST grad's scale — both sides are f32 sums
+        # in different reduction orders and share ~sqrt(N)·eps noise
+        gscale = max(float(jnp.max(jnp.abs(b_))) for b_ in gj)
+        for a_, b_, name in zip(gp, gj, ("xs", "xd", "w_e", "att")):
+            assert float(jnp.max(jnp.abs(a_ - b_))) <= 1e-4 * gscale, (
+                f"uniform={uniform} grad {name}")
