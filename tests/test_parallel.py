@@ -706,3 +706,56 @@ def test_sharded_sampler_replay_trains_end_to_end(mesh8):
     assert np.isfinite(history).all()
     assert np.isfinite(np.asarray(state.replay.rewards)).any()
     assert np.mean(history[-10:]) < np.mean(history[:10])
+
+
+def test_sharded_sampler_short_tcap_wins_with_trained_policy(rows_mesh):
+    """The t_cap < A payoff exists exactly for early-terminating policies
+    (VERDICT r2 weak #4): with a terminal-biased head (what config-4
+    training converges to — mean length ~3 at 112k actions,
+    runs/c4id2_orsirr150) a t_cap ≪ A prefix keeps valid_frac = 1 and
+    bit-matches the dense rollout, while the untrained near-uniform
+    policy weight-0s (almost) every sample at the same cap."""
+    from gflownet_spai_tpu.env import make_env, seed_pattern
+    from gflownet_spai_tpu.gfn import GFlowNetConfig, init_params
+    from gflownet_spai_tpu.gfn.rollout import gumbel_topk_rollout
+    from gflownet_spai_tpu.models import graph_from_seed
+    from gflownet_spai_tpu.models.policies import forward_policy_logits
+    from gflownet_spai_tpu.parallel import (replicated_oracle_gumbels,
+                                            shard_head, sharded_rollout)
+
+    a = gallery.get("bcsstk03_like")
+    seed = seed_pattern(a, method="ilu0", dtype=jnp.float32)
+    env = make_env(seed, original=a)
+    graph = graph_from_seed(seed)
+    A = env.num_actions
+    cfg = GFlowNetConfig(hidden_dim=4, heads=4, num_actions=A)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    # "trained": terminal logit dominated — the policy terminates within
+    # a few steps almost surely (Gumbel noise spread ~ a few units)
+    fwd_trained = params.forward._replace(
+        fc_b=params.forward.fc_b.at[A - 1].add(12.0))
+    B, t_cap = 4, 32
+    key = jax.random.PRNGKey(7)
+
+    out = sharded_rollout(rows_mesh, shard_head(rows_mesh, fwd_trained),
+                          graph, A, 4, key, batch_size=B, t_cap=t_cap)
+    assert np.asarray(out.valid).all()
+    assert int(np.max(np.asarray(out.rollout.lengths))) <= t_cap
+    # bit-match vs the dense sampler under the same per-shard noise
+    logits = forward_policy_logits(fwd_trained, graph, A, 4)
+    g = replicated_oracle_gumbels(
+        key, A, shard_head(rows_mesh, fwd_trained).fc_w.shape[1],
+        rows_mesh.shape["rows"], B)
+    want = gumbel_topk_rollout(jnp.broadcast_to(logits, (B, A)), key,
+                               terminal_action=A - 1, gumbels=g)
+    for b in range(B):
+        L = int(want.lengths[b])
+        np.testing.assert_array_equal(
+            np.asarray(out.rollout.actions[b, :L]),
+            np.asarray(want.actions[b, :L]))
+
+    # the same cap on the untrained policy: ~uniform logits put the
+    # terminal deep in the order — every sample weight-0s
+    out_u = sharded_rollout(rows_mesh, shard_head(rows_mesh, params.forward),
+                            graph, A, 4, key, batch_size=B, t_cap=t_cap)
+    assert not np.asarray(out_u.valid).any()
