@@ -174,7 +174,8 @@ def make_env(seed: COO, original: Optional[COO] = None,
              rowblock_dtype=None,
              baseline: str = "matrix",
              rowblock_layout: str = "cm",
-             rowblock_class_step: float = 1.5) -> SpaiEnv:
+             rowblock_class_step: float = 1.5,
+             rowblock_compress: str = "none") -> SpaiEnv:
     """Build the environment.  ``original`` defaults to ``seed`` which
     reproduces the reference driver's (questionable) baseline wiring
     (GFlowNet100.py:173); pass the true A for the corrected objective.
@@ -213,7 +214,8 @@ def make_env(seed: COO, original: Optional[COO] = None,
         rb = _rowblock.build_rowblock_plan(
             seed, original,
             gemm_dtype=rowblock_dtype or seed.data.dtype,
-            layout=rowblock_layout, class_step=rowblock_class_step)
+            layout=rowblock_layout, class_step=rowblock_class_step,
+            compress=rowblock_compress)
         base_res = sqrt_n if identity else jnp.asarray(
             _baseline_residual_host(original), seed.data.dtype)
         base_flops = 2.0 * original.nnz * original.shape[1]

@@ -64,22 +64,31 @@ def _pad_rowblock(plan: _rowblock.RowBlockPlan,
     """Pad each bucket's row count to a multiple of the rows-axis size.
     Padding rows have zero G blocks, window indices at the appended zero
     slot, and no diagonal — they contribute exactly 0 to the residual."""
-    gv, wi, dp_ = [], [], []
-    for g, w, d in zip(plan.gvals, plan.win_idx, plan.diag_pos):
+    gram = plan.compress == "gram"
+    gv, wi, dp_, ln = [], [], [], []
+    lins = plan.lin if gram else (None,) * len(plan.gvals)
+    for g, w, d, li in zip(plan.gvals, plan.win_idx, plan.diag_pos, lins):
         r = g.shape[0]
-        cp = g.shape[1] if plan.layout == "cm" else g.shape[2]
-        mp = g.shape[2] if plan.layout == "cm" else g.shape[1]
+        if gram:
+            cp, mp = g.shape[2], g.shape[2]      # H is [R, mp, mp]
+        else:
+            cp = g.shape[1] if plan.layout == "cm" else g.shape[2]
+            mp = g.shape[2] if plan.layout == "cm" else g.shape[1]
         target = -(-r // n_shards) * n_shards
         pad = target - r
         if pad:
             g = jnp.concatenate(
                 [g, jnp.zeros((pad,) + g.shape[1:], g.dtype)])
             w = jnp.concatenate(
-                [w, jnp.full((pad, mp), plan.nnz_m, jnp.int32)])
+                [w, jnp.full((pad, w.shape[1]), plan.nnz_m, jnp.int32)])
             d = jnp.concatenate([d, jnp.full((pad,), cp, jnp.int32)])
-        gv.append(g); wi.append(w); dp_.append(d)
-    return dataclasses.replace(plan, gvals=tuple(gv), win_idx=tuple(wi),
-                               diag_pos=tuple(dp_))
+            if gram:
+                li = jnp.concatenate(
+                    [li, jnp.zeros((pad, li.shape[1]), li.dtype)])
+        gv.append(g); wi.append(w); dp_.append(d); ln.append(li)
+    return dataclasses.replace(
+        plan, gvals=tuple(gv), win_idx=tuple(wi), diag_pos=tuple(dp_),
+        lin=tuple(ln) if gram else plan.lin)
 
 
 def _residual_body(orig_data, out_nnz: int, n: int, real_out: int,
@@ -100,15 +109,25 @@ def _residual_body(orig_data, out_nnz: int, n: int, real_out: int,
 
 
 def _rowblock_residual_body(plan_meta, m_vals, gvals, win_idx, diag_pos,
-                            ov_arrays):
+                            ov_arrays, lin=()):
     """Rows-sharded rowblock residual: bucket rows sharded over ``rows``,
     local partial Σ(y−δ)² psum-reduced.  [B, nnz_m] (replicated) → [B].
     The overflow sub-plan is replicated, so its contribution is divided by
-    the rows-axis size before the psum (counted once globally)."""
-    nnz_m, n_missing, n_ov, rows, layout = plan_meta
+    the rows-axis size before the psum (counted once globally).
+    ``n_missing`` in the meta already folds the gram diag const."""
+    nnz_m, n_missing, n_ov, rows, layout, compress = plan_meta
     B = m_vals.shape[0]
     acc = jnp.zeros((B,), m_vals.dtype)
-    if layout == "mc":
+    if compress == "gram":
+        kt = jnp.concatenate(
+            [m_vals, jnp.zeros((B, 1), m_vals.dtype)], axis=1).T
+        for h, idx, li in zip(gvals, win_idx, lin):
+            kwin = kt[idx].astype(h.dtype)               # [R, mp, B]
+            t = jnp.einsum("rmn,rnb->rmb", h, kwin, precision="highest")
+            q = jnp.sum(t * kwin.astype(t.dtype), axis=1)
+            l2 = jnp.einsum("rm,rmb->rb", li, kwin, precision="highest")
+            acc = acc + jnp.sum(q - l2, axis=0).astype(acc.dtype)
+    elif layout == "mc":
         k2 = jnp.concatenate(
             [m_vals, jnp.zeros((B, 1), m_vals.dtype)], axis=1)
         for g, idx, dpos in zip(gvals, win_idx, diag_pos):
@@ -169,23 +188,26 @@ def _make_residual_provider(env, rows: int):
     if env.rb is not None:
         rb = _pad_rowblock(env.rb, rows)
         env = dataclasses.replace(env, rb=rb)
-        meta = (rb.nnz_m, rb.n_missing_diag, rb.n_overflow_slots, rows, rb.layout)
+        meta = (rb.nnz_m, rb.n_missing_diag + rb.n_bucket_diag,
+                rb.n_overflow_slots, rows, rb.layout, rb.compress)
         seed_dtype = env.seed.data.dtype
 
         def fn_rb(keep, aux):
-            seed_data, gvals, win_idx, diag_pos, ov_arrays = aux
+            seed_data, gvals, win_idx, diag_pos, ov_arrays, lin = aux
             m_vals = seed_data[None, :] * keep.astype(seed_dtype)
             res = _rowblock_residual_body(meta, m_vals, gvals, win_idx,
-                                          diag_pos, ov_arrays)
+                                          diag_pos, ov_arrays, lin=lin)
             return res, jnp.sum(keep, -1).astype(res.dtype)
 
         ov_arrays = (rb.ov_pair_m, rb.ov_w, rb.ov_seg, rb.ov_diag)
-        aux = (env.seed.data, rb.gvals, rb.win_idx, rb.diag_pos, ov_arrays)
+        aux = (env.seed.data, rb.gvals, rb.win_idx, rb.diag_pos, ov_arrays,
+               rb.lin)
         specs = (P(),
                  tuple(P("rows") for _ in rb.gvals),
                  tuple(P("rows") for _ in rb.win_idx),
                  tuple(P("rows") for _ in rb.diag_pos),
-                 (P(), P(), P(), P()))
+                 (P(), P(), P(), P()),
+                 tuple(P("rows") for _ in rb.lin))
         return env, aux, specs, fn_rb
 
     # COO pair plan (rows-sharded pairs)
@@ -236,20 +258,22 @@ def sharded_rowblock_residual_norms(mesh: Mesh, env: spai.SpaiEnv,
     [B] norms.  Buckets padded internally to the rows-axis size."""
     rows = mesh.shape["rows"]
     rb = _pad_rowblock(env.rb, rows)
-    meta = (rb.nnz_m, rb.n_missing_diag, rb.n_overflow_slots, rows, rb.layout)
+    meta = (rb.nnz_m, rb.n_missing_diag + rb.n_bucket_diag,
+            rb.n_overflow_slots, rows, rb.layout, rb.compress)
 
-    def local(m_vals_rep, gvals, win_idx, diag_pos, ov_arrays):
+    def local(m_vals_rep, gvals, win_idx, diag_pos, ov_arrays, lin):
         return _rowblock_residual_body(meta, m_vals_rep, gvals, win_idx,
-                                       diag_pos, ov_arrays)
+                                       diag_pos, ov_arrays, lin=lin)
 
     specs = (P(),
              tuple(P("rows") for _ in rb.gvals),
              tuple(P("rows") for _ in rb.win_idx),
              tuple(P("rows") for _ in rb.diag_pos),
-             (P(), P(), P(), P()))
+             (P(), P(), P(), P()),
+             tuple(P("rows") for _ in rb.lin))
     return shard_map(local, mesh=mesh, in_specs=specs, out_specs=P())(
         m_vals, rb.gvals, rb.win_idx, rb.diag_pos,
-        (rb.ov_pair_m, rb.ov_w, rb.ov_seg, rb.ov_diag))
+        (rb.ov_pair_m, rb.ov_w, rb.ov_seg, rb.ov_diag), rb.lin)
 
 
 def make_dp_train_step(mesh: Mesh, env, graph: pol.GraphInputs,

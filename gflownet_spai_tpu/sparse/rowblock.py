@@ -118,6 +118,15 @@ class RowBlockPlan:
                                   # (batch in lanes), "mc" = [R, mp, cp]
                                   # (batch in sublanes, C cols in lanes —
                                   # the MXU-friendly shape at small batch)
+    compress: str = "none"        # "gram": gvals hold H_r = G_rᵀG_r
+                                  # [R, mp, mp] and ``lin`` holds 2·G_rᵀe_r —
+                                  # the residual runs on the quadratic form
+                                  # ‖G_rk−e_r‖² = kᵀH_rk − linᵀk + δ_diag,
+                                  # eliminating the cp dimension entirely
+                                  # (~cp̄/mp̄ ≈ 4.4× fewer FLOPs and bytes)
+    n_bucket_diag: int = 0        # gram const: bucket rows whose C row has
+                                  # a diagonal slot (Σ‖e_r‖²)
+    lin: Tuple[jax.Array, ...] = ()   # gram: 2·G_rᵀe_r per bucket [R, mp]
 
     @property
     def padded_slots(self) -> int:
@@ -126,11 +135,11 @@ class RowBlockPlan:
 
 jax.tree_util.register_dataclass(
     RowBlockPlan,
-    data_fields=["gvals", "win_idx", "diag_pos", "out_pos",
+    data_fields=["gvals", "win_idx", "diag_pos", "out_pos", "lin",
                  "ov_pair_m", "ov_w", "ov_seg", "ov_diag", "ov_out_pos",
                  "out_row", "out_col"],
     meta_fields=["shape", "nnz_m", "out_nnz", "n_missing_diag", "npairs",
-                 "n_overflow_slots", "layout"],
+                 "n_overflow_slots", "layout", "compress", "n_bucket_diag"],
 )
 
 
@@ -150,7 +159,8 @@ def build_rowblock_plan(m_pattern: COO, a: COO,
                         max_block_slots: int = 32768,
                         pad_ratio_cap: float = 64.0,
                         class_step: float = 1.5,
-                        layout: str = "cm") -> RowBlockPlan:
+                        layout: str = "cm",
+                        compress: str = "none") -> RowBlockPlan:
     """Host-side symbolic phase (runs once per seed pattern).
 
     ``m_pattern``: the seed (row-major sorted COO — its entry order IS the
@@ -167,6 +177,16 @@ def build_rowblock_plan(m_pattern: COO, a: COO,
     — "mc" puts the batch on MXU sublanes and the C columns on lanes
     (the per-row matmuls become [B, mp] @ [mp, cp]), which beats "cm"'s
     batch-in-lanes shape whenever B < cp (i.e. every practical batch).
+
+    ``compress="gram"``: store per-row Gram blocks H_r = G_rᵀG_r [mp, mp]
+    and the linear term 2·G_rᵀe_r instead of G — the residual becomes
+    Σ_r (k_rᵀH_rk_r − linᵀk_r) + consts, removing the cp dimension
+    (~cp̄/mp̄ ≈ 4–5× fewer FLOPs and HBM bytes).  PRECISION NOTE: the
+    expanded quadratic cancels ‖G_rk‖² against 2·y[diag]; the summed f32
+    round-off is ~eps·Σ‖G_rk_r‖² ≈ eps·n, i.e. a relative residual error
+    up to ~eps·n/res² — ~1e-3-relative at the config-4 scale, same class
+    as bf16 G storage.  Reward-path use only; ``numeric`` (C values)
+    raises under gram.
     """
     import scipy.sparse as sp
 
@@ -217,6 +237,10 @@ def build_rowblock_plan(m_pattern: COO, a: COO,
     # the max width, then one argsort groups rows per class)
     if layout not in ("cm", "mc"):
         raise ValueError(f"unknown rowblock layout {layout!r}")
+    if compress not in ("none", "gram"):
+        raise ValueError(f"unknown rowblock compress {compress!r}")
+    if compress == "gram":
+        layout = "cm"        # staging layout; gram blocks are [R, mp, mp]
 
     def _classes_of(widths):
         table = np.array([_size_class(int(x), step=class_step) for x in
@@ -288,6 +312,22 @@ def build_rowblock_plan(m_pattern: COO, a: COO,
         else:
             g_np[b][pb_s[sl], jm[sl], jc[sl]] = pair_vals[sl]
 
+    # gram compression: fold the cp dimension into per-row quadratic forms
+    lin_np = []
+    n_bucket_diag = 0
+    if compress == "gram":
+        for b in range(nb):
+            G = g_np[b]                                   # [R, cp, mp]
+            R, cp, mp = G.shape
+            d = d_np[b]
+            has = d < cp
+            n_bucket_diag += int(has.sum())
+            lin = 2.0 * G[np.arange(R), np.where(has, d, 0), :]
+            lin[~has] = 0.0
+            g_np[b] = np.einsum("rcm,rcn->rmn", G, G,
+                                optimize=True).astype(stage_dt)
+            lin_np.append(lin.astype(stage_dt))
+
     # overflow sub-plan (gather path for the routed-out rows)
     ov_rows = np.nonzero(overflow)[0]
     ov_c = c_r[ov_rows]
@@ -323,6 +363,9 @@ def build_rowblock_plan(m_pattern: COO, a: COO,
         npairs=int(len(pair_i)),
         n_overflow_slots=S,
         layout=layout,
+        compress=compress,
+        n_bucket_diag=n_bucket_diag,
+        lin=tuple(jnp.asarray(l, gemm_dtype) for l in lin_np),
     )
 
 
@@ -346,6 +389,25 @@ def residual_sq_batch(plan: RowBlockPlan, m_vals: jax.Array) -> jax.Array:
     """
     B = m_vals.shape[0]
     acc = jnp.zeros((B,), m_vals.dtype)
+    if plan.compress == "gram":
+        # Σ_r k_rᵀH_rk_r − linᵀk_r + consts (see build_rowblock_plan —
+        # ~4–5× fewer FLOPs/bytes than the explicit product; ~1e-3-class
+        # relative precision from the expanded-square cancellation)
+        kt = jnp.concatenate(
+            [m_vals, jnp.zeros((B, 1), m_vals.dtype)], axis=1).T
+        for h, idx, lin in zip(plan.gvals, plan.win_idx, plan.lin):
+            kwin = kt[idx].astype(h.dtype)               # [R, mp, B]
+            t = jnp.einsum("rmn,rnb->rmb", h, kwin,
+                           precision="highest",
+                           preferred_element_type=_acc_dtype(h.dtype))
+            q = jnp.sum(t * kwin.astype(t.dtype), axis=1)      # [R, B]
+            l = jnp.einsum("rm,rmb->rb", lin, kwin,
+                           precision="highest",
+                           preferred_element_type=_acc_dtype(h.dtype))
+            acc = acc + jnp.sum(q - l, axis=0).astype(acc.dtype)
+        acc = acc + _overflow_residual_sq(plan, m_vals)
+        return acc + jnp.asarray(
+            plan.n_missing_diag + plan.n_bucket_diag, acc.dtype)
     if plan.layout == "mc":
         # batch on MXU sublanes, C columns on lanes: each row's product is
         # [B, mp] @ [mp, cp] — the lane dimension is cp (≫ B for every
@@ -403,6 +465,10 @@ def numeric(plan: RowBlockPlan, m_vals: jax.Array) -> jax.Array:
     """Values of C = M·A on the (row-major) static pattern — the rowblock
     equivalent of ``SpGEMMPlan.numeric`` (testing / C-materializing users;
     the reward path never calls this)."""
+    if plan.compress == "gram":
+        raise NotImplementedError(
+            "gram-compressed plans carry quadratic forms, not G — C values "
+            "are unavailable (build with compress='none' for numeric())")
     kt = jnp.concatenate([m_vals, jnp.zeros((1,), m_vals.dtype)])
     out = jnp.zeros((plan.out_nnz + 1,), m_vals.dtype)
     spec = "rcm,rm->rc" if plan.layout == "cm" else "rmc,rm->rc"

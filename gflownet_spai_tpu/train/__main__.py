@@ -43,6 +43,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--rowblock-class-step", type=float,
                    default=d.rowblock_class_step, dest="rowblock_class_step",
                    help="rowblock bucket ladder spacing (1.25 = finer)")
+    p.add_argument("--rowblock-compress", default=d.rowblock_compress,
+                   choices=["none", "gram"], dest="rowblock_compress",
+                   help="gram = quadratic-form residual (4-5x fewer "
+                        "FLOPs/bytes, ~1e-3-class precision)")
     p.add_argument("--reference-baseline", action="store_true",
                    help="score against the seed matrix like the reference driver "
                         "(GFlowNet100.py:173) instead of the true A")

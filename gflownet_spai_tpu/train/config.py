@@ -43,6 +43,9 @@ class TrainConfig:
     rowblock_class_step: float = 1.5  # bucket size-class ladder spacing
                                     # (1.25 = finer buckets, fewer padded
                                     # slots, ~2x the einsum count)
+    rowblock_compress: str = "none" # none | gram (quadratic-form residual:
+                                    # ~4-5x fewer FLOPs/bytes, ~1e-3-class
+                                    # precision — sparse.rowblock docstring)
     gat_tiled_min_edges: int = 100000  # policy graph switches to the
                                     # node-tile Pallas segment substrate
                                     # above this edge count

@@ -123,7 +123,8 @@ def setup(cfg: TrainConfig):
             rowblock_dtype=jnp.bfloat16 if cfg.rowblock_bf16 else None,
             baseline=cfg.reward_baseline,
             rowblock_layout=cfg.rowblock_layout,
-            rowblock_class_step=cfg.rowblock_class_step)
+            rowblock_class_step=cfg.rowblock_class_step,
+            rowblock_compress=cfg.rowblock_compress)
         graph = _graph(seed)
     mcfg = gfn.GFlowNetConfig(
         hidden_dim=cfg.hidden_dim, heads=cfg.heads,

@@ -347,3 +347,39 @@ def test_rowblock_mc_layout_shards_over_rows():
     got = sharded_rowblock_residual_norms(mesh, env, m_vals)
     want = RB.residual_norm_batch(env.rb, m_vals)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5)
+
+
+def test_rowblock_gram_compression_matches_exact():
+    """compress="gram" (quadratic-form residual) matches the explicit
+    product to ~f32-cancellation precision, single-device and rows-sharded,
+    and numeric() honestly refuses."""
+    import dataclasses
+    import numpy as np
+    from gflownet_spai_tpu.env import make_env
+    from gflownet_spai_tpu.parallel import make_mesh
+    from gflownet_spai_tpu.parallel.dp import sharded_rowblock_residual_norms
+    from gflownet_spai_tpu.sparse import rowblock as RB
+    from gflownet_spai_tpu.sparse.gallery import get
+
+    a = get("orsirr_like32")
+    ref = RB.build_rowblock_plan(a, a)
+    gram = RB.build_rowblock_plan(a, a, compress="gram")
+    # gram blocks are [R, mp, mp]: strictly smaller than [R, cp, mp]
+    assert gram.padded_slots < ref.padded_slots
+    rng = np.random.default_rng(9)
+    m_vals = jnp.asarray(rng.random((4, a.nnz)), jnp.float32)
+    want = RB.residual_norm_batch(ref, m_vals)
+    got = RB.residual_norm_batch(gram, m_vals)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-3)
+
+    env = make_env(a, original=a, reward_path="rowblock",
+                   rowblock_compress="gram")
+    mesh = make_mesh(dp=1, rows=8)
+    got_sh = sharded_rowblock_residual_norms(mesh, env, m_vals)
+    np.testing.assert_allclose(np.asarray(got_sh), np.asarray(want),
+                               rtol=2e-3)
+
+    with pytest.raises(NotImplementedError, match="gram"):
+        RB.numeric(gram, m_vals[0])
+    with pytest.raises(ValueError, match="compress"):
+        RB.build_rowblock_plan(a, a, compress="zz")

@@ -35,6 +35,9 @@ def main():
                          "on lanes (sparse.rowblock)")
     ap.add_argument("--class-step", type=float, default=1.5,
                     help="size-class ladder spacing (1.25 = finer buckets)")
+    ap.add_argument("--gram", action="store_true",
+                    help="gram-compressed plan (quadratic-form residual: "
+                         "~4-5x fewer FLOPs/bytes, ~1e-3-class precision)")
     args = ap.parse_args()
 
     # unstructured: random SPD-ish pattern, ~9 nnz/row, couplings within a
@@ -68,7 +71,8 @@ def main():
     env_rb = spai.make_env(seed, original=a, reward_path="rowblock",
                            rowblock_dtype=jnp.bfloat16 if args.bf16 else None,
                            rowblock_layout=args.layout,
-                           rowblock_class_step=args.class_step)
+                           rowblock_class_step=args.class_step,
+                           rowblock_compress="gram" if args.gram else "none")
     print(f"rowblock build: {time.time()-t0:.1f}s  pairs={env_rb.rb.npairs} "
           f"padded={env_rb.rb.padded_slots} "
           f"buckets={[tuple(g.shape) for g in env_rb.rb.gvals]}")
