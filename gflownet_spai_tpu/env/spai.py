@@ -175,7 +175,8 @@ def make_env(seed: COO, original: Optional[COO] = None,
              baseline: str = "matrix",
              rowblock_layout: str = "cm",
              rowblock_class_step: float = 1.5,
-             rowblock_compress: str = "none") -> SpaiEnv:
+             rowblock_compress: str = "none",
+             rowblock_order: str = "sorted") -> SpaiEnv:
     """Build the environment.  ``original`` defaults to ``seed`` which
     reproduces the reference driver's (questionable) baseline wiring
     (GFlowNet100.py:173); pass the true A for the corrected objective.
@@ -215,7 +216,15 @@ def make_env(seed: COO, original: Optional[COO] = None,
             seed, original,
             gemm_dtype=rowblock_dtype or seed.data.dtype,
             layout=rowblock_layout, class_step=rowblock_class_step,
-            compress=rowblock_compress)
+            compress=rowblock_compress, order=rowblock_order)
+        if rb.edge_perm is not None:
+            # window-order plans DEFINE the edge enumeration: the env's
+            # seed (→ action ids, policy graph, keep masks) follows it, so
+            # each bucket's m-value windows are contiguous slices and the
+            # batched reward runs gather-free (sparse.rowblock docstring)
+            p = rb.edge_perm
+            seed = COO(row=seed.row[p], col=seed.col[p],
+                       data=seed.data[p], shape=seed.shape)
         base_res = sqrt_n if identity else jnp.asarray(
             _baseline_residual_host(original), seed.data.dtype)
         base_flops = 2.0 * original.nnz * original.shape[1]

@@ -127,6 +127,15 @@ class RowBlockPlan:
     n_bucket_diag: int = 0        # gram const: bucket rows whose C row has
                                   # a diagonal slot (Σ‖e_r‖²)
     lin: Tuple[jax.Array, ...] = ()   # gram: 2·G_rᵀe_r per bucket [R, mp]
+    # window-order mode (order="window"): the plan DEFINES the edge
+    # enumeration — ``edge_perm`` maps new edge id → original sorted-CSR
+    # entry; bucket b's windows are the static contiguous slice
+    # m_vals[win_off[b] : win_off[b] + R_b·win_w[b]].reshape(R_b, w) —
+    # NO gather (measured: the kt[idx] window gather was 47 of the 56 ms
+    # reward at 22M pairs; the einsums are 0.5 ms)
+    win_off: Tuple[int, ...] = ()
+    win_w: Tuple[int, ...] = ()
+    edge_perm: jax.Array | None = None
 
     @property
     def padded_slots(self) -> int:
@@ -137,9 +146,10 @@ jax.tree_util.register_dataclass(
     RowBlockPlan,
     data_fields=["gvals", "win_idx", "diag_pos", "out_pos", "lin",
                  "ov_pair_m", "ov_w", "ov_seg", "ov_diag", "ov_out_pos",
-                 "out_row", "out_col"],
+                 "out_row", "out_col", "edge_perm"],
     meta_fields=["shape", "nnz_m", "out_nnz", "n_missing_diag", "npairs",
-                 "n_overflow_slots", "layout", "compress", "n_bucket_diag"],
+                 "n_overflow_slots", "layout", "compress", "n_bucket_diag",
+                 "win_off", "win_w"],
 )
 
 
@@ -160,7 +170,8 @@ def build_rowblock_plan(m_pattern: COO, a: COO,
                         pad_ratio_cap: float = 64.0,
                         class_step: float = 1.5,
                         layout: str = "cm",
-                        compress: str = "none") -> RowBlockPlan:
+                        compress: str = "none",
+                        order: str = "sorted") -> RowBlockPlan:
     """Host-side symbolic phase (runs once per seed pattern).
 
     ``m_pattern``: the seed (row-major sorted COO — its entry order IS the
@@ -187,6 +198,15 @@ def build_rowblock_plan(m_pattern: COO, a: COO,
     up to ~eps·n/res² — ~1e-3-relative at the config-4 scale, same class
     as bf16 G storage.  Reward-path use only; ``numeric`` (C values)
     raises under gram.
+
+    ``order="window"``: THE GATHER KILLER.  Rows are bucketed by their
+    EXACT window width (plus the cp class), and the plan defines a new
+    edge enumeration (``edge_perm``) in which every bucket's windows form
+    one contiguous slice of m_vals — the per-eval ``kt[win_idx]`` gather
+    (measured 47 of the 56 ms batched reward at 22M pairs; TPU has no
+    vector gather) disappears into static reshapes.  The CALLER must
+    permute the seed COO by ``edge_perm`` so action ids match
+    (env.spai.make_env does).  No m-axis padding exists in this mode.
     """
     import scipy.sparse as sp
 
@@ -239,7 +259,9 @@ def build_rowblock_plan(m_pattern: COO, a: COO,
         raise ValueError(f"unknown rowblock layout {layout!r}")
     if compress not in ("none", "gram"):
         raise ValueError(f"unknown rowblock compress {compress!r}")
-    if compress == "gram":
+    if order not in ("sorted", "window"):
+        raise ValueError(f"unknown rowblock order {order!r}")
+    if compress == "gram" or order == "window":
         layout = "cm"        # staging layout; gram blocks are [R, mp, mp]
 
     def _classes_of(widths):
@@ -247,7 +269,10 @@ def build_rowblock_plan(m_pattern: COO, a: COO,
                           range(int(widths.max()) + 1)] or [8])
         return table[widths]
 
-    mp_class = _classes_of(m_r)
+    # window mode: the m-axis buckets by EXACT width (zero padding, and
+    # each bucket's windows become one contiguous slice of the permuted
+    # edge enumeration — see docstring)
+    mp_class = m_r.copy() if order == "window" else _classes_of(m_r)
     cp_class = _classes_of(c_r)
     # pairs per row (for the pad-ratio overflow criterion)
     pairs_r = np.zeros(n, np.int64)
@@ -258,11 +283,11 @@ def build_rowblock_plan(m_pattern: COO, a: COO,
     key_of_row = cp_class * (2 ** 32) + mp_class
     live_rows = np.nonzero(live & ~overflow)[0]
     uniq_keys, inv = np.unique(key_of_row[live_rows], return_inverse=True)
-    order = np.argsort(inv, kind="stable")
-    bounds = np.searchsorted(inv[order], np.arange(len(uniq_keys) + 1))
+    r_order = np.argsort(inv, kind="stable")
+    bounds = np.searchsorted(inv[r_order], np.arange(len(uniq_keys) + 1))
     classes = {
         (int(k // (2 ** 32)), int(k % (2 ** 32))):
-            live_rows[order[bounds[i]:bounds[i + 1]]]
+            live_rows[r_order[bounds[i]:bounds[i + 1]]]
         for i, k in enumerate(uniq_keys)
     }
 
@@ -280,6 +305,8 @@ def build_rowblock_plan(m_pattern: COO, a: COO,
     slot_of_row = np.full(n, -1)
     nb = len(classes)
     g_np, w_np, d_np, o_np = [None] * nb, [None] * nb, [None] * nb, [None] * nb
+    win_off, win_w, perm_parts = [], [], []
+    off_acc = 0
     for b, (key, rows) in enumerate(sorted(classes.items())):
         cp, mp = key
         rows = np.asarray(rows)
@@ -291,8 +318,18 @@ def build_rowblock_plan(m_pattern: COO, a: COO,
         g_np[b] = np.zeros((R, cp, mp) if layout == "cm" else (R, mp, cp),
                            stage_dt)
         col_ids = np.arange(mp)[None, :]
-        w_np[b] = np.where(col_ids < m_r[rows][:, None],
-                           m_indptr[rows][:, None] + col_ids, len(m_cols))
+        if order == "window":
+            # windows land contiguously in the permuted enumeration
+            w_np[b] = off_acc + np.arange(R)[:, None] * mp + col_ids
+            perm_parts.append(
+                (m_indptr[rows][:, None] + col_ids).ravel())
+            win_off.append(int(off_acc))
+            win_w.append(int(mp))
+            off_acc += R * mp
+        else:
+            w_np[b] = np.where(col_ids < m_r[rows][:, None],
+                               m_indptr[rows][:, None] + col_ids,
+                               len(m_cols))
         d_np[b] = np.where(dpos_all[rows] >= 0, dpos_all[rows], cp)
         oc = np.arange(cp)[None, :]
         o_np[b] = np.where(oc < c_r[rows][:, None],
@@ -338,6 +375,24 @@ def build_rowblock_plan(m_pattern: COO, a: COO,
     sel = overflow[r_of_pair]
     ov_pair_m = pair_i[sel]
     ov_w = a_data[pair_j[sel]]
+    edge_perm = None
+    if order == "window":
+        # overflow rows' windows close out the permuted enumeration
+        o_starts = m_indptr[ov_rows]
+        o_lens = m_r[ov_rows]
+        tot = int(o_lens.sum())
+        tail = (np.repeat(o_starts, o_lens)
+                + np.arange(tot)
+                - np.repeat(np.concatenate([[0], np.cumsum(o_lens)[:-1]])
+                            if len(o_lens) else np.zeros(0, np.int64),
+                            o_lens))
+        edge_perm = np.concatenate(
+            [p for p in perm_parts] + [tail]).astype(np.int64)
+        if len(edge_perm) != len(m_cols):
+            raise AssertionError("window permutation must cover every edge")
+        inv_perm = np.empty(len(m_cols), np.int64)
+        inv_perm[edge_perm] = np.arange(len(m_cols))
+        ov_pair_m = inv_perm[ov_pair_m]
     ov_seg = slot_base[r_of_pair[sel]] + jc[sel]
     within_slot = np.arange(S) - np.repeat(slot_base[ov_rows], ov_c)
     ov_out_pos = np.repeat(c_indptr[ov_rows], ov_c) + within_slot
@@ -366,6 +421,10 @@ def build_rowblock_plan(m_pattern: COO, a: COO,
         compress=compress,
         n_bucket_diag=n_bucket_diag,
         lin=tuple(jnp.asarray(l, gemm_dtype) for l in lin_np),
+        win_off=tuple(win_off),
+        win_w=tuple(win_w),
+        edge_perm=(None if edge_perm is None
+                   else jnp.asarray(edge_perm, jnp.int32)),
     )
 
 
@@ -389,6 +448,42 @@ def residual_sq_batch(plan: RowBlockPlan, m_vals: jax.Array) -> jax.Array:
     """
     B = m_vals.shape[0]
     acc = jnp.zeros((B,), m_vals.dtype)
+    if plan.win_off:
+        # window-order plan: NO gather — every bucket's windows are one
+        # static contiguous slice of (the permuted) m_vals
+        adt = _acc_dtype(plan.gvals[0].dtype if plan.gvals else m_vals.dtype)
+        if plan.compress == "gram":
+            for h, lin_b, off, w in zip(plan.gvals, plan.lin,
+                                        plan.win_off, plan.win_w):
+                R = h.shape[0]
+                kwin = jax.lax.slice(
+                    m_vals, (0, off), (B, off + R * w)
+                ).reshape(B, R, w).astype(h.dtype)
+                t = jnp.einsum("rmn,brn->brm", h, kwin,
+                               precision="highest",
+                               preferred_element_type=adt)
+                q = jnp.sum(t * kwin.astype(t.dtype), axis=2)      # [B, R]
+                l2 = jnp.einsum("rm,brm->br", lin_b, kwin,
+                                precision="highest",
+                                preferred_element_type=adt)
+                acc = acc + jnp.sum(q - l2, axis=1).astype(acc.dtype)
+            acc = acc + _overflow_residual_sq(plan, m_vals)
+            return acc + jnp.asarray(
+                plan.n_missing_diag + plan.n_bucket_diag, acc.dtype)
+        for g, dpos, off, w in zip(plan.gvals, plan.diag_pos,
+                                   plan.win_off, plan.win_w):
+            R, cp = g.shape[0], g.shape[1]
+            kwin = jax.lax.slice(
+                m_vals, (0, off), (B, off + R * w)
+            ).reshape(B, R, w).astype(g.dtype)
+            y = jnp.einsum("rcm,brm->brc", g, kwin,
+                           precision="highest", preferred_element_type=adt)
+            e = (jnp.arange(cp, dtype=jnp.int32)[None, :]
+                 == dpos[:, None]).astype(y.dtype)                 # [R, cp]
+            acc = acc + jnp.sum(
+                jnp.square(y - e[None]), axis=(1, 2)).astype(acc.dtype)
+        acc = acc + _overflow_residual_sq(plan, m_vals)
+        return acc + jnp.asarray(plan.n_missing_diag, acc.dtype)
     if plan.compress == "gram":
         # Σ_r k_rᵀH_rk_r − linᵀk_r + consts (see build_rowblock_plan —
         # ~4–5× fewer FLOPs/bytes than the explicit product; ~1e-3-class

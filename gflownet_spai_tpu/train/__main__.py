@@ -47,6 +47,11 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["none", "gram"], dest="rowblock_compress",
                    help="gram = quadratic-form residual (4-5x fewer "
                         "FLOPs/bytes, ~1e-3-class precision)")
+    p.add_argument("--rowblock-order", default=d.rowblock_order,
+                   choices=["sorted", "window"], dest="rowblock_order",
+                   help="window = gather-free batched reward (the plan "
+                        "defines the edge enumeration; windows become "
+                        "static contiguous slices)")
     p.add_argument("--reference-baseline", action="store_true",
                    help="score against the seed matrix like the reference driver "
                         "(GFlowNet100.py:173) instead of the true A")

@@ -46,6 +46,12 @@ class TrainConfig:
     rowblock_compress: str = "none" # none | gram (quadratic-form residual:
                                     # ~4-5x fewer FLOPs/bytes, ~1e-3-class
                                     # precision — sparse.rowblock docstring)
+    rowblock_order: str = "sorted"  # sorted | window (gather-free batched
+                                    # reward: the plan defines the edge
+                                    # enumeration so windows are static
+                                    # contiguous slices — the kt[idx]
+                                    # gather was 47 of the 56 ms reward at
+                                    # 22M pairs)
     gat_tiled_min_edges: int = 100000  # policy graph switches to the
                                     # node-tile Pallas segment substrate
                                     # above this edge count

@@ -124,8 +124,12 @@ def setup(cfg: TrainConfig):
             baseline=cfg.reward_baseline,
             rowblock_layout=cfg.rowblock_layout,
             rowblock_class_step=cfg.rowblock_class_step,
-            rowblock_compress=cfg.rowblock_compress)
-        graph = _graph(seed)
+            rowblock_compress=cfg.rowblock_compress,
+            rowblock_order=cfg.rowblock_order)
+        # env.seed, not the local seed: window-order rowblock plans define
+        # their own edge enumeration and the graph/action ids must match
+        seed = env.seed
+        graph = _graph(env.seed)
     mcfg = gfn.GFlowNetConfig(
         hidden_dim=cfg.hidden_dim, heads=cfg.heads,
         num_actions=env.num_actions, loss=cfg.loss,

@@ -383,3 +383,50 @@ def test_rowblock_gram_compression_matches_exact():
         RB.numeric(gram, m_vals[0])
     with pytest.raises(ValueError, match="compress"):
         RB.build_rowblock_plan(a, a, compress="zz")
+
+
+def test_rowblock_window_order_matches_sorted():
+    """order="window" (gather-free reward): same residuals as the sorted
+    plan once the keep mask follows the plan's edge permutation; the
+    permutation is a bijection over edges; gram composes; the env
+    integration (make_env) permutes its seed consistently."""
+    import numpy as np
+    from gflownet_spai_tpu.env import make_env
+    from gflownet_spai_tpu.env.spai import batched_residual_norms
+    from gflownet_spai_tpu.sparse import rowblock as RB
+    from gflownet_spai_tpu.sparse.gallery import get
+
+    a = get("orsirr_like32")
+    ref = RB.build_rowblock_plan(a, a)
+    win = RB.build_rowblock_plan(a, a, order="window")
+    perm = np.asarray(win.edge_perm)
+    assert sorted(perm.tolist()) == list(range(a.nnz))     # bijection
+    assert win.win_off and len(win.win_off) == len(win.gvals)
+    # window mode has ZERO m-axis padding
+    assert sum(g.shape[0] * g.shape[2] for g in win.gvals) == sum(
+        int((np.asarray(w) < a.nnz).sum()) for w in ref.win_idx)
+
+    rng = np.random.default_rng(11)
+    m_sorted = jnp.asarray(rng.random((4, a.nnz)), jnp.float32)
+    want = RB.residual_norm_batch(ref, m_sorted)
+    got = RB.residual_norm_batch(win, m_sorted[:, perm])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5)
+
+    wg = RB.build_rowblock_plan(a, a, order="window", compress="gram")
+    got_g = RB.residual_norm_batch(wg, m_sorted[:, np.asarray(wg.edge_perm)])
+    np.testing.assert_allclose(np.asarray(got_g), np.asarray(want),
+                               rtol=2e-3)
+
+    # env integration: the permuted seed's keep masks score identically
+    env_s = make_env(a, original=a, reward_path="rowblock")
+    env_w = make_env(a, original=a, reward_path="rowblock",
+                     rowblock_order="window")
+    keep = jnp.asarray(rng.random((3, a.nnz)) > 0.3)
+    want_e = batched_residual_norms(env_s, keep)
+    got_e = batched_residual_norms(env_w, keep[:, perm])
+    np.testing.assert_allclose(np.asarray(got_e), np.asarray(want_e),
+                               rtol=1e-5)
+    # same edge SET under both enumerations
+    k_old = np.asarray(env_s.seed.row) * a.shape[1] + np.asarray(env_s.seed.col)
+    k_new = np.asarray(env_w.seed.row) * a.shape[1] + np.asarray(env_w.seed.col)
+    assert set(k_old.tolist()) == set(k_new.tolist())

@@ -38,6 +38,9 @@ def main():
     ap.add_argument("--gram", action="store_true",
                     help="gram-compressed plan (quadratic-form residual: "
                          "~4-5x fewer FLOPs/bytes, ~1e-3-class precision)")
+    ap.add_argument("--window", action="store_true",
+                    help="window-order plan: gather-free batched reward "
+                         "(the plan defines the edge enumeration)")
     args = ap.parse_args()
 
     # unstructured: random SPD-ish pattern, ~9 nnz/row, couplings within a
@@ -72,7 +75,9 @@ def main():
                            rowblock_dtype=jnp.bfloat16 if args.bf16 else None,
                            rowblock_layout=args.layout,
                            rowblock_class_step=args.class_step,
-                           rowblock_compress="gram" if args.gram else "none")
+                           rowblock_compress="gram" if args.gram else "none",
+                           rowblock_order="window" if args.window
+                           else "sorted")
     print(f"rowblock build: {time.time()-t0:.1f}s  pairs={env_rb.rb.npairs} "
           f"padded={env_rb.rb.padded_slots} "
           f"buckets={[tuple(g.shape) for g in env_rb.rb.gvals]}")
@@ -85,8 +90,13 @@ def main():
         r = spai.batched_residual_norms(env, km)
         return (km ^ (r[:, None] < -1e30), env)
 
-    out = np.asarray(spai.batched_residual_norms(env_rb, keep_mask))
-    dt = timed(step, (keep_mask, env_rb),
+    # window-order plans permute the edge enumeration: apply the same
+    # permutation to the mask so the pair-plan cross-check compares the
+    # SAME thinned pattern
+    keep_rb = (keep_mask if env_rb.rb.edge_perm is None
+               else keep_mask[:, env_rb.rb.edge_perm])
+    out = np.asarray(spai.batched_residual_norms(env_rb, keep_rb))
+    dt = timed(step, (keep_rb, env_rb),
                scalarize=lambda c: jnp.sum(c[0]), iters_lo=5, iters_hi=25)
     pairs_rate = env_rb.rb.npairs * B / dt
     print(f"rowblock: {dt*1e3:.3f} ms/batch({B})  "
