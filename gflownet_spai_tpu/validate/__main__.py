@@ -33,6 +33,12 @@ def main(argv=None) -> int:
                    help="ReduceLROnPlateau patience; 0 disables (must "
                         "match the training run when restoring a "
                         "checkpoint — the optimizer state shape differs)")
+    p.add_argument("--rowblock-order", default="sorted",
+                   choices=["sorted", "window"],
+                   help="must match the training run when restoring a "
+                        "checkpoint: window-order plans define the edge "
+                        "enumeration, i.e. the ACTION IDS the policy "
+                        "head was trained on")
     # defaults = the quality recipe established on both the SPD and the
     # nonsymmetric (config-4) classes: classic-SPAI seed + SubTB + the
     # associative-scan backward policy + auto reward baseline (ilu0 seeds —
@@ -103,6 +109,7 @@ def main(argv=None) -> int:
         matrix=args.matrix, seed_method=args.seed_method,
         batch_size=args.batch_size, num_epochs=args.epochs, lr=args.lr,
         plateau_patience=args.plateau_patience,
+        rowblock_order=args.rowblock_order,
         out_dir=args.out_dir, alpha_fixed=args.alpha_fixed,
         reward_baseline=args.reward_baseline,
         loss=args.loss, subtb_lambda=args.subtb_lambda,
