@@ -102,16 +102,16 @@ def subtb_loss(
     c = jnp.where(valid, logF - prefix, 0.0)              # [B, T+1]
 
     # m_j = Σ_{i<j} λ^{j−i} c_i  via  m_j = λ(m_{j−1} + c_{j−1});
-    # q_j likewise with c²; s_j = Σ_{i<j} λ^{j−i} closed-form.
-    def comb(e1, e2):
-        a1, m1, q1 = e1
-        a2, m2, q2 = e2
-        return a1 * a2, a2 * m1 + m2, a2 * q1 + q2
+    # q_j likewise with c²; s_j = Σ_{i<j} λ^{j−i} closed-form.  Both are
+    # first-order linear recurrences — ops.scan.linear_scan runs them with
+    # the analytic one-reverse-scan adjoint (the default associative_scan
+    # AD through the combinator tree was the train-step bound at 112k
+    # actions — docs/BENCH.md round-3 decomposition)
+    from ..ops.scan import linear_scan
 
     a = jnp.full((B, T), lam, dtype)
-    _, m_sc, q_sc = jax.lax.associative_scan(
-        comb, (a, lam * c[:, :-1], lam * c[:, :-1] ** 2), axis=-1
-    )
+    m_sc = linear_scan(a, lam * c[:, :-1], axis=-1)
+    q_sc = linear_scan(a, lam * c[:, :-1] ** 2, axis=-1)
     zeros = jnp.zeros((B, 1), dtype)
     m = jnp.concatenate([zeros, m_sc], axis=-1)           # [B, T+1]
     q = jnp.concatenate([zeros, q_sc], axis=-1)

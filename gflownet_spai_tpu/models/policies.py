@@ -353,12 +353,12 @@ def linear_backward_logprobs(p: LinearBackwardParams,
     a = jnp.where(valid, jax.nn.sigmoid(p.emb_g[idx]), 1.0)[:, None]
     b = jnp.where(valid[:, None], (1.0 - a) * p.emb_v[idx], 0.0)
 
-    def combine(lhs, rhs):
-        a1, b1 = lhs
-        a2, b2 = rhs
-        return a1 * a2, a2 * b1 + b2
+    # optimal-adjoint scan (ops.scan): the analytic VJP is ONE reverse
+    # scan instead of AD through the combinator tree — the backward of
+    # these scans was the 112k-action train step's bound (BENCH round 3)
+    from ..ops.scan import linear_scan
 
-    _, h = jax.lax.associative_scan(combine, (a, b))
+    h = linear_scan(jnp.broadcast_to(a, b.shape), b)
     h_last = h[-1]                                       # carry froze on pads
     logits = h_last @ p.fc_w + p.fc_b
     step_ids = jnp.arange(T)

@@ -786,3 +786,38 @@ def test_fused_power_bf16_diagonals():
     zj = np.asarray(D.spmv_dia_power(db, dk, xq, zq, scale=0.3, k=k))
     np.testing.assert_allclose(zj[tr:tr + n], np.asarray(want),
                                rtol=2e-2, atol=2e-2)
+
+
+def test_linear_scan_matches_default_ad():
+    """ops.scan.linear_scan: values and (custom one-reverse-scan) VJP match
+    the default associative_scan and its autodiff, on both axes."""
+    import jax
+    import numpy as np
+    from gflownet_spai_tpu.ops.scan import linear_scan
+
+    rng = np.random.default_rng(3)
+    B, T, H = 3, 37, 5
+
+    def ref(a, b, axis):
+        def comb(l, r):
+            a1, b1 = l
+            a2, b2 = r
+            return a1 * a2, a2 * b1 + b2
+        return jax.lax.associative_scan(comb, (a, b), axis=axis)[1]
+
+    for shape, axis in (((T, H), 0), ((B, T), -1)):
+        a = jnp.asarray(rng.uniform(0.2, 0.95, shape), jnp.float32)
+        b = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+        tgt = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+        np.testing.assert_allclose(
+            np.asarray(linear_scan(a, b, axis=axis)),
+            np.asarray(ref(a, b, axis)), rtol=1e-6, atol=1e-6)
+
+        f_new = lambda a, b: jnp.sum(linear_scan(a, b, axis=axis) * tgt)
+        f_ref = lambda a, b: jnp.sum(ref(a, b, axis) * tgt)
+        ga = jax.grad(f_new, argnums=(0, 1))(a, b)
+        gr = jax.grad(f_ref, argnums=(0, 1))(a, b)
+        for x, y, name in zip(ga, gr, "ab"):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                       rtol=2e-5, atol=2e-6,
+                                       err_msg=f"axis={axis} grad {name}")
