@@ -37,9 +37,12 @@ class Rollout(NamedTuple):
 
 
 def _suffix_logsumexp(x: jax.Array) -> jax.Array:
-    """s[t] = logsumexp(x[t:]) along the last axis."""
-    axis = x.ndim - 1
-    return jnp.flip(jax.lax.cumlogsumexp(jnp.flip(x, axis), axis=axis), axis)
+    """s[t] = logsumexp(x[t:]) along the last axis (analytic one-scan
+    adjoint — ops.scan.suffix_logsumexp; this [B, A] normalizer is the
+    biggest differentiable tensor in the SPAI loss)."""
+    from ..ops.scan import suffix_logsumexp
+
+    return suffix_logsumexp(x)
 
 
 def gumbel_topk_rollout(logits: jax.Array, key, terminal_action: int,

@@ -70,3 +70,47 @@ def _linear_scan_bwd(axis, res, hbar):
 
 
 linear_scan.defvjp(_linear_scan_fwd, _linear_scan_bwd)
+
+
+def _suffix_lse(x: jax.Array) -> jax.Array:
+    ax = x.ndim - 1
+    return jnp.flip(jax.lax.cumlogsumexp(jnp.flip(x, ax), axis=ax), ax)
+
+
+@jax.custom_vjp
+def suffix_logsumexp(x: jax.Array) -> jax.Array:
+    """s_t = logsumexp(x[t:]) along the LAST axis, with the analytic
+    adjoint instead of AD through ``cumlogsumexp``'s combinator tree.
+
+    ∂L/∂x_u = e^{x_u−s_u} · D_u with D_u = e^{s_u−s_{u−1}}·D_{u−1} + ŝ_u
+    (s is non-increasing, so every exponent is ≤ 0 — fully stable), i.e.
+    the backward pass is ONE ``linear_scan``.  This is the normalizer of
+    the rollout's differentiable per-step log-probs
+    (gfn.rollout._suffix_logsumexp) — a [B, A] tensor at SPAI scale."""
+    return _suffix_lse(x)
+
+
+def _suffix_lse_fwd(x):
+    s = _suffix_lse(x)
+    return s, (x, s)
+
+
+def _suffix_lse_bwd(res, sbar):
+    x, s = res
+    ax = x.ndim - 1
+    finite = jnp.isfinite(s)
+    prev = jnp.concatenate(
+        [jax.lax.slice_in_dim(s, 0, 1, axis=ax),
+         jax.lax.slice_in_dim(s, 0, s.shape[ax] - 1, axis=ax)], axis=ax)
+    both = finite & jnp.isfinite(prev)
+    a = jnp.where(both, jnp.exp(jnp.minimum(s - jnp.where(both, prev, 0.0),
+                                            0.0)), 0.0)
+    r = jnp.where(finite & (sbar != 0), sbar, 0.0)
+    d = linear_scan(a, r, axis=ax)
+    xbar = jnp.where(jnp.isfinite(x) & finite,
+                     jnp.exp(jnp.minimum(x - jnp.where(finite, s, 0.0), 0.0))
+                     * d, 0.0)
+    return (xbar,)
+
+
+suffix_logsumexp.defvjp(_suffix_lse_fwd, _suffix_lse_bwd)

@@ -821,3 +821,38 @@ def test_linear_scan_matches_default_ad():
             np.testing.assert_allclose(np.asarray(x), np.asarray(y),
                                        rtol=2e-5, atol=2e-6,
                                        err_msg=f"axis={axis} grad {name}")
+
+
+def test_suffix_logsumexp_custom_vjp_matches_default():
+    """ops.scan.suffix_logsumexp: values + gradients match flip∘cumlogsumexp
+    and its default AD, including −inf (masked-action) entries."""
+    import jax
+    import numpy as np
+    from gflownet_spai_tpu.ops.scan import suffix_logsumexp
+
+    rng = np.random.default_rng(8)
+    B, A = 4, 200
+    x_np = rng.standard_normal((B, A)) * 3.0
+    x_np[:, -7:] = -np.inf          # padded action tail
+    x = jnp.asarray(x_np, jnp.float32)
+    tgt_np = rng.standard_normal((B, A)).astype(np.float32)
+    tgt_np[:, -7:] = 0.0            # cotangents vanish on the pad
+    tgt = jnp.asarray(tgt_np)
+
+    def ref(x):
+        return jnp.flip(jax.lax.cumlogsumexp(jnp.flip(x, 1), axis=1), 1)
+
+    np.testing.assert_allclose(np.asarray(suffix_logsumexp(x)),
+                               np.asarray(ref(x)), rtol=1e-6, atol=1e-6)
+    g_new = jax.grad(lambda x: jnp.sum(
+        jnp.where(tgt != 0, suffix_logsumexp(x) * tgt, 0.0)))(x)
+    g_ref = jax.grad(lambda x: jnp.sum(
+        jnp.where(tgt != 0, ref(x) * tgt, 0.0)))(x)
+    # the custom adjoint is finite EVERYWHERE (default AD of cumlogsumexp
+    # NaNs on the −inf pad — exactly what the guard exists for); compare
+    # on the finite lanes
+    assert np.isfinite(np.asarray(g_new)).all()
+    fin = np.isfinite(x_np)
+    np.testing.assert_allclose(np.asarray(g_new)[fin],
+                               np.asarray(g_ref)[fin],
+                               rtol=2e-4, atol=2e-5)
