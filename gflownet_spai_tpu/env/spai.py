@@ -139,8 +139,15 @@ def resolve_baseline(seed: COO, original: COO, baseline: str) -> str:
     ``auto`` picks ``identity`` whenever ‖A·A−I‖ > 20·‖M₀·A−I‖ (an
     approximate-inverse seed on an unscaled matrix — the config-4 class)
     and the reference's ``matrix`` formula otherwise."""
+    return _resolve_baseline_with_value(seed, original, baseline)[0]
+
+
+def _resolve_baseline_with_value(seed: COO, original: COO, baseline: str):
+    """(mode, ‖A·A−I‖ or None) — the resolved mode plus the host baseline
+    residual already computed while resolving, so make_env never pays the
+    multi-second scipy A@A product twice at 1M+ nnz (ADVICE r3)."""
     if baseline == "identity":
-        return "identity"
+        return "identity", None
     if baseline not in ("matrix", "auto"):
         raise ValueError(f"unknown baseline {baseline!r}")
     import warnings
@@ -149,7 +156,7 @@ def resolve_baseline(seed: COO, original: COO, baseline: str) -> str:
     seed_res = _seed_residual_host(seed, original)
     degenerate = base > DEGENERACY_FACTOR * max(seed_res, 1e-30)
     if not degenerate:
-        return "matrix"
+        return "matrix", base
     detail = (
         f"reward baseline ‖A·A−I‖={base:.3e} is {base / max(seed_res, 1e-30):.0f}× "
         f"the seed residual ‖M0·A−I‖={seed_res:.3e}: the residual term of the "
@@ -161,12 +168,12 @@ def resolve_baseline(seed: COO, original: COO, baseline: str) -> str:
         warnings.warn(
             "reward_baseline='auto' resolved to 'identity': " + detail,
             stacklevel=2)
-        return "identity"
+        return "identity", None
     warnings.warn(
         "DEGENERATE reward baseline: " + detail +
         " Pass reward_baseline='identity' (or 'auto').",
         stacklevel=2)
-    return "matrix"
+    return "matrix", base
 
 
 def make_env(seed: COO, original: Optional[COO] = None,
@@ -208,7 +215,8 @@ def make_env(seed: COO, original: Optional[COO] = None,
       which case ``identity`` with a warning."""
     if original is None:
         original = seed
-    baseline = resolve_baseline(seed, original, baseline)
+    baseline, cached_base = _resolve_baseline_with_value(
+        seed, original, baseline)
     identity = baseline == "identity"
     sqrt_n = jnp.asarray(np.sqrt(float(original.shape[0])), seed.data.dtype)
     if reward_path == "rowblock":
@@ -226,7 +234,8 @@ def make_env(seed: COO, original: Optional[COO] = None,
             seed = COO(row=seed.row[p], col=seed.col[p],
                        data=seed.data[p], shape=seed.shape)
         base_res = sqrt_n if identity else jnp.asarray(
-            _baseline_residual_host(original), seed.data.dtype)
+            cached_base if cached_base is not None
+            else _baseline_residual_host(original), seed.data.dtype)
         base_flops = 2.0 * original.nnz * original.shape[1]
         return SpaiEnv(seed=seed, original=original, plan=None,
                        baseline_residual=base_res, baseline_flops=base_flops,

@@ -17,11 +17,12 @@ tensors live only in VMEM:
     out      = onehot @ (xs_slot ⊙ (α @ E))    (weighted segment-sum)
 
 Only ``out`` ([TN, HD] per tile) and the kernel inputs touch HBM.  The
-multi-head segment softmax avoids the per-head loop of
-``ops.segment._softmax_kernel`` entirely: with the tile-level max as the
-(mathematically arbitrary) stability shift, the per-segment normalizers
-are ``onehot @ exp(scores)`` followed by the ``onehotᵀ`` broadcast — two
-MXU matmuls covering every head at once.  Padding slots have an all-zero
+multi-head segment softmax uses a true per-SEGMENT stability shift
+(masked sublane max per head + one ``onehotᵀ`` broadcast matmul — see
+``_segshift``; ADVICE r3 flagged the earlier tile-level shift, which
+underflowed segments far below the tile max); the per-segment
+normalizers are then ``onehot @ exp(scores)`` followed by the
+``onehotᵀ`` broadcast — two MXU matmuls covering every head at once.  Padding slots have an all-zero
 onehot column, so their normalizer is exactly 0 and they are masked by
 ``where(den > 0, ex/den, 0)`` without needing the slot ids in sublane
 layout.
@@ -92,8 +93,16 @@ def gat_tile_fused_jnp(tiles: SegTiles, attr: jax.Array, xs_slot: jax.Array,
     scores = jnp.matmul(act, _blockdiag_att(att),
                         precision="highest")                # [T·S, H]
     sc_t = scores.reshape(T, S, H)
-    m = jnp.max(sc_t, axis=1, keepdims=True)                # tile-level shift
-    ex = jnp.exp(sc_t - m)
+    # per-SEGMENT stability shift (ADVICE r3: a tile-level shift underflows
+    # any segment sitting ~88+ below the tile max and silently zeroes it);
+    # padding slots (all-zero onehot column) shift by their own score → 1
+    masked = jnp.where(oh[..., None], sc_t[:, None, :, :],
+                       jnp.asarray(-1e30, sc_t.dtype))      # [T, TN, S, H]
+    segmax = jnp.max(masked, axis=2)                        # [T, TN, H]
+    colsum = jnp.sum(ohf, axis=1)                           # [T, S]
+    shift = (jnp.einsum("tvs,tvh->tsh", ohf, segmax, precision="highest")
+             + (1.0 - colsum)[..., None] * sc_t)
+    ex = jnp.exp(sc_t - shift)
     den = jnp.einsum("tvs,tsh->tvh", ohf, ex, precision="highest")
     den_s = jnp.einsum("tvs,tvh->tsh", ohf, den, precision="highest")
     alpha = jnp.where(den_s > 0, ex / jnp.where(den_s > 0, den_s, 1.0), 0.0)
@@ -108,6 +117,30 @@ def gat_tile_fused_jnp(tiles: SegTiles, attr: jax.Array, xs_slot: jax.Array,
 # Pallas kernels
 # ---------------------------------------------------------------------------
 
+def _segshift(ohT_b, ohT_f, scores, tn: int):
+    """Per-SEGMENT softmax stability shift in [S, H] layout (ADVICE r3: a
+    tile-level shift silently zeroes segments ~88+ below the tile max).
+    Per head: a masked sublane max over the [S, TN] slot→node onehot gives
+    the segment max [TN, 1] (the [TN]→[TN,1] lane→sublane relayout is the
+    proven _gather_win_kernel pattern), and ``ohTᶠ @ segmax`` broadcasts it
+    back to slots.  Padding slots (all-zero onehot row) shift by their OWN
+    score so exp() = 1 there — their zero onehot column keeps them out of
+    every normalizer, exactly as before."""
+    H = scores.shape[1]
+    dt = scores.dtype
+    neg = jnp.asarray(-1e30, dt)
+    cols = []
+    for h in range(H):
+        masked = jnp.where(ohT_b, scores[:, h:h + 1], neg)  # [S, TN]
+        seg = jnp.max(masked, axis=0)[:, None]              # [TN, 1]
+        cols.append(jnp.matmul(ohT_f, seg, precision="highest",
+                               preferred_element_type=dt))  # [S, 1]
+    shift = jnp.concatenate(cols, axis=1) if H > 1 else cols[0]
+    colsum = jnp.matmul(ohT_f, jnp.ones((tn, 1), dt), precision="highest",
+                        preferred_element_type=dt)          # [S, 1]
+    return shift + (1.0 - colsum) * scores
+
+
 def _fwd_kernel(tn: int, uniform: bool, negative_slope: float):
     def kernel(lid_ref, attr_ref, xs_ref, xd_ref, we_ref, A_ref, E_ref,
                out_ref):
@@ -115,6 +148,9 @@ def _fwd_kernel(tn: int, uniform: bool, negative_slope: float):
         S = lid.shape[-1]
         ohf = (jax.lax.broadcasted_iota(jnp.int32, (tn, S), 0)
                == lid).astype(we_ref.dtype)                 # [TN, S]
+        ohT_b = (jax.lax.broadcasted_iota(jnp.int32, (S, tn), 1)
+                 == lid_ref[0, 0, :][:, None])              # [S, TN]
+        ohT_f = ohT_b.astype(we_ref.dtype)
         a_col = attr_ref[0, 0, :][:, None]                  # [S, 1]
         e = a_col * we_ref[...]                             # [S, HD]
         if uniform:
@@ -126,8 +162,7 @@ def _fwd_kernel(tn: int, uniform: bool, negative_slope: float):
         act = jnp.where(msg > 0, msg, negative_slope * msg)
         scores = jnp.matmul(act, A_ref[...], precision="highest",
                             preferred_element_type=e.dtype)  # [S, H]
-        m = jnp.max(scores, axis=0, keepdims=True)           # [1, H]
-        ex = jnp.exp(scores - m)
+        ex = jnp.exp(scores - _segshift(ohT_b, ohT_f, scores, tn))
         den = jnp.matmul(ohf, ex, precision="highest",
                          preferred_element_type=e.dtype)     # [TN, H]
         den_s = jnp.matmul(ohf.T, den, precision="highest",
@@ -151,6 +186,9 @@ def _bwd_kernel(tn: int, uniform: bool, negative_slope: float):
         dt = we_ref.dtype
         ohf = (jax.lax.broadcasted_iota(jnp.int32, (tn, S), 0)
                == lid).astype(dt)
+        ohT_b = (jax.lax.broadcasted_iota(jnp.int32, (S, tn), 1)
+                 == lid_ref[0, 0, :][:, None])              # [S, TN]
+        ohT_f = ohT_b.astype(dt)
         a_col = attr_ref[0, 0, :][:, None]
         xs = xs_ref[...] if uniform else xs_ref[0]
         e = a_col * we_ref[...]
@@ -163,8 +201,7 @@ def _bwd_kernel(tn: int, uniform: bool, negative_slope: float):
         act = jnp.where(msg > 0, msg, negative_slope * msg)
         scores = jnp.matmul(act, A_ref[...], precision="highest",
                             preferred_element_type=dt)
-        m = jnp.max(scores, axis=0, keepdims=True)
-        ex = jnp.exp(scores - m)
+        ex = jnp.exp(scores - _segshift(ohT_b, ohT_f, scores, tn))
         den = jnp.matmul(ohf, ex, precision="highest",
                          preferred_element_type=dt)
         den_s = jnp.matmul(ohf.T, den, precision="highest",

@@ -86,9 +86,13 @@ def _pad_rowblock(plan: _rowblock.RowBlockPlan,
                 li = jnp.concatenate(
                     [li, jnp.zeros((pad, li.shape[1]), li.dtype)])
         gv.append(g); wi.append(w); dp_.append(d); ln.append(li)
+    # Clear the contiguous-window metadata: padded row counts invalidate the
+    # win_off/win_w slice extents, and any later residual_sq_batch on this
+    # plan would slice past the true window region.  Dropping them forces
+    # the win_idx gather path, which the padding above keeps correct.
     return dataclasses.replace(
         plan, gvals=tuple(gv), win_idx=tuple(wi), diag_pos=tuple(dp_),
-        lin=tuple(ln) if gram else plan.lin)
+        lin=tuple(ln) if gram else plan.lin, win_off=(), win_w=())
 
 
 def _residual_body(orig_data, out_nnz: int, n: int, real_out: int,
@@ -159,7 +163,9 @@ def _rowblock_residual_body(plan_meta, m_vals, gvals, win_idx, diag_pos,
         c = c - ov_diag.astype(c.dtype)[None, :]
         acc = acc + jnp.sum(c * c, axis=-1) / rows
     acc = jax.lax.psum(acc, "rows")
-    return jnp.sqrt(acc + jnp.asarray(n_missing, acc.dtype))
+    # gram's expanded quadratic can go ~eps·n negative near zero residual —
+    # clamp before the sqrt so the reward never NaNs (ADVICE r3 medium).
+    return jnp.sqrt(jnp.maximum(acc + jnp.asarray(n_missing, acc.dtype), 0.0))
 
 
 def _make_residual_provider(env, rows: int):

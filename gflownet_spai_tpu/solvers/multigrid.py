@@ -127,6 +127,9 @@ def _sweeps(level_meta, level_data, r, x0, sweeps: int):
 
     a, m, datak, c_scale = level_data
     k, tr, n = level_meta["k"], level_meta["tr"], level_meta["n"]
+    if sweeps <= 0:
+        # 0 sweeps means 0 sweeps — not one fused 2k block (ADVICE r3)
+        return r * 0 if x0 is None else x0[:n]
     c = c_scale * jnp.pad(r.astype(m.data.dtype), (0, m.n_pad - r.shape[0]))
     cq = dia_pad_pp(m, c[:n], tr=tr)
     xq = (jnp.zeros_like(cq) if x0 is None
@@ -182,11 +185,18 @@ def vcycle_op(d: DIA, omega: float = 2.0 / 3.0, pre: int = 2, post: int = 2,
     metas, datas = [], []
     a = d
     for l in range(levels):
-        meta, data = _level_setup(
-            a, omega, max(pre, post, coarse_sweeps), fuse_k)
+        # k is chosen from the sweep count this level actually runs, so
+        # pre=2 executes 2 sweeps, not one fused 2·fuse_k block (ADVICE r3):
+        # non-coarsest levels run pre- and post-smoothing, the coarsest runs
+        # coarse_sweeps.  _sweeps still rounds odd counts up to a ping-pong
+        # pair (even), by construction of the fused kernel.
+        is_coarse = l == levels - 1 or a.n <= min_coarse_n
+        lvl_sweeps = (coarse_sweeps if is_coarse
+                      else min((s for s in (pre, post) if s > 0), default=1))
+        meta, data = _level_setup(a, omega, lvl_sweeps, fuse_k)
         metas.append(meta)
         datas.append(data)
-        if l == levels - 1 or a.n <= min_coarse_n:
+        if is_coarse:
             break
         a = galerkin_coarse_dia(a)
     return LinOp(

@@ -553,7 +553,10 @@ def _overflow_residual_sq(plan: RowBlockPlan, m_vals: jax.Array) -> jax.Array:
 
 
 def residual_norm_batch(plan: RowBlockPlan, m_vals: jax.Array) -> jax.Array:
-    return jnp.sqrt(residual_sq_batch(plan, m_vals))
+    # gram compress evaluates the expanded quadratic k'Hk − lin'k + const;
+    # its ~eps·n cancellation can leave the sum slightly negative when the
+    # true residual is tiny — clamp so sqrt never NaNs the reward.
+    return jnp.sqrt(jnp.maximum(residual_sq_batch(plan, m_vals), 0.0))
 
 
 def numeric(plan: RowBlockPlan, m_vals: jax.Array) -> jax.Array:

@@ -312,3 +312,40 @@ def test_gat_fused_kernel_interpret_fwd_and_vjp():
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-5,
                 err_msg=f"uniform={uniform} grad {name}")
+
+
+def test_gat_fused_per_segment_shift_survives_wide_score_spread():
+    """ADVICE r3: the fused kernel's old tile-LEVEL softmax shift zeroed any
+    segment whose max score sat ~88+ below the tile max (exp underflow made
+    its normalizer 0 and the padding mask swallowed it).  With the
+    per-segment shift every segment gets a valid softmax: attention weights
+    in each segment sum to 1 regardless of cross-segment score spread."""
+    from gflownet_spai_tpu.ops import gat_fused as gf
+
+    n, H, D = 2, 1, 8
+    HD = H * D
+    # one tile, two segments: node 0's edges score ~+600, node 1's ~-120
+    ids = np.array([0, 0, 1, 1])
+    tiles = seg.build_seg_tiles(ids, n, tile_nodes=8)
+    T, S = tiles.tiles, tiles.slots
+    attr = np.zeros(T * S, np.float32)
+    attr[:2] = 600.0     # segment 0 slots
+    attr[2:4] = -600.0   # segment 1 slots → leaky-relu → scores ≈ −120
+    attr = jnp.asarray(attr)
+    w_e = jnp.zeros((HD,), jnp.float32).at[0].set(1.0)
+    att = jnp.zeros((H, D), jnp.float32).at[0, 0].set(1.0)
+    xs = jnp.ones((1, HD), jnp.float32)            # uniform source features
+    xd = jnp.zeros((1, HD), jnp.float32)
+
+    for interpret in (True,):
+        out = gf.gat_tile_fused(tiles, attr, xs, xd, w_e, att,
+                                interpret=interpret)
+        out = np.asarray(out)
+        # α sums to 1 within each segment and xs ≡ 1 → out rows ≡ 1
+        np.testing.assert_allclose(out[0], np.ones(HD), rtol=1e-5)
+        np.testing.assert_allclose(out[1], np.ones(HD), rtol=1e-5,
+                                   err_msg="low-score segment was zeroed "
+                                           "(tile-level shift regression)")
+    # the jnp reference path agrees
+    ref = np.asarray(gf.gat_tile_fused_jnp(tiles, attr, xs, xd, w_e, att))
+    np.testing.assert_allclose(ref[:2], np.ones((2, HD)), rtol=1e-5)
