@@ -53,6 +53,14 @@ class GFlowNetConfig(NamedTuple):
     backward: str = "lstm"       # lstm (reference parity) | linear | uniform
                                  # — see models/policies "TPU-native
                                  # backward policies" (lstm is O(T) serial)
+    t_cap: int = 0               # >0 caps dense-rollout trajectories at
+                                 # t_cap steps — the 112k-action profile
+                                 # showed ~190/265 ms of the step was
+                                 # O(B·A) machinery on T=A-padded
+                                 # trajectories (rollout.gumbel_topk_rollout
+                                 # docstring).  With loss=subtb, truncated
+                                 # samples train as partial trajectories;
+                                 # tb/vargrad weight-0 them.
 
 
 def init_params(key, cfg: GFlowNetConfig, dtype=jnp.float32) -> GFlowNetParams:
@@ -106,7 +114,9 @@ def sample(params: GFlowNetParams, env: spai.SpaiEnv, graph: pol.GraphInputs,
         alpha = jnp.asarray(cfg.alpha_fixed, logits.dtype)
     sample_logits = logits / cfg.temperature if cfg.temperature != 1.0 else logits
     batched = jnp.broadcast_to(sample_logits, (batch_size, cfg.num_actions))
-    rollout = gumbel_topk_rollout(batched, key, terminal_action=cfg.num_actions - 1)
+    rollout = gumbel_topk_rollout(batched, key,
+                                  terminal_action=cfg.num_actions - 1,
+                                  t_cap=cfg.t_cap if cfg.t_cap > 0 else None)
     if cfg.temperature != 1.0:
         # re-score the sampled trajectories under the untempered policy so
         # the TB objective sees the true P_F (off-policy exploration);
@@ -142,6 +152,14 @@ def loss_fn(params: GFlowNetParams, env: spai.SpaiEnv, graph: pol.GraphInputs,
     log_r = log_reward(out.rewards)
     lengths = out.rollout.lengths
     weights = None
+    terminated = None
+    if cfg.t_cap > 0:
+        # capped rollout: samples whose terminal missed the prefix are
+        # partial trajectories — subtb trains them against the learned
+        # flow at the truncation point; tb/vargrad weight-0 them
+        terminated = jnp.any(actions == cfg.num_actions - 1, axis=-1)
+        if cfg.loss != "subtb":
+            weights = terminated.astype(fwd_lp.dtype)
 
     if replay is not None:
         from .rollout import trajectory_logprobs
@@ -154,9 +172,14 @@ def loss_fn(params: GFlowNetParams, env: spai.SpaiEnv, graph: pol.GraphInputs,
         log_r = jnp.concatenate([log_r, log_reward(r_rewards)], 0)
         lengths = jnp.concatenate(
             [lengths, (r_actions >= 0).sum(-1).astype(lengths.dtype)], 0)
-        weights = jnp.concatenate(
-            [jnp.ones((batch_size,), fwd_lp.dtype),
-             r_valid.astype(fwd_lp.dtype)], 0)
+        fresh_w = (jnp.ones((batch_size,), fwd_lp.dtype) if weights is None
+                   else weights)
+        weights = jnp.concatenate([fresh_w, r_valid.astype(fwd_lp.dtype)], 0)
+        if terminated is not None:
+            # replay entries are complete trajectories (invalid slots are
+            # weight-0 regardless)
+            terminated = jnp.concatenate(
+                [terminated, jnp.ones_like(r_valid)], 0)
 
     back_lp = backward_logprobs(params, cfg, actions)
 
@@ -172,7 +195,7 @@ def loss_fn(params: GFlowNetParams, env: spai.SpaiEnv, graph: pol.GraphInputs,
         log_flows = pol.flow_head_logF(params.flow, actions)
         loss = subtb_loss(
             log_flows, log_r, fwd_lp, back_lp, lengths,
-            lam=cfg.subtb_lambda, weights=weights,
+            lam=cfg.subtb_lambda, weights=weights, terminated=terminated,
         )
     else:
         loss = trajectory_balance_loss(

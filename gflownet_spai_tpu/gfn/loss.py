@@ -59,6 +59,7 @@ def subtb_loss(
     lengths: jax.Array,
     lam: float = 0.9,
     weights: jax.Array | None = None,
+    terminated: jax.Array | None = None,
 ) -> jax.Array:
     """Sub-trajectory balance, SubTB(λ) (Madan et al. 2022,
     arXiv:2209.12782), in O(T) per trajectory.
@@ -86,6 +87,14 @@ def subtb_loss(
     at t = lengths[b] is replaced by ``log_rewards[b]`` internally);
     ``fwd_logprobs``/``back_logprobs`` [B, T] padded per-step log-probs;
     ``lengths`` [B] number of actions incl. the terminal one.
+
+    ``terminated`` (optional bool [B], default all-True): entries that are
+    PARTIAL trajectories — a prefix that never reached the terminal action
+    (e.g. the sharded sampler's ``t_cap``-truncated rollouts) — keep the
+    LEARNED flow at slot ``lengths[b]`` instead of substituting the reward.
+    Every sub-trajectory balance term inside the prefix is still exact
+    (Madan et al. 2022 §3: SubTB is defined on arbitrary sub-trajectories),
+    so truncated samples train F/P_F/P_B rather than being zero-weighted.
     """
     B, T = fwd_logprobs.shape
     dtype = fwd_logprobs.dtype
@@ -97,7 +106,10 @@ def subtb_loss(
     )                                                     # [B, T+1]
     t_ids = jnp.arange(T + 1, dtype=lengths.dtype)[None, :]
     L = lengths[:, None]
-    logF = jnp.where(t_ids == L, log_rewards[:, None], log_flows)
+    at_end = t_ids == L
+    if terminated is not None:
+        at_end = at_end & terminated[:, None]
+    logF = jnp.where(at_end, log_rewards[:, None], log_flows)
     valid = t_ids <= L
     c = jnp.where(valid, logF - prefix, 0.0)              # [B, T+1]
 

@@ -73,6 +73,24 @@ def replay_update(buf: ReplayBuffer, actions: jax.Array,
     return ReplayBuffer(actions=cand_a[keep], rewards=r_sorted[top])
 
 
+def replay_resize(buf: ReplayBuffer, traj_len: int) -> ReplayBuffer:
+    """Change the trajectory width (the adaptive-t_cap ladder recompiles
+    the sharded step at a new cap — parallel.sampler).  Growing pads with
+    −1; shrinking drops entries that no longer fit (their tail would be a
+    different, unterminated trajectory) by marking them empty."""
+    K, T = buf.actions.shape
+    if traj_len == T:
+        return buf
+    if traj_len > T:
+        pad = jnp.full((K, traj_len - T), -1, jnp.int32)
+        return buf._replace(actions=jnp.concatenate([buf.actions, pad], 1))
+    fits = (buf.actions[:, traj_len:] < 0).all(axis=1)
+    return ReplayBuffer(
+        actions=jnp.where(fits[:, None], buf.actions[:, :traj_len], -1),
+        rewards=jnp.where(fits, buf.rewards, _NEG),
+    )
+
+
 def replay_sample(buf: ReplayBuffer, key, num: int,
                   prioritized: float = 0.0):
     """Draw ``num`` filled slots with replacement.  Returns

@@ -46,17 +46,51 @@ def _suffix_logsumexp(x: jax.Array) -> jax.Array:
 
 
 def gumbel_topk_rollout(logits: jax.Array, key, terminal_action: int,
-                        gumbels: jax.Array | None = None) -> Rollout:
+                        gumbels: jax.Array | None = None,
+                        t_cap: int | None = None) -> Rollout:
     """Sample a batch of delete-until-terminal trajectories from static logits.
 
     ``logits``: float[B, A] (A = num_actions, terminal included).
     Returns trajectories padded to T = A.  ``gumbels`` (optional [B, A])
     overrides the noise — used by the sharded sampler's exactness test
     (parallel.sampler), where each rows-shard draws its own slice.
+
+    ``t_cap`` (optional): cap the materialized trajectory at the first
+    ``t_cap`` steps of the perturbed order — trajectories pad to
+    T = t_cap.  The on-chip profile of the 112k-action train step showed
+    ~190 of 265 ms was O(B·A) machinery (scans/gathers/elementwise on
+    [B, T=A] tensors) from this full-width padding; with the cap only the
+    noise + one ``top_k`` touch [B, A] and everything downstream is
+    [B, t_cap].  A sample whose terminal action misses the prefix keeps
+    the WHOLE prefix with no −1 padding (lengths = t_cap, no terminal
+    action present) — SubTB trains those as partial trajectories
+    (gfn.loss.subtb_loss ``terminated``); TB/vargrad callers must
+    weight-0 them.  Per-step log-probs of the prefix are identical to the
+    uncapped path (the suffix normalizer becomes prefix-cumsum + total
+    tail mass — additions only, the sharded sampler's trick).
     """
     B, A = logits.shape
     g = jax.random.gumbel(key, (B, A), logits.dtype) if gumbels is None \
         else gumbels
+    if t_cap is not None and t_cap < A:
+        cap = int(t_cap)
+        _, idx = jax.lax.top_k(logits + g, cap)            # [B, cap] prefix
+        sorted_logits = jnp.take_along_axis(logits, idx, axis=-1)
+        m = jax.lax.stop_gradient(jnp.max(logits, axis=-1, keepdims=True))
+        sumexp = jnp.sum(jnp.exp(logits - m), -1, keepdims=True)   # [B, 1]
+        ex = jnp.exp(sorted_logits - m)                    # [B, cap]
+        tail = jnp.maximum(sumexp - jnp.sum(ex, -1, keepdims=True), 0.0)
+        suffix = jnp.flip(jnp.cumsum(jnp.flip(ex, -1), -1), -1) + tail
+        step_lp = sorted_logits - (m + jnp.log(jnp.maximum(suffix, 1e-30)))
+        hit = idx == terminal_action
+        found = jnp.any(hit, axis=-1)
+        k = jnp.argmax(hit, axis=-1)
+        t_ids = jnp.arange(cap)[None, :]
+        on_traj = jnp.where(found[:, None], t_ids <= k[:, None], True)
+        actions = jnp.where(on_traj, idx, -1).astype(jnp.int32)
+        fwd_lp = jnp.where(on_traj, step_lp, 0.0)
+        lengths = jnp.where(found, k + 1, cap).astype(jnp.int32)
+        return Rollout(actions=actions, fwd_logprobs=fwd_lp, lengths=lengths)
     order = jnp.argsort(-(logits + g), axis=-1)            # [B, A] descending
     sorted_logits = jnp.take_along_axis(logits, order, axis=-1)
     denom = _suffix_logsumexp(sorted_logits)               # lse over remaining set

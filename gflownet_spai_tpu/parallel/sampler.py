@@ -143,7 +143,8 @@ def replicated_oracle_gumbels(key, num_actions: int, a_pad: int, n_shards: int,
 def make_sharded_sampler_train_step(mesh: Mesh, env, graph, cfg, opt,
                                     batch_size: int, t_cap: int,
                                     axis: str = "rows",
-                                    replay_samples: int = 0):
+                                    replay_samples: int = 0,
+                                    partial_subtb: bool = True):
     """Train step whose ROLLOUT is sharded too: the action head, the Gumbel
     top-k sort, and the per-step forward log-probs all run over ``axis``
     without any device materializing [B, A] (SURVEY.md §7 hard part 3;
@@ -159,9 +160,19 @@ def make_sharded_sampler_train_step(mesh: Mesh, env, graph, cfg, opt,
 
     Loss: TB, vargrad, or SubTB(λ) with trajectories capped at ``t_cap``
     steps (the SubTB flow head indexes action ids on the replicated
-    [b, t_cap] prefix, so it needs no extra sharding);
-    samples whose terminal action falls outside the merged prefix are
-    weight-0 (``t_cap = num_actions`` ⇒ always exact).  The per-step
+    [b, t_cap] prefix, so it needs no extra sharding).
+    Samples whose terminal action falls outside the merged prefix:
+
+    * ``loss="subtb"`` with ``partial_subtb=True`` (default) — they train
+      as PARTIAL trajectories: every sub-trajectory balance term inside
+      the prefix is exact, with the learned flow (not the reward) at the
+      truncation point (``gfn.loss.subtb_loss(terminated=...)``).  A
+      t_cap ≪ A run therefore gets full-batch signal from epoch 0 — the
+      round-3 foot-gun where short prefixes zero-weighted whole batches
+      early in training is gone.  Their ``valid`` flag still reports
+      False (termination-rate diagnostics; replay exclusion).
+    * TB / vargrad (need complete trajectories) — weight-0 as before
+      (``t_cap = num_actions`` ⇒ always exact).  The per-step
     normalizers use suffix sums over the differentiable prefix logits plus
     the psum'd tail mass — gradients flow through shard_map's collective
     transposes, so no manual grad reductions are needed.
@@ -191,11 +202,23 @@ def make_sharded_sampler_train_step(mesh: Mesh, env, graph, cfg, opt,
 
     dp = mesh.shape["dp"]
     R = mesh.shape[axis]
+    partial = bool(partial_subtb) and cfg.loss == "subtb"
     if batch_size % dp:
         raise ValueError(f"batch {batch_size} not divisible by dp={dp}")
     b_local = batch_size // dp
     env, aux, aux_specs, res_fn = _make_residual_provider(env, R)
     opt = optax.with_extra_args_support(opt)
+
+    # tile-shard the GAT forward over `axis` when the graph is tiled: at
+    # 1M+ edges the replicated policy forward dominates the sharded step
+    # (parallel.gat; VERDICT r3 item 6).  Non-tiled graphs (small runs)
+    # stay replicated.
+    gat_meta = None
+    if R > 1 and isinstance(graph, pol.TiledGraphInputs) \
+            and graph.srcwin is not None:
+        from .gat import shard_tiled_graph
+
+        graph, gat_meta = shard_tiled_graph(graph, R)
 
     num_actions = cfg.num_actions
     terminal = num_actions - 1
@@ -210,8 +233,15 @@ def make_sharded_sampler_train_step(mesh: Mesh, env, graph, cfg, opt,
     def local(params, key, aux, graph_arg, r_actions, r_valid):
         j = jax.lax.axis_index(axis)
         key = jax.random.fold_in(key, jax.lax.axis_index("dp"))
-        pooled = pol.forward_policy_pooled(params.forward, graph_arg,
-                                           cfg.hidden_dim, cfg.heads)
+        if gat_meta is not None:
+            from .gat import sharded_policy_pooled
+
+            pooled = sharded_policy_pooled(
+                params.forward, graph_arg, gat_meta,
+                cfg.hidden_dim, cfg.heads, axis=axis)
+        else:
+            pooled = pol.forward_policy_pooled(params.forward, graph_arg,
+                                               cfg.hidden_dim, cfg.heads)
         a_loc = params.forward.fc_w.shape[1]           # local slice width
         l_loc = pooled @ params.forward.fc_w + params.forward.fc_b
         gids = j * a_loc + jnp.arange(a_loc, dtype=jnp.int32)
@@ -255,13 +285,23 @@ def make_sharded_sampler_train_step(mesh: Mesh, env, graph, cfg, opt,
         valid = jnp.any(hit, axis=-1)
         kpos = jnp.argmax(hit, axis=-1)
         t_ids = jnp.arange(top, dtype=jnp.int32)[None, :]
-        on_traj = (t_ids <= kpos[:, None]) & valid[:, None]
+        if partial:
+            # SubTB trains on PARTIAL trajectories (gfn.loss.subtb_loss
+            # ``terminated``): a sample whose terminal missed the merged
+            # prefix keeps the whole prefix as a sub-trajectory — learned
+            # flow at the truncation point instead of the reward — so
+            # t_cap ≪ A never zero-weights a batch (VERDICT r3 item 3)
+            on_traj = jnp.where(valid[:, None], t_ids <= kpos[:, None], True)
+        else:
+            on_traj = (t_ids <= kpos[:, None]) & valid[:, None]
         actions = jax.lax.stop_gradient(
             jnp.where(on_traj, s_id, -1).astype(jnp.int32))
         fwd_lp = jnp.where(on_traj, step_lp, 0.0)
         lengths = jnp.where(valid, kpos + 1, top).astype(jnp.int32)
 
-        w = valid.astype(fwd_lp.dtype)
+        terminated = valid
+        w = jnp.ones_like(valid, fwd_lp.dtype) if partial else (
+            valid.astype(fwd_lp.dtype))
         if replay_samples:
             # pad the fresh prefix to the buffer width (no-op when
             # top == t_cap; padding is -1 actions / log-prob 0)
@@ -283,6 +323,10 @@ def make_sharded_sampler_train_step(mesh: Mesh, env, graph, cfg, opt,
             # weight valid/dp: replicated replays carry exactly the
             # single-device weight in the pmean'd weighted mean (parallel.dp)
             w = jnp.concatenate([w, r_valid.astype(fwd_lp.dtype) / dp], 0)
+            # replay entries are complete trajectories (invalid slots are
+            # weight-0 regardless)
+            terminated = jnp.concatenate(
+                [terminated, jnp.ones_like(r_valid)], 0)
 
         # ---- reward + loss ----
         alpha = pol.forward_policy_alpha(params.forward)
@@ -306,7 +350,8 @@ def make_sharded_sampler_train_step(mesh: Mesh, env, graph, cfg, opt,
             log_flows = pol.flow_head_logF(params.flow, actions)
             loss = subtb_loss(log_flows, log_reward(rewards), fwd_lp,
                               back_lp, lengths, lam=cfg.subtb_lambda,
-                              weights=w)
+                              weights=w,
+                              terminated=terminated if partial else None)
         else:
             loss = trajectory_balance_loss(
                 params.log_z, log_reward(rewards),
@@ -320,7 +365,15 @@ def make_sharded_sampler_train_step(mesh: Mesh, env, graph, cfg, opt,
         fwd = fwd._replace(fc_w=P(None, axis), fc_b=P(axis))
         p_spec = jax.tree_util.tree_map(lambda _: P(), params)
         p_spec = p_spec._replace(forward=fwd)
-        g_spec = jax.tree_util.tree_map(lambda _: P(), graph_arg)
+        if gat_meta is not None:
+            from .gat import ShardedTiledGraph
+
+            g_spec = ShardedTiledGraph(
+                x=P(), src_t=P(axis), attr_t=P(axis, None),
+                local_dst=P(axis, None), lsrc=P(axis, None), blk=P(axis),
+                out_slot=P(axis), out_src=P(axis))
+        else:
+            g_spec = jax.tree_util.tree_map(lambda _: P(), graph_arg)
         out = shard_map(
             local, mesh=mesh,
             in_specs=(p_spec, P(), aux_specs, g_spec, P(), P()),

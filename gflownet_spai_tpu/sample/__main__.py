@@ -50,7 +50,9 @@ def main(argv=None) -> int:
     restored = restore_checkpoint(args.run_dir, state)
     if restored is None:
         raise SystemExit(f"no checkpoint under {args.run_dir}/checkpoint")
-    state = restored
+    from ..train.enums import reconcile
+
+    state, _ = reconcile(args.run_dir, env, restored, backward=cfg.backward)
     print(f"restored epoch {int(state.epoch)}; sampling {args.num_samples} "
           f"trajectories on {env.num_actions - 1} edges")
 

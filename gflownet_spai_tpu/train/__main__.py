@@ -83,9 +83,26 @@ def build_parser() -> argparse.ArgumentParser:
                         "no device materializes [B, A] (parallel.sampler; "
                         "set --rows-devices >= 2)")
     p.add_argument("--t-cap", type=int, default=d.t_cap, dest="t_cap",
-                   help="sharded-sampler trajectory prefix cap (0 = "
-                        "num_actions: exact; shorter caps weight-0 samples "
-                        "whose terminal misses the merged prefix)")
+                   help="trajectory prefix cap, dense AND sharded "
+                        "samplers (0 = num_actions: exact — but the whole "
+                        "step then runs on [B, A]-padded trajectories, "
+                        "~190/265 ms of the 112k-action step on chip).  "
+                        "With --loss subtb, "
+                        "truncated rollouts train as PARTIAL trajectories "
+                        "(sub-trajectory balance against the learned flow "
+                        "at the truncation point) — no zero-weighted "
+                        "batches at any cap; tb/vargrad weight-0 them")
+    p.add_argument("--t-cap-auto", action="store_true", dest="t_cap_auto",
+                   help="adaptive cap ladder: shrink the cap (one "
+                        "recompile per level, cached) to next_pow2("
+                        "margin*P95(len)) once >=95%% of rollouts "
+                        "terminate inside it for a full window")
+    p.add_argument("--t-cap-min", type=int, default=d.t_cap_min,
+                   dest="t_cap_min")
+    p.add_argument("--t-cap-margin", type=float, default=d.t_cap_margin,
+                   dest="t_cap_margin")
+    p.add_argument("--t-cap-window", type=int, default=d.t_cap_window,
+                   dest="t_cap_window")
     p.add_argument("--reward-baseline", default=d.reward_baseline,
                    choices=["auto", "matrix", "identity"],
                    help="residual normalizer: auto = matrix unless "

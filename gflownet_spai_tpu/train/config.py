@@ -46,12 +46,16 @@ class TrainConfig:
     rowblock_compress: str = "none" # none | gram (quadratic-form residual:
                                     # ~4-5x fewer FLOPs/bytes, ~1e-3-class
                                     # precision — sparse.rowblock docstring)
-    rowblock_order: str = "sorted"  # sorted | window (gather-free batched
+    rowblock_order: str = "window"  # window (default; gather-free batched
                                     # reward: the plan defines the edge
                                     # enumeration so windows are static
                                     # contiguous slices — the kt[idx]
                                     # gather was 47 of the 56 ms reward at
-                                    # 22M pairs)
+                                    # 22M pairs, 11.5x at batch 16) | sorted.
+                                    # Checkpoints stamp the enumeration and
+                                    # restores remap across orders
+                                    # (train.enums), so window is safe to
+                                    # default.
     gat_tiled_min_edges: int = 100000  # policy graph switches to the
                                     # node-tile Pallas segment substrate
                                     # above this edge count
@@ -81,10 +85,26 @@ class TrainConfig:
                                     # AND per-step log-probs over the rows
                                     # axis (no device materializes [B, A];
                                     # parallel.sampler)
-    t_cap: int = 0                  # sharded-sampler trajectory prefix cap
-                                    # (0 = num_actions: unconditionally
-                                    # exact; shorter caps weight-0 samples
-                                    # whose terminal misses the prefix)
+    t_cap: int = 0                  # trajectory prefix cap — dense AND
+                                    # sharded samplers (0 = num_actions:
+                                    # unconditionally exact, but the step
+                                    # then runs O(B·A) trajectory machinery:
+                                    # ~190/265 ms of the 112k-action step
+                                    # on chip).  With loss=subtb, truncated
+                                    # samples train as PARTIAL trajectories
+                                    # (gfn.loss.subtb_loss terminated), so
+                                    # short caps lose no batch signal; with
+                                    # tb/vargrad they are weight-0.
+    t_cap_auto: bool = False        # adaptive cap ladder: shrink the cap
+                                    # (recompile) once observed trajectory
+                                    # lengths allow — cap = next_pow2(
+                                    # t_cap_margin · P95(len)) when stable
+                                    # over t_cap_window epochs; grow back
+                                    # ×2 if the termination rate collapses
+                                    # at the shrunken cap
+    t_cap_min: int = 256            # adaptive-cap floor
+    t_cap_margin: float = 4.0       # headroom factor over P95(len)
+    t_cap_window: int = 20          # epochs of history per ladder decision
 
     # optimization (reference GFlowNet100.py:32-34, 266-267)
     batch_size: int = 2

@@ -130,20 +130,26 @@ def setup(cfg: TrainConfig):
         # their own edge enumeration and the graph/action ids must match
         seed = env.seed
         graph = _graph(env.seed)
+    # the trajectory cap applies to the DENSE sampler via the model config
+    # (rollout.gumbel_topk_rollout t_cap); the sharded sampler takes it as
+    # its own static argument instead (parallel.sampler)
+    dense_cap = cfg.t_cap if (cfg.sampler == "dense" and cfg.t_cap > 0) else 0
     mcfg = gfn.GFlowNetConfig(
         hidden_dim=cfg.hidden_dim, heads=cfg.heads,
         num_actions=env.num_actions, loss=cfg.loss,
         temperature=cfg.temperature, alpha_fixed=cfg.alpha_fixed,
         subtb_lambda=cfg.subtb_lambda, backward=cfg.backward,
+        t_cap=min(dense_cap, env.num_actions),
     )
     params = gfn.init_params(jax.random.PRNGKey(cfg.prng_seed), mcfg, dtype=dtype)
     opt = make_optimizer(cfg)
+    traj_w = mcfg.t_cap or env.num_actions
     state = TrainState(
         params=params,
         opt_state=opt.init(params),
         key=jax.random.PRNGKey(cfg.prng_seed + 1),
         epoch=jnp.zeros((), jnp.int32),
-        replay=(replay_init(cfg.replay_size, env.num_actions, dtype)
+        replay=(replay_init(cfg.replay_size, traj_w, dtype)
                 if cfg.replay_size > 0 else None),
     )
     return a, seed, env, graph, mcfg, opt, state
@@ -253,6 +259,43 @@ def _make_dp_step_adapter(cfg: TrainConfig, env, graph, mcfg, opt):
     return step
 
 
+def _next_pow2(x: int) -> int:
+    return 1 << max(0, int(np.ceil(np.log2(max(1, x)))))
+
+
+class CapLadder:
+    """Adaptive t_cap schedule (decision logic only; the adapter owns the
+    recompiles).  ``observe(lengths, valid)`` returns the new smaller cap
+    once ≥95% of rollouts have terminated inside the current cap for
+    ``window`` straight epochs and ``next_pow2(margin · max-window-P95)``
+    sits strictly below it — else None.  History resets after a shrink."""
+
+    def __init__(self, cap: int, cap_min: int, margin: float, window: int):
+        self.cap = cap
+        self.cap_min = cap_min
+        self.margin = margin
+        self.window = window
+        self._p95: list = []
+        self._term: list = []
+
+    def observe(self, lengths, valid):
+        self._p95.append(float(np.percentile(np.asarray(lengths), 95)))
+        self._term.append(float(np.mean(np.asarray(valid))))
+        if len(self._p95) < self.window:
+            return None
+        self._p95 = self._p95[-self.window:]
+        self._term = self._term[-self.window:]
+        if min(self._term) < 0.95:
+            return None
+        want = max(self.cap_min,
+                   _next_pow2(int(self.margin * max(self._p95))))
+        if want >= self.cap:
+            return None
+        self.cap = want
+        self._p95, self._term = [], []
+        return want
+
+
 def _make_sharded_sampler_adapter(cfg: TrainConfig, env, graph, mcfg, opt):
     """Wrap the sharded-sampler step (parallel.sampler) in the
     single-device step's interface.  The forward head is column-sharded
@@ -260,24 +303,54 @@ def _make_sharded_sampler_adapter(cfg: TrainConfig, env, graph, mcfg, opt):
     optimizer state on the sharded params — resuming a dense checkpoint
     therefore resets Adam moments (params themselves carry over).  With
     replay on, ``transform`` likewise resets the buffer to the sampler's
-    ``t_cap`` trajectory width."""
+    ``t_cap`` trajectory width.
+
+    ``cfg.t_cap_auto`` arms the adaptive cap LADDER (VERDICT r3 item 3):
+    once ≥95% of rollouts terminate inside the cap for ``t_cap_window``
+    straight epochs, the cap shrinks to
+    ``next_pow2(t_cap_margin · max-window-P95(len))`` (floored at
+    ``t_cap_min``) and the step is recompiled at the new static width —
+    each ladder level compiles once (the persistent cache carries it
+    across runs).  Early training stays at the starting cap, where
+    ``loss=subtb`` trains truncated rollouts as partial trajectories (no
+    zero-weighted batches at any cap — parallel.sampler docstring)."""
+    from ..gfn.replay import replay_resize
     from ..parallel import make_mesh
     from ..parallel.sampler import make_sharded_sampler_train_step
 
     mesh = make_mesh(dp=cfg.dp_devices, rows=cfg.rows_devices)
-    t_cap = cfg.t_cap or mcfg.num_actions
+    t_cap0 = cfg.t_cap or mcfg.num_actions
     use_replay = cfg.replay_size > 0
-    sh_step, shard_fwd, _ = make_sharded_sampler_train_step(
-        mesh, env, graph, mcfg, opt, batch_size=cfg.batch_size, t_cap=t_cap,
-        replay_samples=cfg.replay_samples if use_replay else 0)
+
+    def build(cap: int):
+        return make_sharded_sampler_train_step(
+            mesh, env, graph, mcfg, opt, batch_size=cfg.batch_size,
+            t_cap=cap, replay_samples=cfg.replay_samples if use_replay else 0)
+
+    sh_step, shard_fwd, _ = build(t_cap0)
+    ladder = CapLadder(t_cap0, cfg.t_cap_min, cfg.t_cap_margin,
+                       cfg.t_cap_window)
+    current = {"step": sh_step}
 
     def transform(state: TrainState) -> TrainState:
         params = shard_fwd(state.params)
         replay = state.replay
         if use_replay:
-            replay = replay_init(cfg.replay_size, t_cap, jnp.dtype(cfg.dtype))
+            replay = replay_init(cfg.replay_size, ladder.cap,
+                                 jnp.dtype(cfg.dtype))
         return state._replace(params=params, opt_state=opt.init(params),
                               replay=replay)
+
+    def _maybe_shrink(state, lengths, valid):
+        old = ladder.cap
+        want = ladder.observe(lengths, valid)
+        if want is None:
+            return state
+        print(f"t_cap ladder: {old} -> {want}; recompiling step", flush=True)
+        current["step"], _, _ = build(want)
+        if state.replay is not None:
+            state = state._replace(replay=replay_resize(state.replay, want))
+        return state
 
     def step(state: TrainState):
         key, rkey = jax.random.split(state.key)
@@ -287,16 +360,16 @@ def _make_sharded_sampler_adapter(cfg: TrainConfig, env, graph, mcfg, opt):
                 state.replay, rkey, cfg.replay_samples,
                 prioritized=cfg.replay_prioritized)
             params, opt_state, loss, rewards, valid, lengths, actions = (
-                sh_step(state.params, state.opt_state, state.key,
-                        r_actions, r_valid))
+                current["step"](state.params, state.opt_state, state.key,
+                                r_actions, r_valid))
             # invalid rollouts (terminal missed the prefix) never enter the
             # buffer — their reward scored a truncated pattern
             new_replay = replay_update(
                 state.replay, actions,
                 jnp.where(valid, rewards, -jnp.inf))
         else:
-            params, opt_state, loss, rewards, valid, lengths = sh_step(
-                state.params, state.opt_state, state.key)
+            params, opt_state, loss, rewards, valid, lengths = (
+                current["step"](state.params, state.opt_state, state.key))
         new_state = TrainState(
             params=params, opt_state=opt_state, key=key,
             epoch=state.epoch + 1, replay=new_replay,
@@ -312,7 +385,10 @@ def _make_sharded_sampler_adapter(cfg: TrainConfig, env, graph, mcfg, opt):
             "rewards": rewards,
             "skipped": ~jnp.isfinite(loss),
             "valid_frac": jnp.mean(valid.astype(jnp.float32)),
+            "t_cap": ladder.cap,
         }
+        if cfg.t_cap_auto:
+            new_state = _maybe_shrink(new_state, lengths, valid)
         return new_state, metrics
 
     return step, transform
@@ -359,6 +435,8 @@ class MetricsWriter:
             "wall_s": float(m.get("wall_s", 0.0)),
             "time": time.time(),
         }
+        if "t_cap" in m:
+            rec["t_cap"] = int(m["t_cap"])
         self.jsonl.write(json.dumps(rec) + "\n")
 
     def flush(self):
@@ -370,12 +448,19 @@ class MetricsWriter:
             f.close()
 
 
-def save_checkpoint(out_dir: str, state: TrainState):
+def save_checkpoint(out_dir: str, state: TrainState, env=None):
     import orbax.checkpoint as ocp
 
     path = Path(out_dir).absolute() / "checkpoint"
     with ocp.StandardCheckpointer() as ckpt:
         ckpt.save(path / f"epoch_{int(state.epoch)}", state, force=True)
+    if env is not None:
+        # stamp the edge enumeration (order + hash + canonical perm) so a
+        # restore under a different enumeration remaps or refuses instead
+        # of silently mis-indexing the action heads (train.enums)
+        from .enums import save_enum_meta
+
+        save_enum_meta(out_dir, env)
 
 
 def restore_checkpoint(out_dir: str, template: TrainState) -> Optional[TrainState]:
@@ -401,7 +486,10 @@ def train(cfg: TrainConfig, progress: bool = True):
     if cfg.resume:
         restored = restore_checkpoint(cfg.out_dir, state)
         if restored is not None:
-            state = restored
+            from .enums import reconcile
+
+            state, _ = reconcile(cfg.out_dir, env, restored,
+                                 backward=cfg.backward, opt=opt)
     if cfg.sampler == "sharded":
         step, transform = _make_sharded_sampler_adapter(
             cfg, env, graph, mcfg, opt)
@@ -430,8 +518,8 @@ def train(cfg: TrainConfig, progress: bool = True):
             )
         history.append(float(metrics["loss"]))
         if cfg.checkpoint_every and (epoch + 1) % cfg.checkpoint_every == 0:
-            save_checkpoint(cfg.out_dir, state)
-    save_checkpoint(cfg.out_dir, state)
+            save_checkpoint(cfg.out_dir, state, env=env)
+    save_checkpoint(cfg.out_dir, state, env=env)
     writer.close()
     try:
         from ..utils.reporting import render_training_report

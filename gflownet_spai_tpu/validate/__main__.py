@@ -33,12 +33,14 @@ def main(argv=None) -> int:
                    help="ReduceLROnPlateau patience; 0 disables (must "
                         "match the training run when restoring a "
                         "checkpoint — the optimizer state shape differs)")
-    p.add_argument("--rowblock-order", default="sorted",
+    p.add_argument("--rowblock-order", default="window",
                    choices=["sorted", "window"],
-                   help="must match the training run when restoring a "
-                        "checkpoint: window-order plans define the edge "
-                        "enumeration, i.e. the ACTION IDS the policy "
-                        "head was trained on")
+                   help="edge enumeration of the rowblock reward plan "
+                        "(window = gather-free, the default).  When "
+                        "restoring a checkpoint stamped with a different "
+                        "order, the id-indexed params are remapped "
+                        "automatically (train.enums; lstm-backward "
+                        "checkpoints refuse — ids are LSTM inputs there)")
     # defaults = the quality recipe established on both the SPD and the
     # nonsymmetric (config-4) classes: classic-SPAI seed + SubTB + the
     # associative-scan backward policy + auto reward baseline (ilu0 seeds —
@@ -126,7 +128,13 @@ def main(argv=None) -> int:
         if restored is None:
             raise SystemExit(
                 f"no checkpoint under {args.from_checkpoint}/checkpoint")
-        state = restored
+        # verify the checkpoint's edge enumeration against this env; a
+        # same-set/different-order checkpoint is remapped in place
+        # (train.enums — exact for linear/uniform backward policies)
+        from ..train.enums import reconcile
+
+        state, _ = reconcile(args.from_checkpoint, env, restored,
+                             backward=args.backward)
         print(f"restored trained policy at epoch {int(state.epoch)}, "
               "skipping training")
     else:
