@@ -27,6 +27,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="gallery name (LF10_like|bcsstk03_like|olm500_like|poisson32) or .mtx path")
     p.add_argument("--seed-method", default=d.seed_method,
                    choices=["ilu0", "spilu", "pattern", "spai"])
+    p.add_argument("--seed-k", type=int, default=d.seed_k, dest="seed_k",
+                   help="power-pattern order for --seed-method spai "
+                        "(k=2 = A^2 pattern: denser seed, real thinning "
+                        "headroom for the policy)")
     p.add_argument("--env-format", default=d.env_format,
                    choices=["auto", "coo", "dia", "rowblock"],
                    help="reward path: coo pair-plan, gather-free dia band, "

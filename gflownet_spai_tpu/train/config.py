@@ -24,7 +24,11 @@ from typing import Optional
 class TrainConfig:
     # data
     matrix: str = "LF10_like"            # gallery name or path to a .mtx file
-    seed_method: str = "ilu0"       # ilu0 | spilu | pattern
+    seed_method: str = "ilu0"       # ilu0 | spilu | pattern | spai
+    seed_k: int = 1                 # power-pattern order for seed_method=
+                                    # spai: k=2 seeds with the (denser) A²
+                                    # pattern — real thinning headroom for
+                                    # the policy (docs/ROADMAP.md #7)
     reference_baseline: bool = False  # True → original_matrix = seed (GFlowNet100.py:173)
     env_format: str = "auto"        # auto | coo | dia | rowblock —
                                     # dia = gather-free banded reward path;

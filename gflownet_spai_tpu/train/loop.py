@@ -83,7 +83,9 @@ def setup(cfg: TrainConfig):
     dtype = jnp.dtype(cfg.dtype)
     a = load_matrix(cfg)
     a = COO(row=a.row, col=a.col, data=a.data.astype(dtype), shape=a.shape)
-    seed = ilu.seed_pattern(a, method=cfg.seed_method, dtype=dtype)
+    seed = ilu.seed_pattern(a, method=cfg.seed_method, dtype=dtype,
+                            **({"k": cfg.seed_k}
+                               if cfg.seed_method == "spai" else {}))
 
     from ..env import spai_dia
     from ..ops.rcm import n_diagonals

@@ -78,4 +78,76 @@ def render_training_report(run_dir: str, out_png: Optional[str] = None) -> Dict:
     fig.savefig(target, dpi=120)
     plt.close(fig)
     summary["png"] = str(target)
+
+    ps = render_per_sample_surface(run_dir)
+    if ps:
+        summary["per_sample_png"] = ps
     return summary
+
+
+def render_per_sample_surface(run_dir: str,
+                              out_png: Optional[str] = None) -> Optional[str]:
+    """The reference's per-sample view (plotly 3D epoch × sample × loss +
+    per-sample 2D traces, GFlowNet100.py:333-484), headless: a 3D surface
+    of the per-sample loss plus an epoch × sample reward heatmap from
+    ``detailed_training_log.csv``.  Returns the PNG path (None when the
+    CSV is missing/empty or matplotlib is unavailable)."""
+    import csv
+
+    run = Path(run_dir)
+    detail = run / "detailed_training_log.csv"
+    if not detail.exists():
+        return None
+    by_epoch: Dict[int, Dict[int, tuple]] = {}
+    with open(detail) as f:
+        for row in csv.DictReader(f):
+            e = int(row["epoch"])
+            s = int(row["sample_number"])
+            by_epoch.setdefault(e, {})[s] = (float(row["loss"]),
+                                             float(row["reward"]))
+    if not by_epoch:
+        return None
+    epochs = sorted(by_epoch)
+    n_samples = max(max(d) for d in by_epoch.values())
+    loss = np.full((len(epochs), n_samples), np.nan)
+    reward = np.full((len(epochs), n_samples), np.nan)
+    for i, e in enumerate(epochs):
+        for s, (l, r) in by_epoch[e].items():
+            loss[i, s - 1] = l
+            reward[i, s - 1] = r
+
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        from mpl_toolkits.mplot3d import Axes3D  # noqa: F401 (side effect)
+    except ImportError:
+        return None
+
+    # subsample the epoch axis for plottable surfaces on long runs
+    step = max(1, len(epochs) // 400)
+    ep = np.asarray(epochs)[::step]
+    ls = loss[::step]
+    rw = reward[::step]
+    E, S = np.meshgrid(ep, np.arange(1, n_samples + 1), indexing="ij")
+
+    fig = plt.figure(figsize=(14, 5))
+    ax0 = fig.add_subplot(1, 2, 1, projection="3d")
+    ax0.plot_surface(E, S, np.log10(np.maximum(np.abs(ls), 1e-12)),
+                     cmap="viridis", linewidth=0, antialiased=False)
+    ax0.set_xlabel("epoch")
+    ax0.set_ylabel("sample")
+    ax0.set_zlabel("log10 |loss|")
+    ax0.set_title("per-sample loss surface")
+    ax1 = fig.add_subplot(1, 2, 2)
+    pc = ax1.pcolormesh(ep, np.arange(1, n_samples + 1), rw.T,
+                        shading="nearest", cmap="magma")
+    fig.colorbar(pc, ax=ax1, label="reward")
+    ax1.set_xlabel("epoch")
+    ax1.set_ylabel("sample")
+    ax1.set_title("per-sample reward")
+    fig.tight_layout()
+    target = str(out_png or (run / "per_sample.png"))
+    fig.savefig(target, dpi=120)
+    plt.close(fig)
+    return target

@@ -48,6 +48,8 @@ def main(argv=None) -> int:
     # optimum on matrices with large ‖A·A−I‖; VERDICT r2 weak #8)
     p.add_argument("--seed-method", default="spai",
                    choices=["ilu0", "spilu", "pattern", "spai"])
+    p.add_argument("--seed-k", type=int, default=1,
+                   help="power-pattern order for --seed-method spai")
     p.add_argument("--method", default="gmres", choices=["gmres", "cg"],
                    help="cg for SPD systems")
     p.add_argument("--maxiter", type=int, default=10260)
@@ -109,6 +111,7 @@ def main(argv=None) -> int:
 
     cfg = TrainConfig(
         matrix=args.matrix, seed_method=args.seed_method,
+        seed_k=args.seed_k,
         batch_size=args.batch_size, num_epochs=args.epochs, lr=args.lr,
         plateau_patience=args.plateau_patience,
         rowblock_order=args.rowblock_order,
