@@ -53,6 +53,13 @@ class GFlowNetConfig(NamedTuple):
     backward: str = "lstm"       # lstm (reference parity) | linear | uniform
                                  # — see models/policies "TPU-native
                                  # backward policies" (lstm is O(T) serial)
+    reward_beta: float = 1.0     # reward exponent: the sampler targets
+                                 # P(x) ∝ R(x)^β (log-reward scaled by β).
+                                 # β > 1 sharpens toward the reward optimum
+                                 # — the standard GFlowNet reward
+                                 # temperature; needed when the optimum
+                                 # (e.g. a deeply thinned pattern) is a
+                                 # vanishing fraction of a huge state space
     t_cap: int = 0               # >0 caps dense-rollout trajectories at
                                  # t_cap steps — the 112k-action profile
                                  # showed ~190/265 ms of the step was
@@ -149,7 +156,7 @@ def loss_fn(params: GFlowNetParams, env: spai.SpaiEnv, graph: pol.GraphInputs,
     # are differentiable w.r.t. α: no recomputation needed.
     actions = jax.lax.stop_gradient(out.rollout.actions)
     fwd_lp = out.rollout.fwd_logprobs
-    log_r = log_reward(out.rewards)
+    log_r = cfg.reward_beta * log_reward(out.rewards)
     lengths = out.rollout.lengths
     weights = None
     terminated = None
@@ -169,7 +176,8 @@ def loss_fn(params: GFlowNetParams, env: spai.SpaiEnv, graph: pol.GraphInputs,
         r_rewards = _batched_rewards(env, r_actions, out.alpha)
         actions = jnp.concatenate([actions, r_actions], 0)
         fwd_lp = jnp.concatenate([fwd_lp, r_fwd], 0)
-        log_r = jnp.concatenate([log_r, log_reward(r_rewards)], 0)
+        log_r = jnp.concatenate(
+            [log_r, cfg.reward_beta * log_reward(r_rewards)], 0)
         lengths = jnp.concatenate(
             [lengths, (r_actions >= 0).sum(-1).astype(lengths.dtype)], 0)
         fresh_w = (jnp.ones((batch_size,), fwd_lp.dtype) if weights is None

@@ -359,24 +359,25 @@ def make_dp_train_step(mesh: Mesh, env, graph: pol.GraphInputs,
         flops = 2.0 * kept_nnz * ncols
         comp_ratio = flops / baseline_flops
         rewards = (alpha * (1 - res_ratio) + (1 - alpha) * (1 - comp_ratio)) * 1000.0
+        log_r = getattr(cfg, "reward_beta", 1.0) * log_reward(rewards)
 
         back_lp = gfn.backward_logprobs(params, cfg, actions)
         if cfg.loss == "vargrad":
             from ..gfn.loss import vargrad_loss
 
-            loss = vargrad_loss(log_reward(rewards),
+            loss = vargrad_loss(log_r,
                                 fwd_lp.sum(-1), back_lp.sum(-1),
                                 weights=weights)
         elif cfg.loss == "subtb":
             from ..gfn.loss import subtb_loss
 
             log_flows = pol.flow_head_logF(params.flow, actions)
-            loss = subtb_loss(log_flows, log_reward(rewards),
+            loss = subtb_loss(log_flows, log_r,
                               fwd_lp, back_lp, lengths,
                               lam=cfg.subtb_lambda, weights=weights)
         else:
             loss = trajectory_balance_loss(
-                params.log_z, log_reward(rewards),
+                params.log_z, log_r,
                 fwd_lp.sum(-1), back_lp.sum(-1), weights=weights,
             )
         return loss, (rewards[:b_local], fresh_actions)

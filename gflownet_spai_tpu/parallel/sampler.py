@@ -340,21 +340,22 @@ def make_sharded_sampler_train_step(mesh: Mesh, env, graph, cfg, opt,
         rewards = (alpha * (1 - res_ratio)
                    + (1 - alpha) * (1 - comp_ratio)) * 1000.0
 
+        log_r = getattr(cfg, 'reward_beta', 1.0) * log_reward(rewards)
         back_lp = gfn.backward_logprobs(params, cfg, actions)
         if cfg.loss == "vargrad":
-            loss = vargrad_loss(log_reward(rewards), fwd_lp.sum(-1),
+            loss = vargrad_loss(log_r, fwd_lp.sum(-1),
                                 back_lp.sum(-1), weights=w)
         elif cfg.loss == "subtb":
             # the flow head indexes action ids — replicated params, [b, top]
             # work (top = t_cap ≪ A), so SubTB(λ) needs no extra sharding
             log_flows = pol.flow_head_logF(params.flow, actions)
-            loss = subtb_loss(log_flows, log_reward(rewards), fwd_lp,
+            loss = subtb_loss(log_flows, log_r, fwd_lp,
                               back_lp, lengths, lam=cfg.subtb_lambda,
                               weights=w,
                               terminated=terminated if partial else None)
         else:
             loss = trajectory_balance_loss(
-                params.log_z, log_reward(rewards),
+                params.log_z, log_r,
                 fwd_lp.sum(-1), back_lp.sum(-1), weights=w)
         loss = jax.lax.pmean(loss, "dp")
         return (loss, rewards[:b_local], valid, lengths[:b_local],

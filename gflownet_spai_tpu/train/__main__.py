@@ -80,6 +80,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "(P ∝ (1+rank)^−α; 0 = uniform)")
     p.add_argument("--temperature", type=float, default=d.temperature,
                    help="rollout sampling temperature (>1 explores)")
+    p.add_argument("--reward-beta", type=float, default=d.reward_beta,
+                   dest="reward_beta",
+                   help="reward exponent β: sample P ∝ R^β (>1 sharpens "
+                        "toward the reward optimum)")
     p.add_argument("--sampler", default=d.sampler,
                    choices=["dense", "sharded"],
                    help="sharded = rollout's action head, Gumbel top-k and "

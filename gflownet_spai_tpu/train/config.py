@@ -70,6 +70,12 @@ class TrainConfig:
     loss: str = "tb"                # tb | vargrad | subtb
     subtb_lambda: float = 0.9       # λ for loss="subtb" (gfn.loss.subtb_loss)
     backward: str = "lstm"          # lstm (parity) | linear | uniform
+    reward_beta: float = 1.0        # reward exponent β: sample P ∝ R^β
+                                    # (log-reward scaled in the loss).
+                                    # β > 1 concentrates on the reward
+                                    # optimum — needed when it (e.g. a
+                                    # deeply thinned pattern) occupies a
+                                    # vanishing fraction of the state space
     temperature: float = 1.0        # rollout sampling temperature
     alpha_fixed: float = -1.0       # >=0 pins reward-mix α (else learned)
     reward_baseline: str = "auto"   # auto = matrix unless degenerate for

@@ -141,6 +141,7 @@ def setup(cfg: TrainConfig):
         num_actions=env.num_actions, loss=cfg.loss,
         temperature=cfg.temperature, alpha_fixed=cfg.alpha_fixed,
         subtb_lambda=cfg.subtb_lambda, backward=cfg.backward,
+        reward_beta=cfg.reward_beta,
         t_cap=min(dense_cap, env.num_actions),
     )
     params = gfn.init_params(jax.random.PRNGKey(cfg.prng_seed), mcfg, dtype=dtype)

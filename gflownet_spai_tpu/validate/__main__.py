@@ -66,10 +66,17 @@ def main(argv=None) -> int:
     p.add_argument("--backward", default="linear",
                    choices=["lstm", "linear", "uniform"])
     p.add_argument("--temperature", type=float, default=1.0)
+    p.add_argument("--reward-beta", type=float, default=1.0,
+                   dest="reward_beta",
+                   help="reward exponent β (sample P ∝ R^β)")
     p.add_argument("--replay-size", type=int, default=16)
     p.add_argument("--replay-samples", type=int, default=2)
     p.add_argument("--replay-prioritized", type=float, default=1.0,
                    help="rank-based replay priority exponent α (0 = uniform)")
+    p.add_argument("--t-cap", type=int, default=0, dest="t_cap",
+                   help="trajectory prefix cap (must match the training "
+                        "run when restoring — the replay buffer width in "
+                        "the checkpoint follows it)")
     p.add_argument("--from-checkpoint", default=None, metavar="RUN_DIR",
                    help="restore a trained policy from RUN_DIR/checkpoint "
                         "and skip training (still needs matching --matrix/"
@@ -119,9 +126,11 @@ def main(argv=None) -> int:
         reward_baseline=args.reward_baseline,
         loss=args.loss, subtb_lambda=args.subtb_lambda,
         backward=args.backward,
-        temperature=args.temperature, replay_size=args.replay_size,
+        temperature=args.temperature, reward_beta=args.reward_beta,
+        replay_size=args.replay_size,
         replay_samples=args.replay_samples,
         replay_prioritized=args.replay_prioritized,
+        t_cap=args.t_cap,
     )
     a, seed, env, graph, mcfg, opt, state = setup(cfg)
     print(f"matrix {args.matrix}: n={env.n}, seed nnz={env.num_edges}")
