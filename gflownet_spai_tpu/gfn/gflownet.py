@@ -60,6 +60,10 @@ class GFlowNetConfig(NamedTuple):
                                  # temperature; needed when the optimum
                                  # (e.g. a deeply thinned pattern) is a
                                  # vanishing fraction of a huge state space
+    terminal_bias: float = 0.0   # initial terminal-logit offset — the
+                                 # start-short curriculum for 1M-action
+                                 # spaces (models.policies
+                                 # forward_policy_init docstring)
     t_cap: int = 0               # >0 caps dense-rollout trajectories at
                                  # t_cap steps — the 112k-action profile
                                  # showed ~190/265 ms of the step was
@@ -82,7 +86,8 @@ def init_params(key, cfg: GFlowNetConfig, dtype=jnp.float32) -> GFlowNetParams:
             kb, cfg.hidden_dim, cfg.num_actions, dtype=dtype)
     return GFlowNetParams(
         forward=pol.forward_policy_init(
-            kf, cfg.hidden_dim, cfg.num_actions, heads=cfg.heads, dtype=dtype
+            kf, cfg.hidden_dim, cfg.num_actions, heads=cfg.heads,
+            dtype=dtype, terminal_bias=cfg.terminal_bias,
         ),
         backward=backward,
         log_z=jnp.zeros((), dtype),

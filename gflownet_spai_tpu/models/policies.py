@@ -106,14 +106,27 @@ def tiled_graph_from_seed(seed, tile_nodes: int = 128) -> TiledGraphInputs:
 
 def forward_policy_init(key, hidden_dim: int, max_num_actions: int,
                         node_features: int = 1, heads: int = 4,
-                        dtype=jnp.float32) -> ForwardPolicyParams:
+                        dtype=jnp.float32,
+                        terminal_bias: float = 0.0) -> ForwardPolicyParams:
+    """``terminal_bias`` raises the terminal action's initial logit — a
+    start-short curriculum for huge action spaces: an untrained
+    (near-uniform) policy has ~A/2-step trajectories, so at 1M actions the
+    terminal never enters a t_cap-sized rollout prefix and SubTB has no
+    reward anchor to learn termination from (measured: mean_len pinned at
+    t_cap for 800+ epochs at A=1e6).  A bias of b puts the terminal at
+    expected sorted position ≈ A·P(Gumbel > b) ≈ A·e^{−b} — e.g. b=8 at
+    A=1e6 starts trajectories at depth ~300, and the policy then deepens
+    them as the reward warrants.  0 (default) = reference-parity init."""
     k1, k2, k3 = jax.random.split(key, 3)
     lim = jnp.sqrt(1.0 / hidden_dim)
+    fc_b = jnp.zeros((max_num_actions,), dtype)
+    if terminal_bias:
+        fc_b = fc_b.at[max_num_actions - 1].set(terminal_bias)
     return ForwardPolicyParams(
         gat1=gatv2_init(k1, node_features, hidden_dim, heads, dtype=dtype),
         gat2=gatv2_init(k2, heads * hidden_dim, hidden_dim, 1, dtype=dtype),
         fc_w=jax.random.uniform(k3, (hidden_dim, max_num_actions), dtype, -lim, lim),
-        fc_b=jnp.zeros((max_num_actions,), dtype),
+        fc_b=fc_b,
         alpha=jnp.zeros((), dtype),
     )
 

@@ -80,6 +80,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "(P ∝ (1+rank)^−α; 0 = uniform)")
     p.add_argument("--temperature", type=float, default=d.temperature,
                    help="rollout sampling temperature (>1 explores)")
+    p.add_argument("--terminal-bias", type=float, default=d.terminal_bias,
+                   dest="terminal_bias",
+                   help="initial terminal-logit offset: start-short "
+                        "curriculum for huge action spaces (~8 at 1M "
+                        "actions puts initial trajectory depth ~A*e^-b)")
     p.add_argument("--reward-beta", type=float, default=d.reward_beta,
                    dest="reward_beta",
                    help="reward exponent β: sample P ∝ R^β (>1 sharpens "

@@ -76,6 +76,9 @@ class TrainConfig:
                                     # optimum — needed when it (e.g. a
                                     # deeply thinned pattern) occupies a
                                     # vanishing fraction of the state space
+    terminal_bias: float = 0.0      # initial terminal-logit offset (start-
+                                    # short curriculum at huge A; ~8 at 1M
+                                    # actions — forward_policy_init)
     temperature: float = 1.0        # rollout sampling temperature
     alpha_fixed: float = -1.0       # >=0 pins reward-mix α (else learned)
     reward_baseline: str = "auto"   # auto = matrix unless degenerate for

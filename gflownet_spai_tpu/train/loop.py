@@ -142,6 +142,7 @@ def setup(cfg: TrainConfig):
         temperature=cfg.temperature, alpha_fixed=cfg.alpha_fixed,
         subtb_lambda=cfg.subtb_lambda, backward=cfg.backward,
         reward_beta=cfg.reward_beta,
+        terminal_bias=cfg.terminal_bias,
         t_cap=min(dense_cap, env.num_actions),
     )
     params = gfn.init_params(jax.random.PRNGKey(cfg.prng_seed), mcfg, dtype=dtype)

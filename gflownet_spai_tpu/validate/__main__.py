@@ -66,6 +66,10 @@ def main(argv=None) -> int:
     p.add_argument("--backward", default="linear",
                    choices=["lstm", "linear", "uniform"])
     p.add_argument("--temperature", type=float, default=1.0)
+    p.add_argument("--terminal-bias", type=float, default=0.0,
+                   dest="terminal_bias",
+                   help="initial terminal-logit offset (must not matter "
+                        "on restore — params come from the checkpoint)")
     p.add_argument("--reward-beta", type=float, default=1.0,
                    dest="reward_beta",
                    help="reward exponent β (sample P ∝ R^β)")
@@ -127,6 +131,7 @@ def main(argv=None) -> int:
         loss=args.loss, subtb_lambda=args.subtb_lambda,
         backward=args.backward,
         temperature=args.temperature, reward_beta=args.reward_beta,
+        terminal_bias=args.terminal_bias,
         replay_size=args.replay_size,
         replay_samples=args.replay_samples,
         replay_prioritized=args.replay_prioritized,
