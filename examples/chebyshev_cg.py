@@ -61,7 +61,10 @@ def main():
                        chebyshev_op(d, lmax=lmax, lmin=lmin, degree=degree)),
                       (f"vcycle(levels={levels})",
                        vcycle_op(d, pre=2, post=2, levels=levels,
-                                 coarse_sweeps=16))):
+                                 coarse_sweeps=16)),
+                      (f"vcycle-cheb(levels={min(levels, 3)})",
+                       vcycle_op(d, levels=min(levels, 3),
+                                 smoother="chebyshev"))):
         res = cg(d, b, m_op=m_op, maxiter=4000, rtol=1e-5)   # compile+run
         t0 = time.time()
         res = cg(d, b, m_op=m_op, maxiter=4000, rtol=1e-5)

@@ -105,6 +105,11 @@ def main(argv=None) -> int:
                    help="add an aggregation-V-cycle preconditioner row "
                         "with that many grid levels (>=2; fused-Jacobi "
                         "smoothing on every level — solvers.multigrid)")
+    p.add_argument("--vcycle-smoother", default="jacobi",
+                   choices=["jacobi", "chebyshev"],
+                   help="V-cycle smoother: chebyshev = per-level "
+                        "polynomial smoothing on the fused kernels "
+                        "(fewer CG iterations per cycle)")
     args = p.parse_args(argv)
 
     if args.platform:
@@ -255,8 +260,10 @@ def main(argv=None) -> int:
         from ..ops.dia import coo_to_dia
         from ..solvers.multigrid import vcycle_op
 
-        op = vcycle_op(coo_to_dia(a), levels=args.vcycle)
-        report["vcycle"] = solve_row(op) | {"levels": args.vcycle}
+        op = vcycle_op(coo_to_dia(a), levels=args.vcycle,
+                       smoother=args.vcycle_smoother)
+        report["vcycle"] = solve_row(op) | {
+            "levels": args.vcycle, "smoother": args.vcycle_smoother}
 
     out_dir = Path(args.out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
