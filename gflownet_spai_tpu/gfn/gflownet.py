@@ -60,6 +60,14 @@ class GFlowNetConfig(NamedTuple):
                                  # temperature; needed when the optimum
                                  # (e.g. a deeply thinned pattern) is a
                                  # vanishing fraction of a huge state space
+    edge_feats: bool = False     # value-aware action-head channel: adds
+                                 # feats[A, F] @ feat_w to the logits
+                                 # (models.policies.action_features) —
+                                 # lets the policy express "delete small-
+                                 # magnitude entries" with ONE weight
+                                 # instead of learning every fc column
+                                 # independently.  Zero-init: logits start
+                                 # reference-exact.
     terminal_bias: float = 0.0   # initial terminal-logit offset — the
                                  # start-short curriculum for 1M-action
                                  # spaces (models.policies
@@ -88,6 +96,7 @@ def init_params(key, cfg: GFlowNetConfig, dtype=jnp.float32) -> GFlowNetParams:
         forward=pol.forward_policy_init(
             kf, cfg.hidden_dim, cfg.num_actions, heads=cfg.heads,
             dtype=dtype, terminal_bias=cfg.terminal_bias,
+            edge_feats=cfg.edge_feats,
         ),
         backward=backward,
         log_z=jnp.zeros((), dtype),

@@ -37,16 +37,37 @@ class ForwardPolicyParams(NamedTuple):
     fc_w: jax.Array     # [hidden, max_num_actions]
     fc_b: jax.Array     # [max_num_actions]
     alpha: jax.Array    # learned scalar, init 0.0 (reference policy.py:32)
+    feat_w: jax.Array | None = None  # [F] value-aware logit channel weight
+                                     # (None = reference-parity head)
 
 
 class GraphInputs(NamedTuple):
     """Static graph of the seed pattern (reference ``state_to_data``,
     gflownet/gflownet.py:223-257): node features all-ones over 2n nodes,
-    edges = seed nonzeros, edge features = seed values."""
+    edges = seed nonzeros, edge features = seed values.
+
+    ``action_feats`` [A, F]: static per-ACTION features for the
+    value-aware logit channel (``action_feature_logits``) — currently
+    F = 1, the scale-free log edge magnitude (0 for the terminal).  Only
+    read when the policy carries a non-None ``feat_w``."""
     x: jax.Array         # [2n, 1]
     edge_src: jax.Array  # int32[nnz]
     edge_dst: jax.Array  # int32[nnz]
     edge_attr: jax.Array # [nnz, 1]
+    action_feats: jax.Array | None = None   # [nnz+1, F]
+
+
+def action_features(seed) -> jax.Array:
+    """[nnz+1, 1] static per-action features: log(|v| / geomean|v|) of each
+    deletable edge (scale-free "how small is this entry"), 0 for the
+    terminal action.  With one learned weight on this channel the policy
+    can express "delete small-magnitude entries first" directly — the
+    reference's pooled@fc head (policy.py:59-63) must otherwise learn
+    every action column independently from trajectory reward alone."""
+    v = jnp.abs(seed.data) + 1e-30
+    logv = jnp.log(v)
+    f = logv - jnp.mean(logv)
+    return jnp.concatenate([f, jnp.zeros((1,), f.dtype)])[:, None]
 
 
 def graph_from_seed(seed) -> GraphInputs:
@@ -56,6 +77,7 @@ def graph_from_seed(seed) -> GraphInputs:
         edge_src=seed.row,
         edge_dst=seed.col,
         edge_attr=seed.data[:, None],
+        action_feats=action_features(seed),
     )
 
 
@@ -75,6 +97,8 @@ class TiledGraphInputs(NamedTuple):
     srcwin: object = None # ops.segment.SrcWindows — windowed-onehot plan
                           # for the layer-2 src-row gather (None = XLA
                           # gather)
+    action_feats: jax.Array | None = None   # [nnz+1, F] action-ordered
+                          # (NOT slot-ordered) — see GraphInputs
 
 
 def tiled_graph_from_seed(seed, tile_nodes: int = 128) -> TiledGraphInputs:
@@ -101,13 +125,15 @@ def tiled_graph_from_seed(seed, tile_nodes: int = 128) -> TiledGraphInputs:
         attr_t=to_tiles(tiles, attr)[:, None],
         tiles=tiles,
         srcwin=build_src_windows(tiles, np.asarray(src_t), n2),
+        action_feats=action_features(seed),
     )
 
 
 def forward_policy_init(key, hidden_dim: int, max_num_actions: int,
                         node_features: int = 1, heads: int = 4,
                         dtype=jnp.float32,
-                        terminal_bias: float = 0.0) -> ForwardPolicyParams:
+                        terminal_bias: float = 0.0,
+                        edge_feats: bool = False) -> ForwardPolicyParams:
     """``terminal_bias`` raises the terminal action's initial logit — a
     start-short curriculum for huge action spaces: an untrained
     (near-uniform) policy has ~A/2-step trajectories, so at 1M actions the
@@ -128,6 +154,7 @@ def forward_policy_init(key, hidden_dim: int, max_num_actions: int,
         fc_w=jax.random.uniform(k3, (hidden_dim, max_num_actions), dtype, -lim, lim),
         fc_b=fc_b,
         alpha=jnp.zeros((), dtype),
+        feat_w=jnp.zeros((1,), dtype) if edge_feats else None,
     )
 
 
@@ -169,7 +196,12 @@ def forward_policy_logits(p: ForwardPolicyParams, g: GraphInputs,
     """
     pooled = forward_policy_pooled(p, g, hidden_dim, heads)
     logits = pooled @ p.fc_w + p.fc_b             # [max_num_actions]
-    return logits[:num_actions]                   # slice to live nnz+1
+    logits = logits[:num_actions]                 # slice to live nnz+1
+    if p.feat_w is not None and getattr(g, "action_feats", None) is not None:
+        # value-aware channel: one learned weight per static per-action
+        # feature (zero-init → reference-parity logits at start)
+        logits = logits + g.action_feats[:num_actions] @ p.feat_w
+    return logits
 
 
 def forward_policy_alpha(p: ForwardPolicyParams) -> jax.Array:

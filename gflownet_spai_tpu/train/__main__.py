@@ -80,6 +80,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "(P ∝ (1+rank)^−α; 0 = uniform)")
     p.add_argument("--temperature", type=float, default=d.temperature,
                    help="rollout sampling temperature (>1 explores)")
+    p.add_argument("--edge-feats", action="store_true", dest="edge_feats",
+                   help="value-aware action-head channel (one learned "
+                        "weight on the log edge magnitude) — makes "
+                        "magnitude-ordered thinning directly learnable")
     p.add_argument("--terminal-bias", type=float, default=d.terminal_bias,
                    dest="terminal_bias",
                    help="initial terminal-logit offset: start-short "

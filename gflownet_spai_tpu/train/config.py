@@ -76,6 +76,8 @@ class TrainConfig:
                                     # optimum — needed when it (e.g. a
                                     # deeply thinned pattern) occupies a
                                     # vanishing fraction of the state space
+    edge_feats: bool = False        # value-aware action-head channel
+                                    # (gfn.GFlowNetConfig.edge_feats)
     terminal_bias: float = 0.0      # initial terminal-logit offset (start-
                                     # short curriculum at huge A; ~8 at 1M
                                     # actions — forward_policy_init)

@@ -143,6 +143,7 @@ def setup(cfg: TrainConfig):
         subtb_lambda=cfg.subtb_lambda, backward=cfg.backward,
         reward_beta=cfg.reward_beta,
         terminal_bias=cfg.terminal_bias,
+        edge_feats=cfg.edge_feats,
         t_cap=min(dense_cap, env.num_actions),
     )
     params = gfn.init_params(jax.random.PRNGKey(cfg.prng_seed), mcfg, dtype=dtype)
@@ -322,6 +323,11 @@ def _make_sharded_sampler_adapter(cfg: TrainConfig, env, graph, mcfg, opt):
     from ..parallel import make_mesh
     from ..parallel.sampler import make_sharded_sampler_train_step
 
+    if cfg.edge_feats:
+        raise NotImplementedError(
+            "--edge-feats is not wired into the sharded sampler's manual "
+            "logit computation yet; use the dense sampler (the channel "
+            "would otherwise be silently ignored)")
     mesh = make_mesh(dp=cfg.dp_devices, rows=cfg.rows_devices)
     t_cap0 = cfg.t_cap or mcfg.num_actions
     use_replay = cfg.replay_size > 0

@@ -66,6 +66,8 @@ def main(argv=None) -> int:
     p.add_argument("--backward", default="linear",
                    choices=["lstm", "linear", "uniform"])
     p.add_argument("--temperature", type=float, default=1.0)
+    p.add_argument("--edge-feats", action="store_true", dest="edge_feats",
+                   help="value-aware action-head channel (see train CLI)")
     p.add_argument("--terminal-bias", type=float, default=0.0,
                    dest="terminal_bias",
                    help="initial terminal-logit offset (must not matter "
@@ -136,7 +138,7 @@ def main(argv=None) -> int:
         loss=args.loss, subtb_lambda=args.subtb_lambda,
         backward=args.backward,
         temperature=args.temperature, reward_beta=args.reward_beta,
-        terminal_bias=args.terminal_bias,
+        terminal_bias=args.terminal_bias, edge_feats=args.edge_feats,
         replay_size=args.replay_size,
         replay_samples=args.replay_samples,
         replay_prioritized=args.replay_prioritized,

@@ -776,3 +776,40 @@ def test_loss_fn_t_cap_subtb_trains_on_truncated_batches():
     loss_tb, _ = loss_fn(params_tb, env, graph, cfg_tb,
                          jax.random.PRNGKey(4), 8)
     assert float(loss_tb) == 0.0      # nothing terminated → all weight-0
+
+
+def test_edge_feats_channel_zero_init_parity_and_effect():
+    """The value-aware action-head channel (edge_feats): zero-init leaves
+    the logits reference-exact; a negative feat_w raises small-magnitude
+    entries' logits relative to large ones (terminal unshifted)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from gflownet_spai_tpu.env import seed_pattern
+    from gflownet_spai_tpu.gfn import GFlowNetConfig, init_params
+    from gflownet_spai_tpu.models.policies import (
+        forward_policy_logits, graph_from_seed)
+    from gflownet_spai_tpu.sparse import gallery
+
+    a = gallery.get("LF10_like")
+    seed = seed_pattern(a, "spai", k=2)
+    g = graph_from_seed(seed)
+    A = seed.nnz + 1
+    cfg_on = GFlowNetConfig(hidden_dim=4, heads=4, num_actions=A,
+                            edge_feats=True)
+    cfg_off = GFlowNetConfig(hidden_dim=4, heads=4, num_actions=A)
+    p_on = init_params(jax.random.PRNGKey(0), cfg_on)
+    p_off = init_params(jax.random.PRNGKey(0), cfg_off)
+    assert p_on.forward.feat_w is not None and p_off.forward.feat_w is None
+    l_on = forward_policy_logits(p_on.forward, g, A, 4)
+    l_off = forward_policy_logits(p_off.forward, g, A, 4)
+    np.testing.assert_allclose(np.asarray(l_on), np.asarray(l_off),
+                               rtol=1e-6)           # zero-init parity
+
+    fw = p_on.forward._replace(feat_w=jnp.asarray([-2.0]))
+    l_neg = np.asarray(forward_policy_logits(fw, g, A, 4))
+    shift = l_neg - np.asarray(l_on)
+    mags = np.abs(np.asarray(seed.data))
+    small, big = np.argmin(mags), np.argmax(mags)
+    assert shift[small] > shift[big]                # small entries favored
+    assert shift[-1] == 0.0                         # terminal untouched
