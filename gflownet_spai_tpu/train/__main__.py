@@ -78,6 +78,12 @@ def build_parser() -> argparse.ArgumentParser:
                    default=d.replay_prioritized,
                    help="rank-based replay priority exponent α "
                         "(P ∝ (1+rank)^−α; 0 = uniform)")
+    p.add_argument("--replay-seed-thinning", default=d.replay_seed_fracs,
+                   dest="replay_seed_fracs", metavar="F1,F2,...",
+                   help="demonstration-seed the replay buffer with "
+                        "magnitude-ordered thinnings at these fractions "
+                        "(e.g. 0.1,0.25,0.5) — off-policy-valid anchor "
+                        "for deep thinning optima")
     p.add_argument("--temperature", type=float, default=d.temperature,
                    help="rollout sampling temperature (>1 explores)")
     p.add_argument("--edge-feats", action="store_true", dest="edge_feats",

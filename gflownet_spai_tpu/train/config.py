@@ -95,6 +95,12 @@ class TrainConfig:
     replay_samples: int = 2         # buffer trajectories mixed per epoch
     replay_prioritized: float = 0.0 # rank-based replay priority exponent α
                                     # (P ∝ (1+rank)^−α; 0 = uniform)
+    replay_seed_fracs: str = ""     # comma list of fractions f: seed the
+                                    # buffer with the magnitude-ordered
+                                    # thinning demonstration (delete the
+                                    # f·nnz smallest entries, terminate) —
+                                    # train.loop.seed_replay_with_
+                                    # magnitude_thinning
     sampler: str = "dense"          # dense | sharded — sharded runs the
                                     # rollout's action head, Gumbel top-k
                                     # AND per-step log-probs over the rows

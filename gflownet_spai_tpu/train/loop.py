@@ -486,6 +486,36 @@ def restore_checkpoint(out_dir: str, template: TrainState) -> Optional[TrainStat
         return ckpt.restore(steps[-1], template)
 
 
+def seed_replay_with_magnitude_thinning(env, state: TrainState, cfg,
+                                        alpha: float) -> TrainState:
+    """Demonstration-seed the replay buffer (``cfg.replay_seed_fracs``):
+    for each fraction f, inject the trajectory that deletes the f·nnz
+    SMALLEST-|value| seed entries (magnitude order) then terminates, with
+    its true reward.  Off-policy-valid: replayed trajectories are always
+    re-scored under the current policy (gfn.replay module docstring), so
+    demonstrations only anchor the top-k buffer — the standard fix when
+    the reward optimum (a selective deep thinning) is unreachable by
+    on-policy exploration from a terminate-early policy."""
+    fracs = [float(x) for x in str(cfg.replay_seed_fracs).split(",") if x]
+    if not fracs or state.replay is None:
+        return state
+    order = np.argsort(np.abs(np.asarray(env.seed.data)))
+    T = state.replay.actions.shape[1]
+    terminal = env.num_edges
+    replay = state.replay
+    for f in fracs:
+        k = min(int(f * env.num_edges), T - 1)
+        acts = np.full((1, T), -1, np.int32)
+        acts[0, :k] = order[:k]
+        acts[0, k] = terminal
+        acts_j = jnp.asarray(acts)
+        r = gfn._batched_rewards(env, acts_j, jnp.asarray(alpha))
+        replay = replay_update(replay, acts_j, r)
+        print(f"replay seed: magnitude-thin {f:.0%} ({k} deletions) "
+              f"reward {float(r[0]):.1f}", flush=True)
+    return state._replace(replay=replay)
+
+
 def train(cfg: TrainConfig, progress: bool = True):
     """Full training run; returns (final TrainState, history list).
 
@@ -493,6 +523,10 @@ def train(cfg: TrainConfig, progress: bool = True):
     ``(dp, 1)`` mesh (see parallel.dp); otherwise single device.
     """
     a, seed, env, graph, mcfg, opt, state = setup(cfg)
+    if cfg.replay_seed_fracs:
+        state = seed_replay_with_magnitude_thinning(
+            env, state, cfg,
+            alpha=cfg.alpha_fixed if cfg.alpha_fixed >= 0 else 0.5)
     if cfg.resume:
         restored = restore_checkpoint(cfg.out_dir, state)
         if restored is not None:

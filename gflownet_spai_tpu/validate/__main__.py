@@ -79,6 +79,9 @@ def main(argv=None) -> int:
     p.add_argument("--replay-samples", type=int, default=2)
     p.add_argument("--replay-prioritized", type=float, default=1.0,
                    help="rank-based replay priority exponent α (0 = uniform)")
+    p.add_argument("--replay-seed-thinning", default="",
+                   dest="replay_seed_fracs", metavar="F1,F2,...",
+                   help="demonstration-seed the replay buffer (train CLI)")
     p.add_argument("--t-cap", type=int, default=0, dest="t_cap",
                    help="trajectory prefix cap (must match the training "
                         "run when restoring — the replay buffer width in "
@@ -142,6 +145,7 @@ def main(argv=None) -> int:
         replay_size=args.replay_size,
         replay_samples=args.replay_samples,
         replay_prioritized=args.replay_prioritized,
+        replay_seed_fracs=args.replay_seed_fracs,
         t_cap=args.t_cap,
     )
     a, seed, env, graph, mcfg, opt, state = setup(cfg)
@@ -162,6 +166,12 @@ def main(argv=None) -> int:
         print(f"restored trained policy at epoch {int(state.epoch)}, "
               "skipping training")
     else:
+        if cfg.replay_seed_fracs:
+            from ..train.loop import seed_replay_with_magnitude_thinning
+
+            state = seed_replay_with_magnitude_thinning(
+                env, state, cfg,
+                alpha=cfg.alpha_fixed if cfg.alpha_fixed >= 0 else 0.5)
         step = make_train_step(cfg, env, graph, mcfg, opt)
         for epoch in range(args.epochs):
             state, metrics = step(state)

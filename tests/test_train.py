@@ -187,3 +187,41 @@ def test_train_sharded_sampler_end_to_end(tmp_path):
             (tmp_path / "run" / "metrics.jsonl").read_text().splitlines()]
     assert all(r["valid_frac"] == 1.0 for r in recs)   # t_cap = A ⇒ exact
     assert all(r["mean_len"] >= 1.0 for r in recs)
+
+
+def test_replay_seed_magnitude_thinning(tmp_path):
+    """Demonstration-seeded replay: the buffer holds the magnitude-ordered
+    thinning trajectories with their true rewards after setup."""
+    import numpy as np
+    from gflownet_spai_tpu.train import TrainConfig, setup
+    from gflownet_spai_tpu.train.loop import (
+        seed_replay_with_magnitude_thinning)
+
+    cfg = TrainConfig(matrix="bcsstk03_like", seed_method="spai", seed_k=2,
+                      reward_baseline="identity", replay_size=8,
+                      replay_seed_fracs="0.25,0.5", alpha_fixed=0.9,
+                      out_dir=str(tmp_path))
+    a, seed, env, graph, mcfg, opt, state = setup(cfg)
+    state = seed_replay_with_magnitude_thinning(env, state, cfg, alpha=0.9)
+    filled = np.isfinite(np.asarray(state.replay.rewards))
+    assert filled.sum() == 2
+    rewards = np.asarray(state.replay.rewards)[filled]
+    # the magnitude-thinned patterns must beat keep-everything at α=0.9
+    # (oracle: 50% of a k=2 SPAI seed deletes at ~zero residual cost)
+    from gflownet_spai_tpu.gfn.gflownet import _batched_rewards
+    import jax.numpy as jnp
+
+    keep_all = np.full((1, 2), -1, np.int32)
+    keep_all[0, 0] = env.num_edges          # immediate terminal
+    r_keep = float(_batched_rewards(env, jnp.asarray(keep_all),
+                                    jnp.asarray(0.9))[0])
+    assert rewards.max() > r_keep + 100
+    # trajectory shape: k smallest deletions then terminal then -1 padding
+    acts = np.asarray(state.replay.actions)[filled]
+    for row in acts:
+        k = int((row >= 0).sum()) - 1
+        assert row[k] == env.num_edges
+        mags = np.abs(np.asarray(env.seed.data))
+        # all deleted entries are among the (k + tolerance) smallest
+        thresh = np.sort(mags)[k - 1]
+        assert (mags[row[:k]] <= thresh + 1e-12).all()
