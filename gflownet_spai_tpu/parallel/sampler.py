@@ -43,6 +43,19 @@ class ShardedRollout(NamedTuple):
     logits_local: jax.Array  # [A_pad/R] this-shard logits (diagnostics)
 
 
+def _padded_action_feats(graph, num_actions: int, a_pad: int):
+    """[A_pad, F] action-feature rows matching the padded head width, or
+    None when the graph carries no ``action_feats`` (models.policies:
+    the value-aware logit channel reads static per-action features in
+    action-id order — the same enumeration as the head's columns, so the
+    column sharding of ``tp.shard_head`` slices both identically)."""
+    feats = getattr(graph, "action_feats", None)
+    if feats is None:
+        return None
+    feats = feats[:num_actions]
+    return jnp.pad(feats, ((0, a_pad - feats.shape[0]), (0, 0)))
+
+
 def sharded_rollout(mesh: Mesh, p: pol.ForwardPolicyParams, graph,
                     num_actions: int, hidden_dim: int, key,
                     batch_size: int, t_cap: int, heads: int = 4,
@@ -58,17 +71,31 @@ def sharded_rollout(mesh: Mesh, p: pol.ForwardPolicyParams, graph,
     evaluated under the untempered policy — the same off-policy re-scoring
     semantics as the dense path (gfn.gflownet.sample), and it falls out for
     free here because the suffix normalizers never depended on how the
-    prefix was ordered."""
+    prefix was ordered.
+
+    When ``p.feat_w`` is not None and the graph carries ``action_feats``,
+    the value-aware logit channel (``--edge-feats``) is added shard-locally:
+    each device holds only its [A_pad/R, F] feature slice."""
     pooled = pol.forward_policy_pooled(p, graph, hidden_dim, heads)
     A_pad = p.fc_w.shape[1]
     R = mesh.shape[axis]
     a_loc = A_pad // R
     k_loc = min(t_cap, a_loc)
     terminal = num_actions - 1
+    feats = _padded_action_feats(graph, num_actions, A_pad) \
+        if p.feat_w is not None else None
+    use_feats = feats is not None
+    if not use_feats:
+        feats = jnp.zeros((R, 1), pooled.dtype)
+        feat_w = jnp.zeros((1,), pooled.dtype)
+    else:
+        feat_w = p.feat_w
 
-    def local(pooled, w, b, key):
+    def local(pooled, w, b, feats, feat_w, key):
         j = jax.lax.axis_index(axis)
         l_loc = pooled @ w + b                                 # [a_loc]
+        if use_feats:
+            l_loc = l_loc + feats @ feat_w
         gids = j * a_loc + jnp.arange(a_loc, dtype=jnp.int32)
         l_loc = jnp.where(gids < num_actions, l_loc, -jnp.inf)
         g = jax.random.gumbel(jax.random.fold_in(key, j),
@@ -115,10 +142,10 @@ def sharded_rollout(mesh: Mesh, p: pol.ForwardPolicyParams, graph,
 
     actions, fwd_lp, lengths, valid, l_loc = shard_map(
         local, mesh=mesh,
-        in_specs=(P(), P(None, axis), P(axis), P()),
+        in_specs=(P(), P(None, axis), P(axis), P(axis, None), P(), P()),
         out_specs=(P(), P(), P(), P(), P(axis)),
         check_vma=False,
-    )(pooled, p.fc_w, p.fc_b, key)
+    )(pooled, p.fc_w, p.fc_b, feats, feat_w, key)
     return ShardedRollout(
         rollout=Rollout(actions=actions, fwd_logprobs=fwd_lp, lengths=lengths),
         valid=valid,
@@ -209,6 +236,20 @@ def make_sharded_sampler_train_step(mesh: Mesh, env, graph, cfg, opt,
     env, aux, aux_specs, res_fn = _make_residual_provider(env, R)
     opt = optax.with_extra_args_support(opt)
 
+    # value-aware logit channel (--edge-feats): slice the static [A_pad, F]
+    # action features over `axis` alongside the head columns (the action-id
+    # enumeration IS the column order, so P(axis) shards both identically)
+    a_pad_total = -(-cfg.num_actions // R) * R
+    use_feats = bool(getattr(cfg, "edge_feats", False))
+    feats = _padded_action_feats(graph, cfg.num_actions, a_pad_total) \
+        if use_feats else None
+    if use_feats and feats is None:
+        raise ValueError("cfg.edge_feats=True but the graph carries no "
+                         "action_feats (models.policies.*_from_seed builds "
+                         "them)")
+    if feats is None:
+        feats = jnp.zeros((R, 1), jnp.float32)
+
     # tile-shard the GAT forward over `axis` when the graph is tiled: at
     # 1M+ edges the replicated policy forward dominates the sharded step
     # (parallel.gat; VERDICT r3 item 6).  Non-tiled graphs (small runs)
@@ -230,7 +271,7 @@ def make_sharded_sampler_train_step(mesh: Mesh, env, graph, cfg, opt,
     def _shard_fwd(params):
         return params._replace(forward=shard_head(mesh, params.forward, axis))
 
-    def local(params, key, aux, graph_arg, r_actions, r_valid):
+    def local(params, key, aux, graph_arg, feats_loc, r_actions, r_valid):
         j = jax.lax.axis_index(axis)
         key = jax.random.fold_in(key, jax.lax.axis_index("dp"))
         if gat_meta is not None:
@@ -244,6 +285,8 @@ def make_sharded_sampler_train_step(mesh: Mesh, env, graph, cfg, opt,
                                                cfg.hidden_dim, cfg.heads)
         a_loc = params.forward.fc_w.shape[1]           # local slice width
         l_loc = pooled @ params.forward.fc_w + params.forward.fc_b
+        if use_feats:
+            l_loc = l_loc + feats_loc @ params.forward.feat_w
         gids = j * a_loc + jnp.arange(a_loc, dtype=jnp.int32)
         live = gids < num_actions
         l_loc = jnp.where(live, l_loc, -jnp.inf)
@@ -361,7 +404,7 @@ def make_sharded_sampler_train_step(mesh: Mesh, env, graph, cfg, opt,
         return (loss, rewards[:b_local], valid, lengths[:b_local],
                 actions[:b_local])
 
-    def loss_fn(params, key, aux, graph_arg, r_actions, r_valid):
+    def loss_fn(params, key, aux, graph_arg, feats_arg, r_actions, r_valid):
         fwd = jax.tree_util.tree_map(lambda _: P(), params.forward)
         fwd = fwd._replace(fc_w=P(None, axis), fc_b=P(axis))
         p_spec = jax.tree_util.tree_map(lambda _: P(), params)
@@ -377,10 +420,11 @@ def make_sharded_sampler_train_step(mesh: Mesh, env, graph, cfg, opt,
             g_spec = jax.tree_util.tree_map(lambda _: P(), graph_arg)
         out = shard_map(
             local, mesh=mesh,
-            in_specs=(p_spec, P(), aux_specs, g_spec, P(), P()),
+            in_specs=(p_spec, P(), aux_specs, g_spec, P(axis, None), P(),
+                      P()),
             out_specs=(P(), P("dp"), P("dp"), P("dp"), P("dp")),
             check_vma=False,
-        )(params, key, aux, graph_arg, r_actions, r_valid)
+        )(params, key, aux, graph_arg, feats_arg, r_actions, r_valid)
         loss, rewards, valid, lengths, actions = out
         return loss, (rewards, valid, lengths, actions)
 
@@ -388,7 +432,7 @@ def make_sharded_sampler_train_step(mesh: Mesh, env, graph, cfg, opt,
     def _step(params, opt_state, key, r_actions, r_valid):
         (loss, (rewards, valid, lengths, actions)), grads = (
             jax.value_and_grad(loss_fn, has_aux=True)(
-                params, key, aux, graph, r_actions, r_valid))
+                params, key, aux, graph, feats, r_actions, r_valid))
         updates, opt_state = opt.update(grads, opt_state, params, value=loss)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss, rewards, valid, lengths, actions

@@ -84,6 +84,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "magnitude-ordered thinnings at these fractions "
                         "(e.g. 0.1,0.25,0.5) — off-policy-valid anchor "
                         "for deep thinning optima")
+    p.add_argument("--warmstart-epochs", type=int,
+                   default=d.warmstart_epochs, dest="warmstart_epochs",
+                   help="supervised warm-start: this many cross-entropy "
+                        "steps on the --replay-seed-thinning demonstration "
+                        "trajectories before GFlowNet training")
+    p.add_argument("--warmstart-lr", type=float, default=d.warmstart_lr,
+                   dest="warmstart_lr",
+                   help="Adam lr of the warm-start phase")
     p.add_argument("--temperature", type=float, default=d.temperature,
                    help="rollout sampling temperature (>1 explores)")
     p.add_argument("--edge-feats", action="store_true", dest="edge_feats",

@@ -101,6 +101,13 @@ class TrainConfig:
                                     # f·nnz smallest entries, terminate) —
                                     # train.loop.seed_replay_with_
                                     # magnitude_thinning
+    warmstart_epochs: int = 0       # >0: supervised warm-start — that many
+                                    # cross-entropy steps maximizing log
+                                    # P_F of the replay_seed_fracs
+                                    # demonstrations BEFORE GFlowNet
+                                    # training (train.loop.
+                                    # warmstart_on_demonstrations)
+    warmstart_lr: float = 5e-3      # Adam lr of the warm-start phase
     sampler: str = "dense"          # dense | sharded — sharded runs the
                                     # rollout's action head, Gumbel top-k
                                     # AND per-step log-probs over the rows

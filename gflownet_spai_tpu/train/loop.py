@@ -323,11 +323,6 @@ def _make_sharded_sampler_adapter(cfg: TrainConfig, env, graph, mcfg, opt):
     from ..parallel import make_mesh
     from ..parallel.sampler import make_sharded_sampler_train_step
 
-    if cfg.edge_feats:
-        raise NotImplementedError(
-            "--edge-feats is not wired into the sharded sampler's manual "
-            "logit computation yet; use the dense sampler (the channel "
-            "would otherwise be silently ignored)")
     mesh = make_mesh(dp=cfg.dp_devices, rows=cfg.rows_devices)
     t_cap0 = cfg.t_cap or mcfg.num_actions
     use_replay = cfg.replay_size > 0
@@ -486,6 +481,80 @@ def restore_checkpoint(out_dir: str, template: TrainState) -> Optional[TrainStat
         return ckpt.restore(steps[-1], template)
 
 
+def _magnitude_demos(env, fracs, T: int) -> np.ndarray:
+    """[N, T] −1-padded demonstration trajectories: for each fraction f,
+    delete the f·nnz SMALLEST-|value| seed entries in magnitude order, then
+    terminate.  The edge enumeration is the env's (action ids) — for DIA
+    envs that is the (diag, row) order of ``spai_dia.edge_coo``, not the
+    band storage layout."""
+    from ..env import spai_dia
+
+    if isinstance(env, spai_dia.SpaiDiaEnv):
+        vals = np.asarray(spai_dia.edge_coo(env).data)
+    else:
+        vals = np.asarray(env.seed.data)
+    order = np.argsort(np.abs(vals))
+    terminal = env.num_edges
+    acts = np.full((len(fracs), T), -1, np.int32)
+    for i, f in enumerate(fracs):
+        k = min(int(f * env.num_edges), T - 1)
+        acts[i, :k] = order[:k]
+        acts[i, k] = terminal
+    return acts
+
+
+def warmstart_on_demonstrations(env, graph, mcfg, state: TrainState, cfg,
+                                opt) -> TrainState:
+    """Supervised warm-start (cfg.warmstart_epochs > 0): before GFlowNet
+    training, maximize the forward policy's log P_F of the magnitude-
+    thinning demonstration trajectories (cfg.replay_seed_fracs) — plain
+    cross-entropy on the sequential action choices, terminal step included.
+
+    Why: on-policy exploration from a terminate-early local optimum cannot
+    reach a selective deep-thinning reward optimum (measured on
+    bcsstk03_like k=2 seeds: replay anchoring alone moves mean trajectory
+    length 2 → ~13 in 3,000 epochs against an optimum at ~1,800 deletions).
+    The warm-start snaps the policy onto the demonstration ridge — with
+    --edge-feats that is essentially one weight (feat_w) plus the terminal
+    logit — and GFlowNet training then refines AROUND it on reward, which
+    is the standard demonstration-bootstrap for GFlowNets.  The optimizer
+    state is re-initialized afterwards so Adam moments don't carry the
+    warm-start geometry into the (different) TB/SubTB objective."""
+    import optax as _optax
+
+    from ..gfn.rollout import trajectory_logprobs
+
+    fracs = [float(x) for x in str(cfg.replay_seed_fracs).split(",") if x]
+    if not fracs or cfg.warmstart_epochs <= 0:
+        return state
+    kmax = max(min(int(f * env.num_edges), env.num_actions - 1)
+               for f in fracs)
+    demos = jnp.asarray(_magnitude_demos(env, fracs, kmax + 1))
+    wopt = _optax.adam(cfg.warmstart_lr)
+
+    def nll(params):
+        logits = pol.forward_policy_logits(
+            params.forward, graph, mcfg.num_actions, mcfg.hidden_dim,
+            mcfg.heads)
+        lps = jax.vmap(lambda a: trajectory_logprobs(logits, a))(demos)
+        return -jnp.mean(jnp.sum(lps, axis=-1))
+
+    @jax.jit
+    def wstep(params, wstate):
+        loss, grads = jax.value_and_grad(nll)(params)
+        updates, wstate = wopt.update(grads, wstate, params)
+        return _optax.apply_updates(params, updates), wstate, loss
+
+    params = state.params
+    wstate = wopt.init(params)
+    for i in range(cfg.warmstart_epochs):
+        params, wstate, loss = wstep(params, wstate)
+        if i % max(1, cfg.warmstart_epochs // 10) == 0:
+            print(f"warmstart {i}: demo NLL {float(loss):.2f}", flush=True)
+    print(f"warmstart done: demo NLL {float(loss):.2f}", flush=True)
+    return state._replace(params=params, opt_state=opt.init(params))
+
+
 def seed_replay_with_magnitude_thinning(env, state: TrainState, cfg,
                                         alpha: float) -> TrainState:
     """Demonstration-seed the replay buffer (``cfg.replay_seed_fracs``):
@@ -499,19 +568,15 @@ def seed_replay_with_magnitude_thinning(env, state: TrainState, cfg,
     fracs = [float(x) for x in str(cfg.replay_seed_fracs).split(",") if x]
     if not fracs or state.replay is None:
         return state
-    order = np.argsort(np.abs(np.asarray(env.seed.data)))
     T = state.replay.actions.shape[1]
-    terminal = env.num_edges
+    demos = _magnitude_demos(env, fracs, T)
     replay = state.replay
-    for f in fracs:
-        k = min(int(f * env.num_edges), T - 1)
-        acts = np.full((1, T), -1, np.int32)
-        acts[0, :k] = order[:k]
-        acts[0, k] = terminal
-        acts_j = jnp.asarray(acts)
+    for f, acts in zip(fracs, demos):
+        acts_j = jnp.asarray(acts[None, :])
         r = gfn._batched_rewards(env, acts_j, jnp.asarray(alpha))
         replay = replay_update(replay, acts_j, r)
-        print(f"replay seed: magnitude-thin {f:.0%} ({k} deletions) "
+        print(f"replay seed: magnitude-thin {f:.0%} "
+              f"({int((acts >= 0).sum()) - 1} deletions) "
               f"reward {float(r[0]):.1f}", flush=True)
     return state._replace(replay=replay)
 
@@ -527,6 +592,9 @@ def train(cfg: TrainConfig, progress: bool = True):
         state = seed_replay_with_magnitude_thinning(
             env, state, cfg,
             alpha=cfg.alpha_fixed if cfg.alpha_fixed >= 0 else 0.5)
+        if cfg.warmstart_epochs > 0:
+            state = warmstart_on_demonstrations(env, graph, mcfg, state,
+                                                cfg, opt)
     if cfg.resume:
         restored = restore_checkpoint(cfg.out_dir, state)
         if restored is not None:

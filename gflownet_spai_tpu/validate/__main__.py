@@ -82,6 +82,12 @@ def main(argv=None) -> int:
     p.add_argument("--replay-seed-thinning", default="",
                    dest="replay_seed_fracs", metavar="F1,F2,...",
                    help="demonstration-seed the replay buffer (train CLI)")
+    p.add_argument("--warmstart-epochs", type=int, default=0,
+                   dest="warmstart_epochs",
+                   help="supervised warm-start on the demonstrations "
+                        "before training (train CLI)")
+    p.add_argument("--warmstart-lr", type=float, default=5e-3,
+                   dest="warmstart_lr")
     p.add_argument("--t-cap", type=int, default=0, dest="t_cap",
                    help="trajectory prefix cap (must match the training "
                         "run when restoring — the replay buffer width in "
@@ -146,6 +152,8 @@ def main(argv=None) -> int:
         replay_samples=args.replay_samples,
         replay_prioritized=args.replay_prioritized,
         replay_seed_fracs=args.replay_seed_fracs,
+        warmstart_epochs=args.warmstart_epochs,
+        warmstart_lr=args.warmstart_lr,
         t_cap=args.t_cap,
     )
     a, seed, env, graph, mcfg, opt, state = setup(cfg)
@@ -167,11 +175,15 @@ def main(argv=None) -> int:
               "skipping training")
     else:
         if cfg.replay_seed_fracs:
-            from ..train.loop import seed_replay_with_magnitude_thinning
+            from ..train.loop import (seed_replay_with_magnitude_thinning,
+                                      warmstart_on_demonstrations)
 
             state = seed_replay_with_magnitude_thinning(
                 env, state, cfg,
                 alpha=cfg.alpha_fixed if cfg.alpha_fixed >= 0 else 0.5)
+            if cfg.warmstart_epochs > 0:
+                state = warmstart_on_demonstrations(env, graph, mcfg,
+                                                    state, cfg, opt)
         step = make_train_step(cfg, env, graph, mcfg, opt)
         for epoch in range(args.epochs):
             state, metrics = step(state)

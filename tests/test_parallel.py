@@ -955,3 +955,72 @@ def test_sharded_sampler_with_sharded_gat_trains(mesh8):
     assert np.asarray(valid).all()
     assert np.isfinite(np.asarray(rewards)).all()
     assert np.mean(hist[-10:]) < np.mean(hist[:10])
+
+
+def test_sharded_rollout_edge_feats_matches_dense_logits(rows_mesh):
+    """--edge-feats on the sharded sampler (ROADMAP r4 perf #2): the
+    value-aware channel is added shard-locally from the sliced [A_pad/R, F]
+    feature rows, so the assembled per-shard logits must equal the dense
+    path's ``forward_policy_logits`` (which adds feats @ feat_w on the full
+    vector) for a NONZERO feat_w."""
+    from gflownet_spai_tpu.env import seed_pattern
+    from gflownet_spai_tpu.gfn import GFlowNetConfig, init_params
+    from gflownet_spai_tpu.models.policies import (forward_policy_logits,
+                                                   graph_from_seed)
+    from gflownet_spai_tpu.parallel import shard_head, sharded_rollout
+
+    a = gallery.get("bcsstk03_like")
+    seed = seed_pattern(a, method="spai", k=1)
+    graph = graph_from_seed(seed)
+    A = seed.nnz + 1
+    cfg = GFlowNetConfig(hidden_dim=4, heads=4, num_actions=A,
+                         edge_feats=True)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    fwd = params.forward._replace(feat_w=jnp.asarray([-1.7]))
+    p_sharded = shard_head(rows_mesh, fwd)
+
+    out = sharded_rollout(rows_mesh, p_sharded, graph, A, 4,
+                          jax.random.PRNGKey(7), batch_size=2, t_cap=A)
+    want = np.asarray(forward_policy_logits(fwd, graph, A, 4))
+    got = np.asarray(out.logits_local).reshape(-1)[:A]
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-6)
+    # and the channel actually moved the logits vs feat_w = 0
+    out0 = sharded_rollout(rows_mesh, shard_head(rows_mesh, params.forward),
+                           graph, A, 4, jax.random.PRNGKey(7),
+                           batch_size=2, t_cap=A)
+    assert np.abs(np.asarray(out0.logits_local).reshape(-1)[:A - 1]
+                  - want[:A - 1]).max() > 1e-3
+
+
+def test_sharded_sampler_train_step_edge_feats(mesh8):
+    """Full sharded train step with the edge-feats channel: finite, trains,
+    and feat_w receives a gradient (it sits on the sampled log-probs)."""
+    import optax
+    from gflownet_spai_tpu.env import make_env, seed_pattern
+    from gflownet_spai_tpu.gfn import GFlowNetConfig, init_params
+    from gflownet_spai_tpu.models.policies import graph_from_seed
+    from gflownet_spai_tpu.parallel.sampler import (
+        make_sharded_sampler_train_step)
+
+    a = gallery.get("bcsstk03_like")
+    seed = seed_pattern(a, method="spai", k=1)
+    env = make_env(seed, original=a, baseline="identity")
+    graph = graph_from_seed(seed)
+    A = env.num_actions
+    cfg = GFlowNetConfig(hidden_dim=4, heads=4, num_actions=A,
+                         backward="linear", loss="subtb", edge_feats=True,
+                         alpha_fixed=0.9)
+    opt = optax.adam(5e-3)
+    step, shard_fwd, _ = make_sharded_sampler_train_step(
+        mesh8, env, graph, cfg, opt, batch_size=4, t_cap=A)
+    p = shard_fwd(init_params(jax.random.PRNGKey(0), cfg))
+    assert p.forward.feat_w is not None
+    st = opt.init(p)
+    key = jax.random.PRNGKey(11)
+    fw0 = float(p.forward.feat_w[0])
+    for _ in range(5):
+        key, sub = jax.random.split(key)
+        p, st, loss, rewards, valid, _ = step(p, st, sub)
+        assert np.isfinite(float(loss))
+    assert np.isfinite(np.asarray(rewards)).all()
+    assert float(p.forward.feat_w[0]) != fw0   # gradient reached the channel

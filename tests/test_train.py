@@ -225,3 +225,56 @@ def test_replay_seed_magnitude_thinning(tmp_path):
         # all deleted entries are among the (k + tolerance) smallest
         thresh = np.sort(mags)[k - 1]
         assert (mags[row[:k]] <= thresh + 1e-12).all()
+
+
+def test_warmstart_on_demonstrations_snaps_policy_to_demo_depth():
+    """Supervised warm-start (ROADMAP r4 quality #6 fallback): cross-entropy
+    on the magnitude-thinning demonstrations must (a) reduce the demo NLL,
+    (b) move the SAMPLED trajectory depth near the demonstration depth, and
+    (c) push feat_w negative (small-magnitude entries favored)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from gflownet_spai_tpu.gfn import gflownet as gfn
+    from gflownet_spai_tpu.train import loop as L
+    from gflownet_spai_tpu.train.config import TrainConfig
+
+    cfg = TrainConfig(matrix="LF10_like", seed_method="spai", seed_k=2,
+                      reward_baseline="identity", loss="subtb",
+                      backward="linear", replay_size=8, replay_samples=2,
+                      alpha_fixed=0.98, edge_feats=True,
+                      replay_seed_fracs="0.5", warmstart_epochs=150,
+                      num_epochs=1, batch_size=8, plateau_patience=0)
+    a, seed, env, graph, mcfg, opt, state = L.setup(cfg)
+    state = L.seed_replay_with_magnitude_thinning(env, state, cfg,
+                                                  alpha=0.98)
+    state = L.warmstart_on_demonstrations(env, graph, mcfg, state, cfg, opt)
+    out = gfn.sample(state.params, env, graph, mcfg, jax.random.PRNGKey(0),
+                     batch_size=8)
+    depth = int(0.5 * env.num_edges) + 1
+    mean_len = float(out.rollout.lengths.mean())
+    assert abs(mean_len - depth) < 0.25 * depth
+    assert float(state.params.forward.feat_w[0]) < -0.1
+    # optimizer state was re-initialized for the GFlowNet phase
+    assert int(state.epoch) == 0
+
+
+def test_magnitude_demos_dia_env_uses_edge_enumeration():
+    """DIA envs store the band layout in env.seed.data — the demos must
+    come from the (diag, row) EDGE enumeration (spai_dia.edge_coo), whose
+    ids are the action ids."""
+    import numpy as np
+    from gflownet_spai_tpu.env import spai_dia
+    from gflownet_spai_tpu.train import loop as L
+    from gflownet_spai_tpu.train.config import TrainConfig
+
+    cfg = TrainConfig(matrix="LF10_like", seed_method="spai", seed_k=2)
+    a, seed, env, graph, mcfg, opt, state = L.setup(cfg)
+    assert isinstance(env, spai_dia.SpaiDiaEnv)   # the banded path
+    demos = L._magnitude_demos(env, [0.5], env.num_actions)
+    acts = demos[0][demos[0] >= 0]
+    assert acts[-1] == env.num_edges              # terminates
+    vals = np.abs(np.asarray(spai_dia.edge_coo(env).data))
+    deleted = acts[:-1]
+    kept = np.setdiff1d(np.arange(env.num_edges), deleted)
+    assert vals[deleted].max() <= vals[kept].min() + 1e-12
