@@ -141,7 +141,14 @@ def _segshift(ohT_b, ohT_f, scores, tn: int):
     return shift + (1.0 - colsum) * scores
 
 
-def _fwd_kernel(tn: int, uniform: bool, negative_slope: float):
+def _fwd_kernel(tn: int, uniform: bool, negative_slope: float,
+                segshift: bool = True, oh_prec: str = "highest"):
+    """``segshift``/``oh_prec`` are perf-experiment knobs (bench_gat_fused):
+    segshift=False falls back to the tile-level softmax shift (pre-ADVICE-r3
+    behavior — only safe when per-tile score spread ≲ 80); ``oh_prec`` sets
+    the precision of the ONEHOT-sided matmuls only (one operand exactly
+    bf16-representable ⇒ "high" (bf16x3) already reproduces f32 — the
+    mixed-operand score/act matmuls stay at highest)."""
     def kernel(lid_ref, attr_ref, xs_ref, xd_ref, we_ref, A_ref, E_ref,
                out_ref):
         lid = lid_ref[0, 0, :][None, :]                     # [1, S]
@@ -156,23 +163,27 @@ def _fwd_kernel(tn: int, uniform: bool, negative_slope: float):
         if uniform:
             msg = e + xs_ref[...] + xd_ref[...]             # rows broadcast
         else:
-            xd_slot = jnp.matmul(ohf.T, xd_ref[0], precision="highest",
+            xd_slot = jnp.matmul(ohf.T, xd_ref[0], precision=oh_prec,
                                  preferred_element_type=e.dtype)
             msg = e + xs_ref[0] + xd_slot
         act = jnp.where(msg > 0, msg, negative_slope * msg)
         scores = jnp.matmul(act, A_ref[...], precision="highest",
                             preferred_element_type=e.dtype)  # [S, H]
-        ex = jnp.exp(scores - _segshift(ohT_b, ohT_f, scores, tn))
-        den = jnp.matmul(ohf, ex, precision="highest",
+        if segshift:
+            shift = _segshift(ohT_b, ohT_f, scores, tn)
+        else:
+            shift = jnp.max(scores)
+        ex = jnp.exp(scores - shift)
+        den = jnp.matmul(ohf, ex, precision=oh_prec,
                          preferred_element_type=e.dtype)     # [TN, H]
-        den_s = jnp.matmul(ohf.T, den, precision="highest",
+        den_s = jnp.matmul(ohf.T, den, precision=oh_prec,
                            preferred_element_type=e.dtype)   # [S, H]
         alpha = jnp.where(den_s > 0, ex / jnp.where(den_s > 0, den_s, 1.0),
                           0.0)
-        al_hd = jnp.matmul(alpha, E_ref[...], precision="highest",
+        al_hd = jnp.matmul(alpha, E_ref[...], precision=oh_prec,
                            preferred_element_type=e.dtype)   # [S, HD]
         wgt = (xs_ref[...] if uniform else xs_ref[0]) * al_hd
-        out_ref[0] = jnp.matmul(ohf, wgt, precision="highest",
+        out_ref[0] = jnp.matmul(ohf, wgt, precision=oh_prec,
                                 preferred_element_type=e.dtype)
 
     return kernel
@@ -248,7 +259,8 @@ def _bwd_kernel(tn: int, uniform: bool, negative_slope: float):
 
 
 def _run_fwd(tiles: SegTiles, negative_slope, interpret,
-             attr, xs, xd, w_e, att):
+             attr, xs, xd, w_e, att,
+             segshift: bool = True, oh_prec: str = "highest"):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -265,7 +277,7 @@ def _run_fwd(tiles: SegTiles, negative_slope, interpret,
     xd_spec = (pl.BlockSpec((1, HD), lambda t: (0, 0)) if xd.shape[0] == 1
                else pl.BlockSpec((1, TN, HD), lambda t: (t, 0, 0)))
     out = pl.pallas_call(
-        _fwd_kernel(TN, uniform, negative_slope),
+        _fwd_kernel(TN, uniform, negative_slope, segshift, oh_prec),
         out_shape=jax.ShapeDtypeStruct((T, TN, HD), att.dtype),
         grid=(T,),
         in_specs=[

@@ -154,9 +154,20 @@ def _sweeps(level_meta, level_data, r, x0, sweeps: int):
     return jax.lax.slice(xq, (tr,), (tr + n,))
 
 
-def _vcycle_apply(data, r, *, metas, pre: int, post: int, coarse_sweeps: int):
+def _vcycle_apply(data, r, *, metas, pre: int, post: int, coarse_sweeps: int,
+                  gamma: int = 1):
     levels = data
     r = r.astype(levels[0][0].data.dtype)
+
+    def coarse_solve(l, rc):
+        """γ recursive visits of level l (γ=1: V-cycle, γ=2: W-cycle)."""
+        zc = cycle(l, rc)
+        for _ in range(gamma - 1):
+            if l == len(metas) - 1:
+                break              # re-visiting the coarsest is a no-op gain
+            rc2 = rc - spmv_dia(levels[l][0], zc)[: metas[l]["n"]]
+            zc = zc + cycle(l, rc2)
+        return zc
 
     def cycle(l, rl):
         meta, lvl = metas[l], levels[l]
@@ -165,20 +176,30 @@ def _vcycle_apply(data, r, *, metas, pre: int, post: int, coarse_sweeps: int):
         z = _sweeps(meta, lvl, rl, None, pre)
         a = lvl[0]
         rf = rl - spmv_dia(a, z)[: meta["n"]]
-        zc = cycle(l + 1, restrict(rf))
+        zc = coarse_solve(l + 1, restrict(rf))
         z = z + prolong(zc, meta["n"])
         return _sweeps(meta, lvl, rl, z, post)
 
     return cycle(0, r[: metas[0]["n"]])
 
 
-def _vcycle_apply_cheb(data, r, *, fns):
+def _vcycle_apply_cheb(data, r, *, fns, gamma: int = 1):
     """Chebyshev-smoothed V-cycle body.  ``data``: per level
     (A_dia, smoother_data, coarse_data-or-None); ``fns``: per level the
     (static) smoother/coarse LinOp fns.  Pre-smooth from zero is one op
-    apply; post-smoothing from z costs one extra SpMV for the residual."""
+    apply; post-smoothing from z costs one extra SpMV for the residual.
+    ``gamma=2`` = W-cycle (each intermediate level re-descends once)."""
     levels = data
     r = r.astype(levels[0][0].data.dtype)
+
+    def coarse_solve(l, rc):
+        zc = cycle(l, rc)
+        for _ in range(gamma - 1):
+            if l == len(levels) - 1:
+                break
+            rc2 = rc - spmv_dia(levels[l][0], zc)[: levels[l][0].n]
+            zc = zc + cycle(l, rc2)
+        return zc
 
     def cycle(l, rl):
         a, sm_data, co_data = levels[l]
@@ -188,7 +209,7 @@ def _vcycle_apply_cheb(data, r, *, fns):
             return co_fn(co_data, rl)
         z = sm_fn(sm_data, rl)
         rf = rl - spmv_dia(a, z)[:n]
-        zc = cycle(l + 1, restrict(rf))
+        zc = coarse_solve(l + 1, restrict(rf))
         z = z + prolong(zc, n)
         # post-smooth: z + P(r − A z) — same polynomial, valid symmetric
         # smoothing (keeps the V-cycle symmetric for symmetric A)
@@ -203,12 +224,18 @@ def vcycle_op(d: DIA, omega: float = 2.0 / 3.0, pre: int = 2, post: int = 2,
               fuse_k: int = 8, min_coarse_n: int = 2048,
               smoother: str = "jacobi",
               cheb_degree: int = 8, cheb_lmin_ratio: float = 4.0,
-              cheb_coarse_degree: int = 32) -> LinOp:
+              cheb_coarse_degree: int = 32, gamma: int = 1) -> LinOp:
     """LinOp r ↦ z — one aggregation V-cycle on A (see module docstring).
 
     ``levels`` counts grids including the finest (2 = the classic two-level
     method); coarsening stops early at ``min_coarse_n`` rows.  All knobs
     static; A's values live in the LinOp data pytree (payload rule).
+
+    ``gamma=2`` turns the cycle into a W-cycle: every intermediate level
+    re-descends once more on its updated residual (2^depth coarse visits).
+    Coarse levels are cheap on TPU only until the launch floor — W-cycles
+    trade more small-kernel launches for fewer CG iterations, so measure
+    (tpu_tests/bench latency floors dominate below ~100k rows).
 
     ``smoother="chebyshev"`` (VERDICT r3 item 8) replaces weighted Jacobi
     with a degree-``cheb_degree`` Chebyshev polynomial targeting the upper
@@ -241,7 +268,7 @@ def vcycle_op(d: DIA, omega: float = 2.0 / 3.0, pre: int = 2, post: int = 2,
             a = galerkin_coarse_dia(a)
         return LinOp(
             data=tuple(datas),
-            fn=partial(_vcycle_apply_cheb, fns=tuple(fns)),
+            fn=partial(_vcycle_apply_cheb, fns=tuple(fns), gamma=gamma),
         )
     metas, datas = [], []
     a = d
@@ -263,5 +290,5 @@ def vcycle_op(d: DIA, omega: float = 2.0 / 3.0, pre: int = 2, post: int = 2,
     return LinOp(
         data=tuple(datas),
         fn=partial(_vcycle_apply, metas=tuple(metas), pre=pre, post=post,
-                   coarse_sweeps=coarse_sweeps),
+                   coarse_sweeps=coarse_sweeps, gamma=gamma),
     )

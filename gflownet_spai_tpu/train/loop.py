@@ -529,7 +529,19 @@ def warmstart_on_demonstrations(env, graph, mcfg, state: TrainState, cfg,
         return state
     kmax = max(min(int(f * env.num_edges), env.num_actions - 1)
                for f in fracs)
-    demos = jnp.asarray(_magnitude_demos(env, fracs, kmax + 1))
+    demos_np = _magnitude_demos(env, fracs, kmax + 1)
+    demos = jnp.asarray(demos_np)
+    lengths = (demos_np >= 0).sum(-1)
+    # Balance the cross-entropy: a depth-k demo has k deletion steps but
+    # only ONE termination step, so an unweighted NLL teaches "delete
+    # small entries" ~k× harder than "stop here" — measured on bcsstk03
+    # k=2 seeds (k ≈ 1,800) the unweighted warm-start collapses the
+    # policy into the delete-EVERYTHING basin.  Weighting the terminal
+    # step by the mean deletion depth gives both signals equal gradient
+    # mass.
+    w_term = float(np.mean(lengths - 1))
+    term_pos = jnp.asarray(lengths - 1)
+    is_term = (jnp.arange(demos.shape[1])[None, :] == term_pos[:, None])
     wopt = _optax.adam(cfg.warmstart_lr)
 
     def nll(params):
@@ -537,21 +549,26 @@ def warmstart_on_demonstrations(env, graph, mcfg, state: TrainState, cfg,
             params.forward, graph, mcfg.num_actions, mcfg.hidden_dim,
             mcfg.heads)
         lps = jax.vmap(lambda a: trajectory_logprobs(logits, a))(demos)
-        return -jnp.mean(jnp.sum(lps, axis=-1))
+        del_nll = -jnp.mean(jnp.sum(jnp.where(is_term, 0.0, lps), -1))
+        term_nll = -jnp.mean(jnp.sum(jnp.where(is_term, lps, 0.0), -1))
+        return del_nll + w_term * term_nll, (del_nll, term_nll)
 
     @jax.jit
     def wstep(params, wstate):
-        loss, grads = jax.value_and_grad(nll)(params)
+        (loss, aux), grads = jax.value_and_grad(nll, has_aux=True)(params)
         updates, wstate = wopt.update(grads, wstate, params)
-        return _optax.apply_updates(params, updates), wstate, loss
+        return _optax.apply_updates(params, updates), wstate, loss, aux
 
     params = state.params
     wstate = wopt.init(params)
     for i in range(cfg.warmstart_epochs):
-        params, wstate, loss = wstep(params, wstate)
+        params, wstate, loss, (dn, tn) = wstep(params, wstate)
         if i % max(1, cfg.warmstart_epochs // 10) == 0:
-            print(f"warmstart {i}: demo NLL {float(loss):.2f}", flush=True)
-    print(f"warmstart done: demo NLL {float(loss):.2f}", flush=True)
+            print(f"warmstart {i}: NLL {float(loss):.2f} "
+                  f"(delete {float(dn):.2f}, stop {float(tn):.3f})",
+                  flush=True)
+    print(f"warmstart done: NLL {float(loss):.2f} "
+          f"(delete {float(dn):.2f}, stop {float(tn):.3f})", flush=True)
     return state._replace(params=params, opt_state=opt.init(params))
 
 

@@ -651,3 +651,32 @@ def test_vcycle_chebyshev_smoother_preconditions_cg():
         assert err < 1e-7
         iters[sm] = int(res.iterations)
     assert iters["chebyshev"] < iters["jacobi"]
+
+
+def test_wcycle_gamma2_converges_and_cuts_iterations():
+    """gamma=2 (W-cycle): still a valid SPD CG preconditioner, and on a
+    deep hierarchy the extra coarse visits must not LOSE iterations vs the
+    V-cycle (ROADMAP r4 surface #9; on TPU the trade is launches-vs-iters,
+    measured in examples/chebyshev_cg.py)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from gflownet_spai_tpu.ops.dia import coo_to_dia
+    from gflownet_spai_tpu.solvers import cg
+    from gflownet_spai_tpu.solvers.multigrid import vcycle_op
+    from gflownet_spai_tpu.sparse import gallery
+    from gflownet_spai_tpu.sparse.convert import coo_to_scipy
+
+    coo = gallery.get("poisson32")
+    d = coo_to_dia(coo)
+    b = jnp.ones((d.n,))
+    A = coo_to_scipy(coo)
+    iters = {}
+    for gamma in (1, 2):
+        op = vcycle_op(d, levels=4, smoother="chebyshev", min_coarse_n=32,
+                       gamma=gamma)
+        res = cg(d, b, m_op=op, maxiter=300, rtol=1e-8)
+        assert bool(res.converged)
+        err = np.linalg.norm(A @ np.asarray(res.x)[: d.n] - 1.0) / np.sqrt(d.n)
+        assert err < 1e-7
+        iters[gamma] = int(res.iterations)
+    assert iters[2] <= iters[1]
