@@ -117,37 +117,60 @@ def gat_tile_fused_jnp(tiles: SegTiles, attr: jax.Array, xs_slot: jax.Array,
 # Pallas kernels
 # ---------------------------------------------------------------------------
 
-def _segshift(ohT_b, ohT_f, scores, tn: int):
+def _segshift(ohT_b, ohT_f, scores, tn: int, prec: str = "split"):
     """Per-SEGMENT softmax stability shift in [S, H] layout (ADVICE r3: a
     tile-level shift silently zeroes segments ~88+ below the tile max).
     Per head: a masked sublane max over the [S, TN] slot→node onehot gives
     the segment max [TN, 1] (the [TN]→[TN,1] lane→sublane relayout is the
-    proven _gather_win_kernel pattern), and ``ohTᶠ @ segmax`` broadcasts it
-    back to slots.  Padding slots (all-zero onehot row) shift by their OWN
-    score so exp() = 1 there — their zero onehot column keeps them out of
-    every normalizer, exactly as before."""
+    proven _gather_win_kernel pattern); the maxes of ALL heads plus a
+    ones column are then broadcast back to slots with ONE [S, TN]@[TN, H+1]
+    matmul — bench_gat_fused measured the earlier per-head width-1
+    broadcasts at 22.7 of layer-1's 50.4 ms (a width-1 matmul uses 1/128
+    of the MXU lanes and each head paid it separately).  Padding slots
+    (all-zero onehot row) shift by their OWN score so exp() = 1 there —
+    their zero onehot column keeps them out of every normalizer."""
     H = scores.shape[1]
     dt = scores.dtype
     neg = jnp.asarray(-1e30, dt)
     cols = []
     for h in range(H):
         masked = jnp.where(ohT_b, scores[:, h:h + 1], neg)  # [S, TN]
-        seg = jnp.max(masked, axis=0)[:, None]              # [TN, 1]
-        cols.append(jnp.matmul(ohT_f, seg, precision="highest",
-                               preferred_element_type=dt))  # [S, 1]
-    shift = jnp.concatenate(cols, axis=1) if H > 1 else cols[0]
-    colsum = jnp.matmul(ohT_f, jnp.ones((tn, 1), dt), precision="highest",
-                        preferred_element_type=dt)          # [S, 1]
+        cols.append(jnp.max(masked, axis=0)[:, None])       # [TN, 1]
+    cols.append(jnp.ones((tn, 1), dt))
+    seg_all = jnp.concatenate(cols, axis=1)                 # [TN, H+1]
+    bcast = _mm_oh(ohT_f, seg_all, prec)                    # [S, H+1]
+    shift, colsum = bcast[:, :H], bcast[:, H:]
     return shift + (1.0 - colsum) * scores
 
 
+def _mm_oh(oh, x, prec: str, oh_left: bool = True):
+    """Matmul where ``oh`` is a 0/1 (exactly bf16-representable) operand.
+
+    ``prec="split"``: two DEFAULT (single-bf16-pass) matmuls on the hi/lo
+    split of the real operand — x = hi + lo exactly in f32, so the only
+    rounding is lo's own bf16 cast (≤ 2⁻¹⁸ relative of x): ~f32-accurate
+    at 2 MXU passes instead of HIGHEST's 6.  Mosaic has no HIGH lowering,
+    hence the manual split."""
+    dt = x.dtype
+    if prec == "split":
+        hi = x.astype(jnp.bfloat16).astype(dt)
+        lo = x - hi
+        if oh_left:
+            return (jnp.matmul(oh, hi, preferred_element_type=dt)
+                    + jnp.matmul(oh, lo, preferred_element_type=dt))
+        return (jnp.matmul(hi, oh, preferred_element_type=dt)
+                + jnp.matmul(lo, oh, preferred_element_type=dt))
+    a, b = (oh, x) if oh_left else (x, oh)
+    return jnp.matmul(a, b, precision=prec, preferred_element_type=dt)
+
+
 def _fwd_kernel(tn: int, uniform: bool, negative_slope: float,
-                segshift: bool = True, oh_prec: str = "highest"):
+                segshift: bool = True, oh_prec: str = "split"):
     """``segshift``/``oh_prec`` are perf-experiment knobs (bench_gat_fused):
     segshift=False falls back to the tile-level softmax shift (pre-ADVICE-r3
     behavior — only safe when per-tile score spread ≲ 80); ``oh_prec`` sets
     the precision of the ONEHOT-sided matmuls only (one operand exactly
-    bf16-representable ⇒ "high" (bf16x3) already reproduces f32 — the
+    bf16-representable ⇒ the 2-pass "split" already reproduces ~f32 — the
     mixed-operand score/act matmuls stay at highest)."""
     def kernel(lid_ref, attr_ref, xs_ref, xd_ref, we_ref, A_ref, E_ref,
                out_ref):
@@ -163,8 +186,7 @@ def _fwd_kernel(tn: int, uniform: bool, negative_slope: float,
         if uniform:
             msg = e + xs_ref[...] + xd_ref[...]             # rows broadcast
         else:
-            xd_slot = jnp.matmul(ohf.T, xd_ref[0], precision=oh_prec,
-                                 preferred_element_type=e.dtype)
+            xd_slot = _mm_oh(ohf.T, xd_ref[0], oh_prec)
             msg = e + xs_ref[0] + xd_slot
         act = jnp.where(msg > 0, msg, negative_slope * msg)
         scores = jnp.matmul(act, A_ref[...], precision="highest",
@@ -174,17 +196,14 @@ def _fwd_kernel(tn: int, uniform: bool, negative_slope: float,
         else:
             shift = jnp.max(scores)
         ex = jnp.exp(scores - shift)
-        den = jnp.matmul(ohf, ex, precision=oh_prec,
-                         preferred_element_type=e.dtype)     # [TN, H]
-        den_s = jnp.matmul(ohf.T, den, precision=oh_prec,
-                           preferred_element_type=e.dtype)   # [S, H]
+        den = _mm_oh(ohf, ex, oh_prec)                       # [TN, H]
+        den_s = _mm_oh(ohf.T, den, oh_prec)                  # [S, H]
         alpha = jnp.where(den_s > 0, ex / jnp.where(den_s > 0, den_s, 1.0),
                           0.0)
-        al_hd = jnp.matmul(alpha, E_ref[...], precision=oh_prec,
-                           preferred_element_type=e.dtype)   # [S, HD]
+        al_hd = _mm_oh(E_ref[...], alpha, oh_prec,
+                       oh_left=False)                        # [S, HD]
         wgt = (xs_ref[...] if uniform else xs_ref[0]) * al_hd
-        out_ref[0] = jnp.matmul(ohf, wgt, precision=oh_prec,
-                                preferred_element_type=e.dtype)
+        out_ref[0] = _mm_oh(ohf, wgt, oh_prec)
 
     return kernel
 
@@ -206,35 +225,28 @@ def _bwd_kernel(tn: int, uniform: bool, negative_slope: float):
         if uniform:
             msg = e + xs + xd_ref[...]
         else:
-            xd_slot = jnp.matmul(ohf.T, xd_ref[0], precision="highest",
-                                 preferred_element_type=dt)
+            xd_slot = _mm_oh(ohf.T, xd_ref[0], "split")
             msg = e + xs + xd_slot
         act = jnp.where(msg > 0, msg, negative_slope * msg)
         scores = jnp.matmul(act, A_ref[...], precision="highest",
                             preferred_element_type=dt)
         ex = jnp.exp(scores - _segshift(ohT_b, ohT_f, scores, tn))
-        den = jnp.matmul(ohf, ex, precision="highest",
-                         preferred_element_type=dt)
-        den_s = jnp.matmul(ohf.T, den, precision="highest",
-                           preferred_element_type=dt)
+        den = _mm_oh(ohf, ex, "split")
+        den_s = _mm_oh(ohf.T, den, "split")
         alpha = jnp.where(den_s > 0, ex / jnp.where(den_s > 0, den_s, 1.0),
                           0.0)
-        al_hd = jnp.matmul(alpha, E_ref[...], precision="highest",
-                           preferred_element_type=dt)
+        al_hd = _mm_oh(E_ref[...], alpha, "split", oh_left=False)
 
         g = g_ref[0]                                         # [TN, HD]
-        wgt_bar = jnp.matmul(ohf.T, g, precision="highest",
-                             preferred_element_type=dt)      # [S, HD]
+        wgt_bar = _mm_oh(ohf.T, g, "split")                  # [S, HD]
         xs_bar1 = wgt_bar * al_hd
         al_hd_bar = wgt_bar * (jnp.broadcast_to(xs, al_hd.shape)
                                if uniform else xs)
-        al_bar = jnp.matmul(al_hd_bar, E_ref[...].T, precision="highest",
-                            preferred_element_type=dt)       # [S, H]
+        al_bar = _mm_oh(E_ref[...].T, al_hd_bar, "split",
+                        oh_left=False)                       # [S, H]
         t1 = alpha * al_bar
-        seg = jnp.matmul(ohf, t1, precision="highest",
-                         preferred_element_type=dt)          # [TN, H]
-        segb = jnp.matmul(ohf.T, seg, precision="highest",
-                          preferred_element_type=dt)         # [S, H]
+        seg = _mm_oh(ohf, t1, "split")                       # [TN, H]
+        segb = _mm_oh(ohf.T, seg, "split")                   # [S, H]
         s_bar = alpha * (al_bar - segb)                      # [S, H]
         act_bar = jnp.matmul(s_bar, A_ref[...].T, precision="highest",
                              preferred_element_type=dt)      # [S, HD]
@@ -245,22 +257,18 @@ def _bwd_kernel(tn: int, uniform: bool, negative_slope: float):
                                 preferred_element_type=dt)   # [1, HD]
         if uniform:
             ones = jnp.ones((1, S), dt)
-            dxs_ref[0] = jnp.matmul(ones, xs_bar1 + m_bar,
-                                    precision="highest",
-                                    preferred_element_type=dt)
-            dxd_ref[0] = jnp.matmul(ones, m_bar, precision="highest",
-                                    preferred_element_type=dt)
+            dxs_ref[0] = _mm_oh(ones, xs_bar1 + m_bar, "split")
+            dxd_ref[0] = _mm_oh(ones, m_bar, "split")
         else:
             dxs_ref[0] = xs_bar1 + m_bar                     # [S, HD]
-            dxd_ref[0] = jnp.matmul(ohf, m_bar, precision="highest",
-                                    preferred_element_type=dt)
+            dxd_ref[0] = _mm_oh(ohf, m_bar, "split")
 
     return kernel
 
 
 def _run_fwd(tiles: SegTiles, negative_slope, interpret,
              attr, xs, xd, w_e, att,
-             segshift: bool = True, oh_prec: str = "highest"):
+             segshift: bool = True, oh_prec: str = "split"):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 

@@ -262,14 +262,30 @@ def segment_softmax_tiles_mh(tiles: SegTiles, scores_t: jax.Array,
                             scores_t)
 
 
+
+def _mm_split(oh, x, oh_left: bool = True):
+    """Onehot-sided matmul as 2 DEFAULT-precision passes on the hi/lo split
+    of the real operand (~f32-exact: the 0/1 operand is exactly
+    bf16-representable, so only lo's own bf16 cast rounds, <= 2^-18 rel).
+    Replaces precision="highest" (6 passes) in the tile kernels —
+    bench_gat_fused measured the narrow-N onehot matmuls MXU-bound at
+    ~6-25% lane utilization, so pass count is the whole cost."""
+    dt = x.dtype
+    hi = x.astype(jnp.bfloat16).astype(dt)
+    lo = x - hi
+    if oh_left:
+        return (jnp.matmul(oh, hi, preferred_element_type=dt)
+                + jnp.matmul(oh, lo, preferred_element_type=dt))
+    return (jnp.matmul(hi, oh, preferred_element_type=dt)
+            + jnp.matmul(lo, oh, preferred_element_type=dt))
+
 def _sum_kernel(tn: int):
     def kernel(ids_ref, v_ref, out_ref):
         lid = ids_ref[0, 0, :][None, :]                         # [1, S]
         v = v_ref[0]                                            # [S, D]
         oh = (jax.lax.broadcasted_iota(
             jnp.int32, (tn, lid.shape[-1]), 0) == lid).astype(v.dtype)
-        out_ref[0] = jnp.matmul(oh, v, precision="highest",
-                                preferred_element_type=v.dtype)
+        out_ref[0] = _mm_split(oh, v)
 
     return kernel
 
@@ -306,8 +322,7 @@ def _broadcast_kernel(tn: int):
         v = v_ref[0]                                            # [TN, D]
         oh = (jax.lax.broadcasted_iota(
             jnp.int32, (tn, lid.shape[-1]), 0) == lid).astype(v.dtype)
-        out_ref[0] = jnp.matmul(oh.T, v, precision="highest",
-                                preferred_element_type=v.dtype)  # [S, D]
+        out_ref[0] = _mm_split(oh.T, v)                          # [S, D]
 
     return kernel
 
@@ -524,11 +539,7 @@ def _gather_win_kernel(win: int, slots: int):
         i1 = jax.lax.broadcasted_iota(jnp.int32, (slots, win), 1)
         oh1 = (i1 == lid).astype(w1_ref.dtype)          # [S, W]
         oh2 = (i1 == (lid - win)).astype(w1_ref.dtype)
-        out_ref[0] = (
-            jnp.matmul(oh1, w1_ref[...], precision="highest",
-                       preferred_element_type=w1_ref.dtype)
-            + jnp.matmul(oh2, w2_ref[...], precision="highest",
-                         preferred_element_type=w2_ref.dtype))
+        out_ref[0] = _mm_split(oh1, w1_ref[...]) + _mm_split(oh2, w2_ref[...])
 
     return kernel
 

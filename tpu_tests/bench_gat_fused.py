@@ -17,7 +17,7 @@ Pieces timed (chained-fori two-point differencing, utils.profiling.timed):
   L2-chain     gather + fused (what the layer actually runs)
 Knobs on the dominant kernel:
   noshift      tile-level softmax shift instead of per-segment
-  oh-high      onehot-sided matmuls at bf16x3 (exact: one operand is 0/1)
+  oh-split     onehot-sided matmuls as 2x1-pass hi/lo split (~f32-exact)
   oh-default   onehot-sided matmuls at 1-pass bf16 (accuracy probe only)
 """
 
@@ -41,6 +41,7 @@ def main():
     ap.add_argument("--n", type=int, default=200_000)
     ap.add_argument("--hidden", type=int, default=8)
     ap.add_argument("--heads", type=int, default=4)
+    ap.add_argument("--tile-nodes", type=int, default=128)
     args = ap.parse_args()
 
     rng = np.random.default_rng(0)
@@ -55,7 +56,7 @@ def main():
     seed = coo_sort_dedup(COO(row=jnp.asarray(rows, jnp.int32),
                               col=jnp.asarray(cols, jnp.int32),
                               data=jnp.asarray(vals), shape=(n, n)))
-    tg = pol.tiled_graph_from_seed(seed)
+    tg = pol.tiled_graph_from_seed(seed, tile_nodes=args.tile_nodes)
     tiles, srcwin = tg.tiles, tg.srcwin
     T, S, TN = tiles.tiles, tiles.slots, tiles.tile_nodes
     E = T * S
@@ -134,7 +135,7 @@ def main():
     base = gat_fused._run_fwd(tiles, 0.2, False, attr_flat, xs_slot, xnodes,
                               w_e2, p2att)
     for name, kw in (("noshift", dict(segshift=False)),
-                     ("oh-high", dict(oh_prec="high")),
+                     ("oh-split", dict(oh_prec="split")),
                      ("oh-default", dict(oh_prec="default"))):
         got = gat_fused._run_fwd(tiles, 0.2, False, attr_flat, xs_slot,
                                  xnodes, w_e2, p2att, **kw)
@@ -153,7 +154,7 @@ def main():
         return (xs + out[0, :1] * 0.0,)
 
     for name, kw in (("L1-noshift", dict(segshift=False)),
-                     ("L1-oh-high", dict(oh_prec="high"))):
+                     ("L1-oh-split", dict(oh_prec="split"))):
         t(name, lambda c, kw=kw: l1_var(c, **kw), (xs_u,),
           lambda c: jnp.sum(c[0]))
 
