@@ -64,7 +64,10 @@ def main():
                                  coarse_sweeps=16)),
                       (f"vcycle-cheb(levels={min(levels, 3)})",
                        vcycle_op(d, levels=min(levels, 3),
-                                 smoother="chebyshev"))):
+                                 smoother="chebyshev")),
+                      (f"wcycle-cheb(levels={min(levels, 3)})",
+                       vcycle_op(d, levels=min(levels, 3),
+                                 smoother="chebyshev", gamma=2))):
         res = cg(d, b, m_op=m_op, maxiter=4000, rtol=1e-5)   # compile+run
         t0 = time.time()
         res = cg(d, b, m_op=m_op, maxiter=4000, rtol=1e-5)

@@ -55,10 +55,10 @@ def main():
         "--replay-prioritized", "1.0",
         "--alpha-fixed", "0.98", "--lr", "1e-3", "--plateau-patience", "0",
         "--reward-beta", "50", "--edge-feats",
-        "--replay-seed-thinning", "0.3,0.4,0.5,0.6",
+        "--replay-seed-thinning", "0.4,0.5,0.6",
     ]
     train = [sys.executable, "-m", "gflownet_spai_tpu.train", *common,
-             "--warmstart-epochs", "2000",
+             "--warmstart-epochs", "6000",
              "--epochs", epochs, "--batch-size", "16",
              "--checkpoint-every", "1000", "--log-every", "100",
              "--out-dir", run]
