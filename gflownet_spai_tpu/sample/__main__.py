@@ -23,9 +23,32 @@ def main(argv=None) -> int:
                    help="training out-dir containing checkpoint/")
     p.add_argument("--matrix", default="LF10_like")
     p.add_argument("--seed-method", default="ilu0")
+    p.add_argument("--seed-k", type=int, default=1, dest="seed_k")
     p.add_argument("--env-format", default="auto")
     p.add_argument("--hidden-dim", type=int, default=4)
     p.add_argument("--heads", type=int, default=4)
+    # flags that change the checkpoint's parameter pytree / action ids —
+    # must match the training run or the orbax template refuses (same
+    # rule as the validate CLI)
+    p.add_argument("--loss", default="tb", choices=["tb", "vargrad", "subtb"])
+    p.add_argument("--backward", default="lstm",
+                   choices=["lstm", "linear", "uniform"])
+    p.add_argument("--edge-feats", action="store_true", dest="edge_feats")
+    p.add_argument("--t-cap", type=int, default=0, dest="t_cap")
+    p.add_argument("--rowblock-order", default="window",
+                   choices=["sorted", "window"])
+    p.add_argument("--reward-baseline", default="auto",
+                   choices=["auto", "matrix", "identity"])
+    p.add_argument("--replay-size", type=int, default=0,
+                   help="must match the training run (replay buffer is "
+                        "part of the checkpointed state)")
+    p.add_argument("--alpha-fixed", type=float, default=-1.0,
+                   help="pin the reward mix (match the training run; "
+                        "<0 = learned alpha)")
+    p.add_argument("--plateau-patience", type=int, default=10,
+                   help="must match the training run (0 disables the "
+                        "plateau LR wrapper, which changes the optimizer "
+                        "state pytree — the round-3 opt-template trap)")
     p.add_argument("--num-samples", type=int, default=10000)
     p.add_argument("--batch-size", type=int, default=256)
     p.add_argument("--prng-seed", type=int, default=0)
@@ -43,8 +66,14 @@ def main(argv=None) -> int:
 
     cfg = TrainConfig(
         matrix=args.matrix, seed_method=args.seed_method,
+        seed_k=args.seed_k,
         env_format=args.env_format, hidden_dim=args.hidden_dim,
         heads=args.heads, out_dir=args.run_dir, prng_seed=args.prng_seed,
+        loss=args.loss, backward=args.backward, edge_feats=args.edge_feats,
+        t_cap=args.t_cap, rowblock_order=args.rowblock_order,
+        reward_baseline=args.reward_baseline, replay_size=args.replay_size,
+        plateau_patience=args.plateau_patience,
+        alpha_fixed=args.alpha_fixed,
     )
     a, seed, env, graph, mcfg, opt, state = setup(cfg)
     restored = restore_checkpoint(args.run_dir, state)
@@ -52,7 +81,8 @@ def main(argv=None) -> int:
         raise SystemExit(f"no checkpoint under {args.run_dir}/checkpoint")
     from ..train.enums import reconcile
 
-    state, _ = reconcile(args.run_dir, env, restored, backward=cfg.backward)
+    state, _ = reconcile(args.run_dir, env, restored,
+                         backward=cfg.backward)
     print(f"restored epoch {int(state.epoch)}; sampling {args.num_samples} "
           f"trajectories on {env.num_actions - 1} edges")
 
@@ -83,7 +113,8 @@ def main(argv=None) -> int:
         "reward_p95": float(np.percentile(r, 95)),
         "reward_max": float(r.max()),
         "mean_len": float(lens.mean()),
-        "alpha": float(jax.nn.sigmoid(state.params.forward.alpha)),
+        "alpha": (float(args.alpha_fixed) if args.alpha_fixed >= 0 else
+                  float(jax.nn.sigmoid(state.params.forward.alpha))),
     }
     print(json.dumps(summary, indent=2))
     (Path(args.run_dir) / "sample_summary.json").write_text(json.dumps(summary))
