@@ -41,6 +41,20 @@ class GATv2Params(NamedTuple):
     bias: jax.Array    # [H*out] if concat else [out]
 
 
+class GatBucket(NamedTuple):
+    """One slot-width class of the bucketed fused-GAT layout
+    (``ops.segment.SegBuckets`` + this bucket's pre-permuted edge data):
+    ``tiles`` is a self-contained ``SegTiles`` over the bucket's T_b tiles
+    at its ladder width S_b, ``tile_idx`` maps bucket-tile → global tile
+    (for the node-block gather/scatter stitch), and ``src_t``/``attr_t``/
+    ``srcwin`` are the bucket's slot-ordered edge arrays/plan."""
+    tiles: object         # ops.segment.SegTiles (T_b tiles, S_b slots)
+    tile_idx: jax.Array   # int32[T_b] global tile index
+    src_t: jax.Array      # int32[T_b·S_b]
+    attr_t: jax.Array     # [T_b·S_b, 1]
+    srcwin: object = None # ops.segment.SrcWindows for this bucket
+
+
 def gatv2_init(key, in_dim: int, out_dim: int, heads: int, edge_dim: int = 1,
                concat: bool = True, dtype=jnp.float32) -> GATv2Params:
     ks = jax.random.split(key, 4)
@@ -103,7 +117,8 @@ def gatv2_apply_tiled(p: GATv2Params, x: jax.Array, tiles, src_t: jax.Array,
                       dst_t: jax.Array, attr_t: jax.Array,
                       num_nodes: int, heads: int, out_dim: int,
                       concat: bool = True, negative_slope: float = 0.2,
-                      interpret: bool = False, srcwin=None) -> jax.Array:
+                      interpret: bool = False, srcwin=None,
+                      buckets=None) -> jax.Array:
     """``gatv2_apply`` on the node-tile layout (``ops.segment.SegTiles``):
     per-edge arrays arrive pre-permuted into [T·S] slot order (self-loops
     already appended at build — see ``models.policies.tiled_graph_from_seed``),
@@ -129,6 +144,39 @@ def gatv2_apply_tiled(p: GATv2Params, x: jax.Array, tiles, src_t: jax.Array,
     uniform = x.shape[0] == 1                      # static under jit
     xs = x @ p.w_src + p.b_src                     # [N or 1, H*D]
     xd = x @ p.w_dst
+
+    if p.w_edge.shape[0] == 1 and buckets is not None:
+        # bucketed-S variant: one fused launch per slot-width class on
+        # compact per-bucket slot arrays (Σ T_b·S_b ≈ real edges, vs the
+        # uniform layout's T·S_max — measured 0.48 slot utilization at
+        # 1.7M edges); node blocks are stitched through global tile order
+        # with one [T_b, TN, HD] gather/scatter per bucket.
+        TN = tiles.tile_nodes
+        xd_r = None
+        if xd.shape[0] != 1:
+            xd_r = jnp.pad(xd, ((0, tiles.n_pad - xd.shape[0]),
+                                (0, 0))).reshape(T, TN, H * D)
+        out_r = jnp.zeros((T, TN, H * D), xs.dtype)
+        for bk in buckets:
+            tb = bk.tiles
+            if uniform:
+                xs_b = xs
+            elif bk.srcwin is not None:
+                xs_b = gather_rows_windows(bk.srcwin, tb, bk.src_t, xs,
+                                           interpret=interpret)
+            else:
+                xs_b = xs[bk.src_t]
+            xd_b = xd if xd.shape[0] == 1 else (
+                xd_r[bk.tile_idx].reshape(tb.n_pad, H * D))
+            out_b = gat_tile_fused(tb, bk.attr_t.reshape(-1), xs_b, xd_b,
+                                   p.w_edge[0], p.att.reshape(H, D),
+                                   negative_slope=negative_slope,
+                                   interpret=interpret)
+            out_r = out_r.at[bk.tile_idx].set(
+                out_b.reshape(tb.tiles, TN, H * D))
+        out = out_r.reshape(tiles.n_pad, H * D)[:num_nodes]
+        out = out if concat else out.reshape(num_nodes, H, D).mean(axis=1)
+        return out + p.bias
 
     if p.w_edge.shape[0] == 1:
         # edge_dim = 1 (the policy stack): the whole score → softmax →

@@ -99,16 +99,23 @@ class TiledGraphInputs(NamedTuple):
                           # gather)
     action_feats: jax.Array | None = None   # [nnz+1, F] action-ordered
                           # (NOT slot-ordered) — see GraphInputs
+    gat_buckets: tuple | None = None        # tuple[models.gat.GatBucket] —
+                          # bucketed-S fused-GAT layout (slot widths on a
+                          # geometric ladder; ops.segment.SegBuckets)
 
 
-def tiled_graph_from_seed(seed, tile_nodes: int = 128) -> TiledGraphInputs:
+def tiled_graph_from_seed(seed, tile_nodes: int = 128,
+                          bucket_step: float | None = 1.5,
+                          ) -> TiledGraphInputs:
     """Host-side build of the tile-layout graph (reference ``state_to_data``
     semantics, gflownet/gflownet.py:223-257, + GATv2Conv's add_self_loops
     with fill_value='mean' — mean of raw edge features equals mean of the
     linearly transformed ones, so it bakes in statically)."""
     import numpy as np
 
-    from ..ops.segment import build_seg_tiles, build_src_windows, to_tiles
+    from ..ops.segment import (build_seg_buckets, build_seg_tiles,
+                               build_src_windows, to_tiles)
+    from .gat import GatBucket
 
     n2 = 2 * seed.shape[0]
     loops = jnp.arange(n2, dtype=seed.row.dtype)
@@ -118,6 +125,18 @@ def tiled_graph_from_seed(seed, tile_nodes: int = 128) -> TiledGraphInputs:
     attr = jnp.concatenate([seed.data, mean_attr])
     tiles = build_seg_tiles(np.asarray(dst), n2, tile_nodes=tile_nodes)
     src_t = to_tiles(tiles, src)
+    gat_buckets = None
+    if bucket_step is not None:
+        sb = build_seg_buckets(np.asarray(dst), n2, tile_nodes=tile_nodes,
+                               class_step=bucket_step)
+        bks = []
+        for tb, idx in zip(sb.tiles, sb.tile_idx):
+            src_b = to_tiles(tb, src)
+            bks.append(GatBucket(
+                tiles=tb, tile_idx=idx, src_t=src_b,
+                attr_t=to_tiles(tb, attr)[:, None],
+                srcwin=build_src_windows(tb, np.asarray(src_b), n2)))
+        gat_buckets = tuple(bks)
     return TiledGraphInputs(
         x=jnp.ones((1, 1), seed.data.dtype),
         src_t=src_t,
@@ -126,6 +145,7 @@ def tiled_graph_from_seed(seed, tile_nodes: int = 128) -> TiledGraphInputs:
         tiles=tiles,
         srcwin=build_src_windows(tiles, np.asarray(src_t), n2),
         action_feats=action_features(seed),
+        gat_buckets=gat_buckets,
     )
 
 
@@ -166,13 +186,14 @@ def forward_policy_pooled(p: ForwardPolicyParams, g, hidden_dim: int,
     graph container: ``TiledGraphInputs`` rides the Pallas tile kernels."""
     if isinstance(g, TiledGraphInputs):
         n_nodes = g.tiles.num_nodes
+        bks = getattr(g, "gat_buckets", None)
         h = gatv2_apply_tiled(p.gat1, g.x, g.tiles, g.src_t, g.dst_t,
                               g.attr_t, n_nodes, heads, hidden_dim,
-                              srcwin=g.srcwin)
+                              srcwin=g.srcwin, buckets=bks)
         h = jax.nn.relu(h)
         h = gatv2_apply_tiled(p.gat2, h, g.tiles, g.src_t, g.dst_t,
                               g.attr_t, n_nodes, 1, hidden_dim,
-                              srcwin=g.srcwin)
+                              srcwin=g.srcwin, buckets=bks)
     else:
         n_nodes = g.x.shape[0]
         h = gatv2_apply(p.gat1, g.x, g.edge_src, g.edge_dst, g.edge_attr,

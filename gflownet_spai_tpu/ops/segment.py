@@ -99,6 +99,85 @@ def build_seg_tiles(ids, num_nodes: int, tile_nodes: int = 128) -> SegTiles:
     )
 
 
+@dataclasses.dataclass(frozen=True)
+class SegBuckets:
+    """Bucketed-S tile layout: tiles grouped by per-tile edge count into a
+    geometric ladder of slot widths (rowblock's class-ladder idea applied
+    to the GAT substrate).
+
+    ``build_seg_tiles`` pads every tile to the GLOBAL max edge count, so a
+    skewed degree distribution wastes slots (measured 0.48 utilization at
+    the 1.7M-edge policy graph — docs/BENCH.md round 4); since the fused
+    GAT kernel's work is proportional to T·S, that is a ~2× tax.  Here
+    each bucket ``b`` holds the tiles whose (lane-rounded) edge count fits
+    its ladder class ``S_b``, as a self-contained :class:`SegTiles` over
+    ``T_b`` tiles, plus ``tile_idx[b]`` mapping bucket-tile → global tile
+    index.  Node-side arrays stay in GLOBAL tile order; per-bucket node
+    blocks are stitched with one [T_b, TN, C] row-block gather/scatter
+    (≈13 MB at n=200k — negligible next to the slot-work saved).
+    """
+
+    tiles: tuple          # tuple[SegTiles, ...] (shared tile_nodes)
+    tile_idx: tuple       # tuple[int32[T_b], ...] global tile indices
+
+    @property
+    def slot_total(self) -> int:
+        return sum(t.tiles * t.slots for t in self.tiles)
+
+
+jax.tree_util.register_dataclass(
+    SegBuckets, data_fields=["tiles", "tile_idx"], meta_fields=[])
+
+
+def build_seg_buckets(ids, num_nodes: int, tile_nodes: int = 128,
+                      class_step: float = 1.5) -> SegBuckets:
+    """Host-side bucketed layout build (same inputs as ``build_seg_tiles``).
+
+    Ladder classes start at one lane (128 slots) and grow by
+    ``class_step`` (lane-rounded, strictly increasing), so the number of
+    kernel variants to compile is O(log(S_max/128)).  A graph with no
+    skew degenerates to a single bucket identical to ``build_seg_tiles``.
+    """
+    ids = np.asarray(ids, np.int64)
+    E = len(ids)
+    order = np.argsort(ids, kind="stable")
+    sorted_ids = ids[order]
+    T = _round_up(max(num_nodes, 1), tile_nodes) // tile_nodes
+    bounds = np.searchsorted(sorted_ids, np.arange(T + 1) * tile_nodes)
+    counts = np.diff(bounds)
+    s_max = _round_up(max(int(counts.max()) if T else 1, 1), _LANE)
+    ladder = [_LANE]
+    while ladder[-1] < s_max:
+        ladder.append(max(_round_up(int(ladder[-1] * class_step), _LANE),
+                          ladder[-1] + _LANE))
+    ladder = np.asarray(ladder, np.int64)
+    need = np.maximum(_round_up(1, _LANE),
+                      ((counts + _LANE - 1) // _LANE) * _LANE)
+    cls = np.searchsorted(ladder, need)           # per-tile ladder class
+    b_tiles, b_idx = [], []
+    for c in np.unique(cls):
+        sel = np.nonzero(cls == c)[0]
+        S = int(ladder[c])
+        perm = np.full((len(sel), S), E, np.int64)
+        local = np.full((len(sel), S), tile_nodes, np.int64)
+        for i, t in enumerate(sel):
+            k = int(counts[t])
+            perm[i, :k] = order[bounds[t]:bounds[t + 1]]
+            local[i, :k] = sorted_ids[bounds[t]:bounds[t + 1]] \
+                - t * tile_nodes
+        b_tiles.append(SegTiles(
+            perm=jnp.asarray(perm.reshape(-1), jnp.int32),
+            local_dst=jnp.asarray(local, jnp.int32),
+            num_nodes=len(sel) * tile_nodes,
+            num_edges=E,
+            tiles=len(sel),
+            tile_nodes=tile_nodes,
+            slots=S,
+        ))
+        b_idx.append(jnp.asarray(sel, jnp.int32))
+    return SegBuckets(tiles=tuple(b_tiles), tile_idx=tuple(b_idx))
+
+
 def to_tiles(tiles: SegTiles, vals: jax.Array) -> jax.Array:
     """[E, ...] edge array → [T·S, ...] tile-slot layout (one static gather;
     for hot paths, store edge data in tile layout from the start and skip

@@ -349,3 +349,78 @@ def test_gat_fused_per_segment_shift_survives_wide_score_spread():
     # the jnp reference path agrees
     ref = np.asarray(gf.gat_tile_fused_jnp(tiles, attr, xs, xd, w_e, att))
     np.testing.assert_allclose(ref[:2], np.ones((2, HD)), rtol=1e-5)
+
+
+def test_seg_buckets_cover_and_ladder():
+    """SegBuckets partitions tiles exactly, each tile lands in the smallest
+    ladder class that fits its lane-rounded edge count, and total slots
+    shrink vs the uniform-S layout on a skewed graph."""
+    rng = np.random.default_rng(11)
+    n, tn = 512, 64
+    # heavy skew: a few hub tiles get ~40x the edges of the rest
+    ids = np.concatenate([
+        rng.integers(0, n, 2000),
+        rng.integers(0, tn, 3000),          # hub tile 0
+    ])
+    tiles = seg.build_seg_tiles(ids, n, tile_nodes=tn)
+    sb = seg.build_seg_buckets(ids, n, tile_nodes=tn)
+    all_idx = np.sort(np.concatenate([np.asarray(i) for i in sb.tile_idx]))
+    np.testing.assert_array_equal(all_idx, np.arange(tiles.tiles))
+    assert len(sb.tiles) >= 2
+    assert sb.slot_total < tiles.tiles * tiles.slots
+    # per-bucket semantics: segment-sum through each bucket == global
+    e = len(ids)
+    vals = rng.standard_normal((e, 4)).astype(np.float32)
+    want = np.zeros((n, 4), np.float32)
+    np.add.at(want, ids, vals)
+    got = np.zeros((tiles.n_pad, 4), np.float32)
+    for tb, idx in zip(sb.tiles, sb.tile_idx):
+        vt = np.asarray(seg.to_tiles(tb, jnp.asarray(vals)))
+        vt = vt.reshape(tb.tiles, tb.slots, 4)
+        loc = np.asarray(tb.local_dst)
+        for i, t in enumerate(np.asarray(idx)):
+            for s in range(tb.slots):
+                v = loc[i, s]
+                if v < tn:
+                    got[t * tn + v] += vt[i, s]
+    np.testing.assert_allclose(got[:n], want, rtol=1e-5, atol=1e-5)
+
+
+def test_gatv2_tiled_bucketed_matches_unbucketed():
+    """The bucketed-S fused-GAT path (GatBucket ladder in
+    gatv2_apply_tiled) == the uniform-S fused path, values and parameter
+    gradients, on the full 2-layer policy stack with srcwin plans."""
+    from gflownet_spai_tpu.models.gat import gatv2_apply_tiled
+    from gflownet_spai_tpu.models.policies import (
+        forward_policy_init, tiled_graph_from_seed)
+    from gflownet_spai_tpu.sparse.gallery import random_spd
+    from gflownet_spai_tpu.sparse.types import COO
+
+    seed_m = random_spd(80, density=0.05, seed=12)
+    seed_m = COO(row=seed_m.row, col=seed_m.col,
+                 data=seed_m.data.astype(jnp.float32), shape=seed_m.shape)
+    tg0 = tiled_graph_from_seed(seed_m, tile_nodes=32, bucket_step=None)
+    tg = tiled_graph_from_seed(seed_m, tile_nodes=32, bucket_step=1.5)
+    assert tg.gat_buckets is not None
+    params = forward_policy_init(jax.random.PRNGKey(3), 4, seed_m.nnz + 1)
+    n2 = 2 * seed_m.shape[0]
+
+    def fwd(p, g, bks):
+        h = gatv2_apply_tiled(p.gat1, g.x, g.tiles, g.src_t, g.dst_t,
+                              g.attr_t, n2, 4, 4, interpret=True,
+                              srcwin=g.srcwin, buckets=bks)
+        h = jax.nn.relu(h)
+        return gatv2_apply_tiled(p.gat2, h, g.tiles, g.src_t, g.dst_t,
+                                 g.attr_t, n2, 1, 4, interpret=True,
+                                 srcwin=g.srcwin, buckets=bks)
+
+    want = fwd(params, tg0, None)
+    got = fwd(params, tg, tg.gat_buckets)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-5)
+    gw = jax.grad(lambda p: jnp.sum(fwd(p, tg0, None) ** 2))(params)
+    gb = jax.grad(lambda p: jnp.sum(fwd(p, tg, tg.gat_buckets) ** 2))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(gw),
+                    jax.tree_util.tree_leaves(gb)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=5e-3, atol=5e-4)
