@@ -56,6 +56,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="window = gather-free batched reward (the plan "
                         "defines the edge enumeration; windows become "
                         "static contiguous slices)")
+    p.add_argument("--gat-bucket-step", type=float,
+                   default=d.gat_bucket_step, dest="gat_bucket_step",
+                   help="bucketed fused-GAT slot-width ladder step "
+                        "(0 disables bucketing: uniform-S tile layout)")
     p.add_argument("--reference-baseline", action="store_true",
                    help="score against the seed matrix like the reference driver "
                         "(GFlowNet100.py:173) instead of the true A")

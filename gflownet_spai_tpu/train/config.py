@@ -63,6 +63,11 @@ class TrainConfig:
     gat_tiled_min_edges: int = 100000  # policy graph switches to the
                                     # node-tile Pallas segment substrate
                                     # above this edge count
+    gat_bucket_step: float = 1.5    # slot-width class ladder step for the
+                                    # bucketed fused-GAT layout (cuts the
+                                    # uniform-S padding tax, measured 0.48
+                                    # utilization at 1.7M edges); 0
+                                    # disables bucketing (uniform S)
 
     # model (reference GFlowNet100.py:180, policy.py:19)
     hidden_dim: int = 4

@@ -111,7 +111,8 @@ def setup(cfg: TrainConfig):
         # substrate at scale (edge ids don't matter to the GAT — only the
         # fc action head maps to action ids, and it is edge-order-free)
         if edges.nnz >= cfg.gat_tiled_min_edges:
-            return pol.tiled_graph_from_seed(edges)
+            return pol.tiled_graph_from_seed(
+                edges, bucket_step=cfg.gat_bucket_step or None)
         return pol.graph_from_seed(edges)
 
     if fmt == "dia":

@@ -48,6 +48,9 @@ def main(argv=None) -> int:
     # optimum on matrices with large ‖A·A−I‖; VERDICT r2 weak #8)
     p.add_argument("--seed-method", default="spai",
                    choices=["ilu0", "spilu", "pattern", "spai"])
+    p.add_argument("--gat-bucket-step", type=float, default=1.5,
+                   help="bucketed fused-GAT slot-width ladder step "
+                        "(0 disables bucketing: uniform-S tile layout)")
     p.add_argument("--seed-k", type=int, default=1,
                    help="power-pattern order for --seed-method spai")
     p.add_argument("--method", default="gmres", choices=["gmres", "cg"],
@@ -155,6 +158,7 @@ def main(argv=None) -> int:
         warmstart_epochs=args.warmstart_epochs,
         warmstart_lr=args.warmstart_lr,
         t_cap=args.t_cap,
+        gat_bucket_step=args.gat_bucket_step,
     )
     a, seed, env, graph, mcfg, opt, state = setup(cfg)
     print(f"matrix {args.matrix}: n={env.n}, seed nnz={env.num_edges}")

@@ -60,9 +60,12 @@ def main():
     tiles, srcwin = tg.tiles, tg.srcwin
     T, S, TN = tiles.tiles, tiles.slots, tiles.tile_nodes
     E = T * S
+    bslots = sum(b.tiles.tiles * b.tiles.slots for b in tg.gat_buckets)
     print(f"n={n} seed nnz={seed.nnz} T={T} S={S} TN={TN} "
           f"slots={E} util={tg.tiles.num_edges / E:.2f} "
           f"win={srcwin.win} outliers={srcwin.n_outliers}")
+    print(f"buckets: {[(b.tiles.tiles, b.tiles.slots) for b in tg.gat_buckets]}"
+          f" slots={bslots} ({bslots / E:.2f} of uniform)")
 
     H, D = args.heads, args.hidden
     params = pol.forward_policy_init(jax.random.PRNGKey(0), D, seed.nnz + 1,
@@ -75,14 +78,28 @@ def main():
         res[name] = dt * 1e3
         return dt
 
-    # ---- full pooled forward --------------------------------------------
+    # ---- full pooled forward (uniform-S baseline vs bucketed ladder) ----
+    tg0 = tg._replace(gat_buckets=None)
+
     def pooled_step(carry):
+        x, p = carry
+        v = pol.forward_policy_pooled(p, tg0._replace(x=x), D, H)
+        return (x + v[0] * 0.0, p)
+
+    def pooled_bkt_step(carry):
         x, p = carry
         v = pol.forward_policy_pooled(p, tg._replace(x=x), D, H)
         return (x + v[0] * 0.0, p)
 
     x0 = jnp.ones((1, 1), jnp.float32)
     t("pooled", pooled_step, (x0, params), lambda c: jnp.sum(c[0]))
+    t("pooled-bkt", pooled_bkt_step, (x0, params), lambda c: jnp.sum(c[0]))
+    v0 = pol.forward_policy_pooled(params, tg0, D, H)
+    v1 = pol.forward_policy_pooled(params, tg, D, H)
+    rel = float(jnp.max(jnp.abs(v1 - v0))
+                / jnp.maximum(jnp.max(jnp.abs(v0)), 1e-30))
+    print(f"             pooled bucketed-vs-uniform max rel err: {rel:.2e}")
+    res["pooled_bkt_err"] = rel
 
     # ---- layer-1 fused alone (uniform) ----------------------------------
     p1 = params.gat1
