@@ -646,3 +646,46 @@ def test_gat_fused_kernel_on_chip():
         for a_, b_, name in zip(gp, gj, ("xs", "xd", "w_e", "att")):
             assert float(jnp.max(jnp.abs(a_ - b_))) <= 1e-4 * gscale, (
                 f"uniform={uniform} grad {name}")
+
+
+def test_gat_bucketed_policy_forward_on_chip():
+    """Bucketed-S fused-GAT ladder (GatBucket path in gatv2_apply_tiled)
+    on real Mosaic: full 2-layer pooled policy forward + parameter grads
+    vs the uniform-S fused path, on a skew-degree graph that produces
+    multiple ladder classes."""
+    from gflownet_spai_tpu.models.policies import (forward_policy_init,
+                                                   forward_policy_pooled,
+                                                   tiled_graph_from_seed)
+    from gflownet_spai_tpu.sparse.convert import coo_sort_dedup
+    from gflownet_spai_tpu.sparse.types import COO
+
+    rng = np.random.default_rng(5)
+    n, e = 3000, 30000
+    r = rng.integers(0, n, e)
+    # skew: cluster a third of the edges on the first tile's nodes
+    c = np.where(rng.random(e) < 0.33, rng.integers(0, 128, e),
+                 np.clip(r + rng.integers(-60, 61, e), 0, n - 1))
+    sp = coo_sort_dedup(COO(row=jnp.asarray(r, jnp.int32),
+                            col=jnp.asarray(c, jnp.int32),
+                            data=jnp.asarray(
+                                rng.standard_normal(e), jnp.float32),
+                            shape=(n, n)))
+    tg0 = tiled_graph_from_seed(sp, bucket_step=None)
+    tg = tiled_graph_from_seed(sp, bucket_step=1.5)
+    assert tg.gat_buckets is not None and len(tg.gat_buckets) >= 2
+    params = forward_policy_init(jax.random.PRNGKey(3), 4, sp.nnz + 1)
+
+    want = np.asarray(jax.jit(
+        lambda p: forward_policy_pooled(p, tg0, 4))(params))
+    got = np.asarray(jax.jit(
+        lambda p: forward_policy_pooled(p, tg, 4))(params))
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-4)
+
+    g0 = jax.jit(jax.grad(
+        lambda p: jnp.sum(forward_policy_pooled(p, tg0, 4) ** 2)))(params)
+    g1 = jax.jit(jax.grad(
+        lambda p: jnp.sum(forward_policy_pooled(p, tg, 4) ** 2)))(params)
+    l0 = jax.tree_util.tree_leaves(g0)
+    gscale = max(float(jnp.max(jnp.abs(x))) for x in l0)
+    for a_, b_ in zip(l0, jax.tree_util.tree_leaves(g1)):
+        assert float(jnp.max(jnp.abs(a_ - b_))) <= 2e-3 * gscale
