@@ -148,8 +148,8 @@ def build_seg_buckets(ids, num_nodes: int, tile_nodes: int = 128,
     s_max = _round_up(max(int(counts.max()) if T else 1, 1), _LANE)
     ladder = [_LANE]
     while ladder[-1] < s_max:
-        ladder.append(max(_round_up(int(ladder[-1] * class_step), _LANE),
-                          ladder[-1] + _LANE))
+        ladder.append(min(max(_round_up(int(ladder[-1] * class_step), _LANE),
+                              ladder[-1] + _LANE), s_max))
     ladder = np.asarray(ladder, np.int64)
     need = np.maximum(_round_up(1, _LANE),
                       ((counts + _LANE - 1) // _LANE) * _LANE)

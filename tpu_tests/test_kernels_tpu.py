@@ -662,8 +662,11 @@ def test_gat_bucketed_policy_forward_on_chip():
     rng = np.random.default_rng(5)
     n, e = 3000, 30000
     r = rng.integers(0, n, e)
-    # skew: cluster a third of the edges on the first tile's nodes
-    c = np.where(rng.random(e) < 0.33, rng.integers(0, 128, e),
+    # moderate skew: 8% of edges cluster on a 512-node hub region, the
+    # rest stay banded — yields a multi-class ladder while every tile's
+    # slot count stays inside the fused kernel's VMEM envelope (the
+    # uniform-S path OOMs past S ≈ 5k regardless of bucketing)
+    c = np.where(rng.random(e) < 0.08, rng.integers(0, 512, e),
                  np.clip(r + rng.integers(-60, 61, e), 0, n - 1))
     sp = coo_sort_dedup(COO(row=jnp.asarray(r, jnp.int32),
                             col=jnp.asarray(c, jnp.int32),
