@@ -149,7 +149,11 @@ def setup(cfg: TrainConfig):
     )
     params = gfn.init_params(jax.random.PRNGKey(cfg.prng_seed), mcfg, dtype=dtype)
     opt = make_optimizer(cfg)
-    traj_w = mcfg.t_cap or env.num_actions
+    # replay template width follows cfg.t_cap for BOTH samplers: the
+    # sharded adapter re-inits its buffer at the ladder cap (= cfg.t_cap)
+    # anyway, and a num_actions-wide template breaks dense→sharded
+    # checkpoint resume (orbax restores by stored shape)
+    traj_w = (cfg.t_cap if cfg.t_cap > 0 else 0) or env.num_actions
     state = TrainState(
         params=params,
         opt_state=opt.init(params),
