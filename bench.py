@@ -90,29 +90,44 @@ def main():
         x, z = jax.lax.fori_loop(0, pairs, body, (xq, jnp.zeros_like(xq)))
         return jnp.sum(x * 1e-30)
 
-    lo, hi = (50, 450) if backend == "tpu" else (2, 6)
+    lo, hi = (50, 850) if backend == "tpu" else (2, 6)
     t0 = time.time()
     for it in (lo, hi):
         float(chain(d, dk, xq0, it))
     log(f"compile: {time.time()-t0:.1f}s")
 
-    samples = {lo: [], hi: []}
-    for _ in range(5):
-        for it in (lo, hi):
-            t0 = time.time()
-            float(chain(d, dk, xq0, it))
-            samples[it].append(time.time() - t0)
-    dt = ((np.median(samples[hi]) - np.median(samples[lo]))
-          / (hi - lo) / (2.0 * FUSE_K))
-    nnz_per_s = d.nnz / dt
-    log(f"per-SpMV: {dt*1e6:.1f} us → {nnz_per_s/1e9:.1f} Gnnz/s "
+    # two-point differencing with a MIN estimator per point: each timed
+    # call pays the device chain + a variable tunnel-readback overhead
+    # (tens of ms — same order as the hi−lo device signal), so per-sample
+    # differences are noise-dominated.  min-of-SAMPLES per point strips
+    # the overhead to its floor before differencing; BLOCKS independent
+    # rates name the residual spread (VERDICT r4 item 6: the recorded
+    # single-sample headline swung ±10% round-over-round).
+    BLOCKS, SAMPLES = 5, 5
+    rates = []
+    for _ in range(BLOCKS):
+        ts = {lo: [], hi: []}
+        for _ in range(SAMPLES):
+            for it in (lo, hi):
+                t0 = time.time()
+                float(chain(d, dk, xq0, it))
+                ts[it].append(time.time() - t0)
+        dt = (min(ts[hi]) - min(ts[lo])) / (hi - lo) / (2.0 * FUSE_K)
+        rates.append(d.nnz / dt / 1e9)
+    r_med = float(np.median(rates))
+    r_min, r_max = float(np.min(rates)), float(np.max(rates))
+    log(f"per-SpMV: {d.nnz/r_med/1e3:.1f} us → {r_med:.1f} Gnnz/s "
+        f"[min {r_min:.1f}, max {r_max:.1f}, n={BLOCKS}x{SAMPLES}] "
         f"(roofline {ROOFLINE/1e9:.0f}, target {TARGET/1e9:.0f})")
 
     print(json.dumps({
         "metric": "spmv_dia_poisson1M_nnz_per_s",
-        "value": round(nnz_per_s / 1e9, 2),
+        "value": round(r_med, 2),
         "unit": "Gnnz/s",
-        "vs_baseline": round(nnz_per_s / TARGET, 3),
+        "vs_baseline": round(r_med * 1e9 / TARGET, 3),
+        "min": round(r_min, 2),
+        "max": round(r_max, 2),
+        "n": BLOCKS * SAMPLES,
     }), flush=True)
 
 

@@ -77,6 +77,14 @@ def shard_tiled_graph(g: TiledGraphInputs, n_shards: int):
     if sw is None:
         raise ValueError("shard_tiled_graph needs a srcwin plan "
                          "(tiled_graph_from_seed builds one)")
+    if getattr(g, "gat_buckets", None):
+        # the sharded forward consumes the uniform tile layout only; the
+        # bucketed-S ladder does not survive the tile-axis split (each
+        # ladder class has its own T_b — a per-class shard would need its
+        # own padding/outlier plans).  Train setup avoids building buckets
+        # for this path (train.loop._graph); warn direct callers.
+        print("shard_tiled_graph: dropping gat_buckets (sharded GAT runs "
+              "the uniform tile layout)", flush=True)
     T, S, TN = t0.tiles, t0.slots, t0.tile_nodes
     T_pad = _round_up(T, n_shards)
     pad_t = T_pad - T

@@ -111,8 +111,15 @@ def setup(cfg: TrainConfig):
         # substrate at scale (edge ids don't matter to the GAT — only the
         # fc action head maps to action ids, and it is edge-order-free)
         if edges.nnz >= cfg.gat_tiled_min_edges:
-            return pol.tiled_graph_from_seed(
-                edges, bucket_step=cfg.gat_bucket_step or None)
+            bstep = cfg.gat_bucket_step or None
+            if bstep and cfg.sampler == "sharded" and cfg.rows_devices > 1:
+                # the tile-sharded GAT (parallel.gat.shard_tiled_graph)
+                # consumes only the uniform layout — skip the bucket build
+                # rather than pay it and discard it (ADVICE r4)
+                print("gat buckets: disabled under the rows-sharded GAT "
+                      "(uniform tile layout)", flush=True)
+                bstep = None
+            return pol.tiled_graph_from_seed(edges, bucket_step=bstep)
         return pol.graph_from_seed(edges)
 
     if fmt == "dia":
@@ -153,7 +160,8 @@ def setup(cfg: TrainConfig):
     # sharded adapter re-inits its buffer at the ladder cap (= cfg.t_cap)
     # anyway, and a num_actions-wide template breaks dense→sharded
     # checkpoint resume (orbax restores by stored shape)
-    traj_w = (cfg.t_cap if cfg.t_cap > 0 else 0) or env.num_actions
+    traj_w = (min(cfg.t_cap, env.num_actions) if cfg.t_cap > 0 else 0) \
+        or env.num_actions
     state = TrainState(
         params=params,
         opt_state=opt.init(params),
@@ -343,9 +351,31 @@ def _make_sharded_sampler_adapter(cfg: TrainConfig, env, graph, mcfg, opt):
     current = {"step": sh_step}
 
     def transform(state: TrainState) -> TrainState:
+        # restored checkpoints arrive COMMITTED to a single device; mixing
+        # them with the mesh-sharded head in one jit is an error — place
+        # everything replicated on the mesh first (no-op for fresh states)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        rep = NamedSharding(mesh, P())
+        state = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, rep), state)
         params = shard_fwd(state.params)
         replay = state.replay
-        if use_replay:
+        if use_replay and replay is not None:
+            # PRESERVE the buffer (restored checkpoints and demonstration
+            # seeds both arrive through here); resize, don't re-init.  A
+            # narrower-than-t_cap0 restored buffer means the prior run's
+            # cap ladder had shrunk — adopt that cap so the resumed step
+            # compiles where the run left off (VERDICT r4 item 1).
+            stored_w = replay.actions.shape[1]
+            if cfg.t_cap_auto and ladder.cap_min <= stored_w < ladder.cap:
+                print(f"t_cap ladder resume: adopting stored cap {stored_w}",
+                      flush=True)
+                ladder.cap = stored_w
+                current["step"], _, _ = build(stored_w)
+            if stored_w != ladder.cap:
+                replay = replay_resize(replay, ladder.cap)
+        elif use_replay:
             replay = replay_init(cfg.replay_size, ladder.cap,
                                  jnp.dtype(cfg.dtype))
         return state._replace(params=params, opt_state=opt.init(params),
@@ -473,7 +503,44 @@ def save_checkpoint(out_dir: str, state: TrainState, env=None):
         save_enum_meta(out_dir, env)
 
 
+def _conform_to_stored(template, md):
+    """Rebuild ``template`` so every array leaf matches the STORED
+    checkpoint's shape/dtype (orbax restores strictly by shape).
+
+    Metadata mirrors the saved pytree with NamedTuples as field-keyed
+    dicts and tuples/lists as lists; array leaves carry shape/dtype.
+    Shape drift is legitimate state, not corruption: replay buffers are
+    [K, t_cap]-wide (cap ladder / --t-cap changes — the
+    runs/c4id_auto_orsirr450 crash, VERDICT r4 item 1) and a sharded run
+    stores the COLUMN-PADDED action head (parallel.tp.pad_head rounds A
+    up to the rows count).  Callers re-conform restored leaves to the
+    live run (replay_resize; pad_head is idempotent)."""
+    if md is None or template is None:
+        return template
+    if hasattr(md, "shape") and not isinstance(md, dict):
+        if (hasattr(template, "shape")
+                and tuple(template.shape) != tuple(md.shape)):
+            return jnp.zeros(tuple(md.shape), md.dtype)
+        return template
+    if isinstance(md, dict):
+        if hasattr(template, "_fields"):
+            return type(template)(**{
+                f: _conform_to_stored(getattr(template, f), md.get(f))
+                for f in template._fields})
+        if isinstance(template, dict):
+            return {k: _conform_to_stored(v, md.get(k))
+                    for k, v in template.items()}
+        return template
+    if isinstance(md, (list, tuple)) and isinstance(template, (list, tuple)) \
+            and len(md) == len(template):
+        out = [_conform_to_stored(t, m) for t, m in zip(template, md)]
+        return out if isinstance(template, list) else tuple(out)
+    return template
+
+
 def restore_checkpoint(out_dir: str, template: TrainState) -> Optional[TrainState]:
+    """Restore the latest checkpoint, conforming the template to the
+    STORED array shapes first (see ``_conform_to_stored``)."""
     import orbax.checkpoint as ocp
 
     base = Path(out_dir).absolute() / "checkpoint"
@@ -483,6 +550,12 @@ def restore_checkpoint(out_dir: str, template: TrainState) -> Optional[TrainStat
     if not steps:
         return None
     with ocp.StandardCheckpointer() as ckpt:
+        try:
+            md = ckpt.metadata(steps[-1]).item_metadata.tree
+        except Exception:
+            md = None
+        if md is not None:
+            template = _conform_to_stored(template, md)
         return ckpt.restore(steps[-1], template)
 
 
@@ -618,12 +691,23 @@ def train(cfg: TrainConfig, progress: bool = True):
             state = warmstart_on_demonstrations(env, graph, mcfg, state,
                                                 cfg, opt)
     if cfg.resume:
+        tmpl_w = (state.replay.actions.shape[1]
+                  if state.replay is not None else None)
         restored = restore_checkpoint(cfg.out_dir, state)
         if restored is not None:
             from .enums import reconcile
 
             state, _ = reconcile(cfg.out_dir, env, restored,
                                  backward=cfg.backward, opt=opt)
+            # restore_checkpoint honors the STORED replay width; conform
+            # non-sharded paths back to this run's cap here (the sharded
+            # adapter's transform owns its own width / ladder adoption)
+            if (cfg.sampler != "sharded" and state.replay is not None
+                    and tmpl_w is not None
+                    and state.replay.actions.shape[1] != tmpl_w):
+                from ..gfn.replay import replay_resize as _rsz
+
+                state = state._replace(replay=_rsz(state.replay, tmpl_w))
     if cfg.sampler == "sharded":
         step, transform = _make_sharded_sampler_adapter(
             cfg, env, graph, mcfg, opt)

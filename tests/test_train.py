@@ -278,3 +278,72 @@ def test_magnitude_demos_dia_env_uses_edge_enumeration():
     deleted = acts[:-1]
     kept = np.setdiff1d(np.arange(env.num_edges), deleted)
     assert vals[deleted].max() <= vals[kept].min() + 1e-12
+
+
+def test_sharded_replay_tcap_resume(tmp_path):
+    """The runs/c4id_auto_orsirr450 crash (VERDICT r4 item 1): a sharded
+    run with replay on and t_cap < num_actions stores [K, t_cap] replay
+    buffers; the resume template must honor the STORED width (orbax
+    restores strictly by shape) and the restored buffer must survive the
+    sharded transform (resized, not wiped)."""
+    out = str(tmp_path / "run")
+    kw = dict(matrix="LF10_like", batch_size=8, backward="linear",
+              loss="subtb", lr=5e-3, sampler="sharded", dp_devices=2,
+              rows_devices=4, replay_size=8, replay_samples=2, t_cap=8,
+              out_dir=out)
+    cfg = TrainConfig(num_epochs=4, **kw)
+    state, _ = train(cfg, progress=False)
+    assert state.replay.actions.shape == (8, 8)
+    cfg2 = TrainConfig(num_epochs=7, resume=True, **kw)
+    state2, history2 = train(cfg2, progress=False)
+    assert int(state2.epoch) == 7
+    assert len(history2) == 3
+    assert state2.replay.actions.shape == (8, 8)
+
+
+def test_restore_checkpoint_conforms_replay_width(tmp_path):
+    """restore_checkpoint must adapt the replay template to the stored
+    trajectory width instead of throwing the orbax shape error."""
+    from gflownet_spai_tpu.gfn.replay import replay_init, replay_update
+    from gflownet_spai_tpu.train.loop import (restore_checkpoint,
+                                              save_checkpoint)
+
+    cfg = TrainConfig(matrix="LF10_like", replay_size=4, t_cap=8)
+    a, seed, env, graph, mcfg, opt, state = setup(cfg)
+    assert state.replay.actions.shape[1] == 8
+    acts = jnp.full((1, 8), -1, jnp.int32).at[0, 0].set(env.num_edges)
+    state = state._replace(
+        replay=replay_update(state.replay, acts, jnp.asarray([3.5])))
+    save_checkpoint(str(tmp_path), state)
+    # template at a DIFFERENT width (e.g. resume with a changed --t-cap,
+    # or the old num_actions-wide template): must not throw
+    wide = state._replace(replay=replay_init(4, env.num_actions))
+    restored = restore_checkpoint(str(tmp_path), wide)
+    assert restored.replay.actions.shape == (4, 8)
+    filled = np.isfinite(np.asarray(restored.replay.rewards))
+    assert filled.sum() == 1
+    np.testing.assert_allclose(
+        np.asarray(restored.replay.rewards)[filled], [3.5])
+
+
+def test_sharded_transform_adopts_shrunken_cap():
+    """Resume mid-cap-ladder: a restored replay narrower than --t-cap with
+    --t-cap-auto means the prior run's ladder had shrunk — the adapter must
+    adopt the stored cap (and keep the buffer) rather than restart wide."""
+    from gflownet_spai_tpu.gfn.replay import replay_init
+    from gflownet_spai_tpu.train.loop import _make_sharded_sampler_adapter
+
+    cfg = TrainConfig(matrix="LF10_like", batch_size=4, backward="linear",
+                      loss="subtb", sampler="sharded", dp_devices=2,
+                      rows_devices=4, replay_size=4, replay_samples=2,
+                      t_cap=16, t_cap_auto=True, t_cap_min=4)
+    a, seed, env, graph, mcfg, opt, state = setup(cfg)
+    step, transform = _make_sharded_sampler_adapter(cfg, env, graph, mcfg,
+                                                    opt)
+    # simulate a restore from a run whose ladder had shrunk 16 -> 8
+    state = state._replace(replay=replay_init(4, 8))
+    state = transform(state)
+    assert state.replay.actions.shape == (4, 8)   # adopted, not re-widened
+    state, m = step(state)
+    assert np.isfinite(float(m["loss"]))
+    assert int(m["t_cap"]) == 8
