@@ -119,6 +119,55 @@ def orsirr_like(k: int, beta: float = 0.6, jump_frac: float = 0.01,
     return _coo(rows, cols, vals.astype(dtype), (n, n))
 
 
+def hangglider_like(T: int = 1466, h: float = 0.05, eps: float = 1e-2,
+                    dtype=np.float64) -> COO:
+    """Trajectory-optimization KKT stand-in for SuiteSparse hangGlider_3
+    (the reference's fourth test matrix, GFlowNet_test.py:20-23; its
+    ``maxiter=10260`` equals that matrix's dimension).
+
+    The real matrix is the KKT system of a discretized optimal-control
+    problem (Betts' hang-glider trajectory optimization): symmetric
+    INDEFINITE, with a block-tridiagonal Hessian over the state/control
+    chain and a banded constraint Jacobian coupling consecutive time
+    steps.  The stand-in reproduces that structure honestly:
+
+        K = [[Q, Bᵀ], [B, −εI]]
+
+    * ``T`` time steps, 4 primal vars each (3 states + 1 control) →
+      interleaved tridiagonal SPD Hessian Q (np = 4T);
+    * 3 dynamics constraints per step pair (x_i[k+1] − x_i[k] − h·u[k])
+      → banded B (nc = 3(T−1));
+    * ``−εI`` dual regularization (interior-point style) keeps ILU(0)
+      pivots nonzero while preserving indefiniteness.
+
+    Default T=1466 → n = 7T − 3 = 10,259 ≈ the real matrix's 10,260."""
+    np_, nc = 4 * T, 3 * (T - 1)
+    n = np_ + nc
+    rows, cols, vals = [], [], []
+    # Q: tridiagonal SPD over the interleaved primal chain
+    i = np.arange(np_)
+    rows.append(i); cols.append(i)
+    vals.append(2.0 + 0.1 * np.cos(0.01 * i))
+    rows.append(i[:-1]); cols.append(i[:-1] + 1)
+    vals.append(np.full(np_ - 1, -0.5))
+    rows.append(i[:-1] + 1); cols.append(i[:-1])
+    vals.append(np.full(np_ - 1, -0.5))
+    # B: constraint (k, j) row np_ + 3k + j touches x_j[k+1], x_j[k], u[k]
+    k = np.repeat(np.arange(T - 1), 3)
+    j = np.tile(np.arange(3), T - 1)
+    crow = np_ + 3 * k + j
+    for ccol, v in ((4 * (k + 1) + j, np.ones(nc)),
+                    (4 * k + j, -np.ones(nc)),
+                    (4 * k + 3, -h * (1.0 + 0.2 * j))):
+        rows.append(crow); cols.append(ccol); vals.append(v)      # B
+        rows.append(ccol); cols.append(crow); vals.append(v)      # Bᵀ
+    # −εI dual regularization
+    d = np.arange(np_, n)
+    rows.append(d); cols.append(d); vals.append(np.full(nc, -eps))
+    return _coo(np.concatenate(rows), np.concatenate(cols),
+                np.concatenate(vals).astype(dtype), (n, n))
+
+
 def lf10_like(dtype=np.float64) -> COO:
     """18×18 banded SPD matrix, same scale as the LF10 test matrix that the
     reference's only recorded run used (SURVEY.md §6)."""
@@ -143,6 +192,7 @@ GALLERY = {
     "LF10_like": lambda: lf10_like(),
     "bcsstk03_like": lambda: random_spd(112, density=0.05, seed=3),
     "olm500_like": lambda: conv_diffusion(500),
+    "hangGlider3_like": lambda: hangglider_like(),
     "poisson32": lambda: poisson2d(32),
 }
 

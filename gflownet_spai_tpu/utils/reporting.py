@@ -53,6 +53,7 @@ def render_training_report(run_dir: str, out_png: Optional[str] = None) -> Dict:
         "reward": trend_summary(np.asarray(rewards), decreasing_is_better=False),
         "final_mean_actions": float(np.mean(num_actions[-10:])),
     }
+    summary.update(_jsonl_summary(run))
     (run / "report.json").write_text(json.dumps(summary, indent=2))
 
     try:
@@ -83,6 +84,45 @@ def render_training_report(run_dir: str, out_png: Optional[str] = None) -> Dict:
     if ps:
         summary["per_sample_png"] = ps
     return summary
+
+
+def _jsonl_summary(run: Path) -> Dict:
+    """Cap-ladder / validity audit from ``metrics.jsonl`` (VERDICT r4
+    item 7: the auto-cap run's curriculum was unrecoverable post-hoc).
+    Returns {} when the stream is missing."""
+    f = run / "metrics.jsonl"
+    if not f.exists():
+        return {}
+    valid, wall, caps = [], [], []
+    for line in f.read_text().splitlines():
+        try:
+            rec = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        if "valid_frac" in rec:
+            valid.append(float(rec["valid_frac"]))
+        if rec.get("wall_s"):
+            wall.append(float(rec["wall_s"]))
+        if "t_cap" in rec:
+            caps.append((int(rec["epoch"]), int(rec["t_cap"])))
+    out: Dict = {}
+    if valid:
+        p5, p50, p95 = np.percentile(valid, [5, 50, 95])
+        out["valid_frac"] = {
+            "p5": float(p5), "p50": float(p50), "p95": float(p95),
+            "final_10_mean": float(np.mean(valid[-10:])),
+        }
+    if wall:
+        out["wall_s"] = {"median": float(np.median(wall)),
+                         "p95": float(np.percentile(wall, 95)),
+                         "total": float(np.sum(wall))}
+    if caps:
+        events = [{"epoch": caps[0][0], "t_cap": caps[0][1]}]
+        for (_, prev), (e, cur) in zip(caps, caps[1:]):
+            if cur != prev:
+                events.append({"epoch": e, "t_cap": cur})
+        out["t_cap_ladder"] = {"events": events, "final": caps[-1][1]}
+    return out
 
 
 def render_per_sample_surface(run_dir: str,

@@ -430,3 +430,20 @@ def test_rowblock_window_order_matches_sorted():
     k_old = np.asarray(env_s.seed.row) * a.shape[1] + np.asarray(env_s.seed.col)
     k_new = np.asarray(env_w.seed.row) * a.shape[1] + np.asarray(env_w.seed.col)
     assert set(k_old.tolist()) == set(k_new.tolist())
+
+
+def test_gallery_hangglider_kkt_structure():
+    """hangGlider3_like: symmetric INDEFINITE KKT stand-in at the real
+    matrix's scale (reference GFlowNet_test.py:20-23; n=10,260 is the
+    reference's gmres maxiter)."""
+    a = gallery.get("hangGlider3_like")
+    assert a.shape == (10259, 10259)
+    As = coo_to_scipy(a).tocsr()
+    assert abs(As - As.T).max() == 0           # symmetric
+    # indefinite: the dual block carries the negative regularization, and
+    # the saddle structure puts real negative eigenvalues well below it
+    d = As.diagonal()
+    assert d.min() < 0 < d.max()
+    # block sizes: 4T primal + 3(T-1) dual
+    T = 1466
+    assert (d[:4 * T] > 0).all() and (d[4 * T:] < 0).all()

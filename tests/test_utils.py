@@ -113,3 +113,32 @@ def test_bench_scaling_run():
     for r in results:
         assert r["nnz_per_s"] > 0 and np.isfinite(r["time_s"])
     assert results[0]["efficiency"] == 1.0
+
+
+def test_report_jsonl_summary_ladder_and_validity(tmp_path):
+    """report.json audits the cap-ladder curriculum + valid_frac spread
+    from metrics.jsonl (VERDICT r4 item 7)."""
+    import json
+    import numpy as np
+    from gflownet_spai_tpu.utils.reporting import render_training_report
+
+    run = tmp_path / "run"
+    run.mkdir()
+    with open(run / "training_log.csv", "w") as f:
+        f.write("epoch,num_actions,loss,reward\n")
+        for e in range(30):
+            f.write(f"{e},10,{30 - e},{e}\n")
+    with open(run / "metrics.jsonl", "w") as f:
+        for e in range(30):
+            cap = 64 if e < 10 else (32 if e < 20 else 16)
+            f.write(json.dumps({"epoch": e, "valid_frac": 0.5 + 0.01 * e,
+                                "wall_s": 0.1, "t_cap": cap}) + "\n")
+    summary = render_training_report(str(run))
+    lad = summary["t_cap_ladder"]
+    assert lad["final"] == 16
+    assert [ev["t_cap"] for ev in lad["events"]] == [64, 32, 16]
+    assert [ev["epoch"] for ev in lad["events"]] == [0, 10, 20]
+    assert abs(summary["valid_frac"]["p50"] - 0.645) < 0.01
+    assert summary["wall_s"]["total"] == pytest.approx(3.0)
+    on_disk = json.loads((run / "report.json").read_text())
+    assert on_disk["t_cap_ladder"]["final"] == 16
