@@ -106,32 +106,44 @@ def gumbel_topk_rollout(logits: jax.Array, key, terminal_action: int,
 
 def trajectory_logprobs(logits: jax.Array, actions: jax.Array) -> jax.Array:
     """Per-step log-probs of a given ``-1``-padded trajectory under
-    sequential masked-categorical semantics, in O(A log A).
+    sequential masked-categorical semantics, in O(A + T).
 
     Same result as ``sequential_logprobs`` (which is O(A²): a T-step scan
-    each carrying an A-sized taken-mask), but exploiting static logits the
-    same way the Gumbel sampler does: the remaining action set at step t is
-    {a_t, …, a_L} ∪ untaken, so ordering the logits as "trajectory actions
-    in trajectory order, then untaken actions" turns every step's
-    normalizer into one suffix logsumexp.  Used for off-policy re-scoring
-    (temperature sampling, replay buffers) where trajectories were NOT
-    produced by the current policy's Gumbel sort.
+    each carrying an A-sized taken-mask), exploiting static logits: the
+    remaining action set at step t is the DISJOINT union of the
+    never-taken set and the taken suffix {a_t, …, a_L}, so
+
+        denom_t = logaddexp(lse(untaken), suffix-lse(taken logits)[t])
+
+    — one masked reduction over [A] (a scalar, exact: no subtraction of
+    taken mass from the total, hence no cancellation) plus one [T] suffix
+    scan.  The earlier formulation ordered the FULL logit vector per
+    trajectory ("taken first, untaken after" + [A]-suffix-lse); its
+    per-sample [A] argsort/gather/scatter-add was 96 of the 333 ms
+    1M-action train step (replay re-scoring, docs/BENCH.md round 5).
+    Used for off-policy re-scoring (temperature sampling, replay buffers,
+    demonstration warm-starts) where trajectories were NOT produced by the
+    current policy's Gumbel sort.
     """
+    from ..ops.scan import suffix_logsumexp
+
     A = logits.shape[0]
-    T = actions.shape[0]
-    t_ids = jnp.arange(T)
     valid = actions >= 0
     a_safe = jnp.where(valid, actions, 0)
-    # sort key: taken actions get their step index (< A), untaken keep
-    # A + id; invalid (padding) writes lose every .min against both
-    pos = (A + jnp.arange(A)).at[a_safe].min(
-        jnp.where(valid, t_ids, 2 * A)
-    )
-    order = jnp.argsort(pos)                       # [A]
-    sorted_logits = logits[order]
-    denom = _suffix_logsumexp(sorted_logits)       # lse over remaining set
-    lp = sorted_logits[:T] - denom[:T]
-    return jnp.where(valid, lp, 0.0)
+    taken = jnp.where(valid, logits[a_safe], -jnp.inf)        # [T]
+    # untaken = all ids never visited; padding steps write the spare slot
+    idx = jnp.where(valid, actions, A)
+    mask = jnp.ones((A + 1,), bool).at[idx].set(False)[:A]
+    any_un = mask.any()
+    masked = jnp.where(mask, logits, -jnp.inf)
+    # all-taken guard: lse over an all(-inf) row is -inf with a NaN grad —
+    # route the degenerate case around the reduction
+    un_lse = jnp.where(
+        any_un,
+        jax.nn.logsumexp(jnp.where(any_un, masked, 0.0)),
+        -jnp.inf)
+    denom = jnp.logaddexp(un_lse, suffix_logsumexp(taken))    # [T]
+    return jnp.where(valid, taken - denom, 0.0)
 
 
 def sequential_logprobs(logits: jax.Array, actions: jax.Array) -> jax.Array:

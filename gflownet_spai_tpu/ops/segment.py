@@ -655,6 +655,71 @@ def _gather_win_pallas(plan: SrcWindows, vals, interpret: bool):
     return out.reshape(T * S, D)
 
 
+def _scatter_win_kernel(win: int, slots: int):
+    """Transpose of ``_gather_win_kernel``: per-tile window partials
+    gᵀ @ oh — [D, S] ⋅ [S, W] MXU contractions (out-of-window slots have a
+    zero onehot row, exactly as in the forward).  Output orientation is
+    [D, W]: D is tiny (the hidden width, ~4), so putting it in LANES tiles
+    4→128 and makes the partial tensor 32× its logical size (measured: the
+    [T, 2, W, D] first cut wrote 6.6 GB of padded HBM — 50 ms); with W in
+    lanes the physical size is the logical one."""
+    def kernel(lsrc_ref, g_ref, o1_ref, o2_ref):
+        lid = lsrc_ref[0, 0, :][:, None]                    # [S, 1]
+        i1 = jax.lax.broadcasted_iota(jnp.int32, (slots, win), 1)
+        oh1 = (i1 == lid).astype(g_ref.dtype)               # [S, W]
+        oh2 = (i1 == (lid - win)).astype(g_ref.dtype)
+        g = g_ref[0]                                        # [S, D]
+        dn = (((0,), (0,)), ((), ()))                       # contract S·S
+        hi = g.astype(jnp.bfloat16).astype(g.dtype)         # _mm_split form
+        lo = g - hi
+        dg = lambda x, oh: jax.lax.dot_general(
+            x, oh, dn, preferred_element_type=g.dtype)
+        o1_ref[0] = dg(hi, oh1) + dg(lo, oh1)               # [D, W]
+        o2_ref[0] = dg(hi, oh2) + dg(lo, oh2)
+
+    return kernel
+
+
+def _scatter_win_pallas(plan: SrcWindows, g, n: int, interpret: bool):
+    """Windowed scatter-add: Σ_{slots s: src[s]=r} g[s] → [n, D].
+
+    The plain ``.at[src_t].add`` sorted-scatter scalarizes on TPU — it was
+    57 + 8 ms of the 333 ms 1M-action train step (the layer-2 src-gather
+    backward, docs/BENCH.md round 5).  Here each tile reduces its slots
+    onto its two src windows with MXU contractions (the forward kernel's
+    transpose); the [T, D, W] partials then land with TWO T-index block
+    scatters over whole windows, and one small [rows, D] relayout at the
+    end undoes the lane orientation."""
+    from jax.experimental import pallas as pl
+
+    T, S = plan.lsrc.shape
+    D = g.shape[-1]
+    W = plan.win
+    p1, p2 = pl.pallas_call(
+        _scatter_win_kernel(W, S),
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, 1, S), lambda t: (t, 0, 0)),
+            pl.BlockSpec((1, S, D), lambda t: (t, 0, 0)),
+        ],
+        out_specs=(pl.BlockSpec((1, D, W), lambda t: (t, 0, 0)),
+                   pl.BlockSpec((1, D, W), lambda t: (t, 0, 0))),
+        out_shape=(jax.ShapeDtypeStruct((T, D, W), g.dtype),
+                   jax.ShapeDtypeStruct((T, D, W), g.dtype)),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * T * S * 2 * W * D,
+            bytes_accessed=(T * S * D + 2 * T * W * D + T * S) * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(plan.lsrc.reshape(T, 1, S), g.reshape(T, S, D))
+    nwin = plan.rows_pad // W + 1
+    acc = jnp.zeros((nwin, D, W), g.dtype)
+    acc = acc.at[plan.blk].add(p1)
+    acc = acc.at[plan.blk + 1].add(p2)
+    return jnp.swapaxes(acc, 1, 2).reshape(nwin * W, D)[:n]
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(0, 3))
 def _gather_rows_p(plan: SrcWindows, src_t, vals, interpret: bool):
     got = _gather_win_pallas(plan, vals, interpret)
@@ -668,11 +733,22 @@ def _gather_rows_fwd(plan, src_t, vals, interpret):
 
 
 def _gather_rows_bwd(plan, interpret, res, g):
-    # VJP of a row gather = scatter-add by src id (XLA sorted-scatter —
-    # identical to the plain gather's AD, so training cost is unchanged)
     src_t, n = res
-    dv = jnp.zeros((n, g.shape[-1]), g.dtype).at[src_t].add(
-        g, mode="drop")
+    if not (_use_pallas() or interpret):
+        # VJP of a row gather = scatter-add by src id (XLA sorted-scatter)
+        dv = jnp.zeros((n, g.shape[-1]), g.dtype).at[src_t].add(
+            g, mode="drop")
+        return (None, dv)
+    # windowed MXU scatter (the forward kernel's transpose).  Outlier
+    # slots' lsrc is the 2·win miss marker → zero onehot column in the
+    # window path, so their cotangent routes ONLY through the fixup list
+    # (mirroring the forward's .at[out_slot].set overwrite).
+    dv = _scatter_win_pallas(plan, g, n, interpret)
+    g_flat = g.reshape(-1, g.shape[-1])
+    slot_ok = plan.out_slot < g_flat.shape[0]
+    safe_slot = jnp.where(slot_ok, plan.out_slot, 0)
+    fix_g = jnp.where(slot_ok[:, None], g_flat[safe_slot], 0.0)
+    dv = dv.at[plan.out_src].add(fix_g, mode="drop")
     return (None, dv)
 
 

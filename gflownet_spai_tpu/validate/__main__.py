@@ -119,6 +119,14 @@ def main(argv=None) -> int:
                    help="add an aggregation-V-cycle preconditioner row "
                         "with that many grid levels (>=2; fused-Jacobi "
                         "smoothing on every level — solvers.multigrid)")
+    p.add_argument("--wall-repeats", type=int, default=1,
+                   help="time each GMRES/CG solve this many times and "
+                        "report the LAST wall as time_steady_s alongside "
+                        "the cold time_s — the first call's wall includes "
+                        "jit compile (the round-4 1M table's 'every "
+                        "preconditioner loses wall-clock' was exactly "
+                        "that artifact: none 29.8 s cold vs 14.6 s steady "
+                        "on CPU, docs/BENCH.md round 5)")
     p.add_argument("--vcycle-smoother", default="jacobi",
                    choices=["jacobi", "chebyshev"],
                    help="V-cycle smoother: chebyshev = per-level "
@@ -222,8 +230,24 @@ def main(argv=None) -> int:
         r = b - _spmv(a, x)
         return float(jnp.linalg.norm(r) / jnp.linalg.norm(b))
 
-    x, res, iters, t = solve(a, b, None, **kw)
-    report["none"] = {"iterations": iters, "time_s": t,
+    def timed_solve(op):
+        """(x, res, iters, cold_wall, steady_wall): re-solve
+        ``--wall-repeats``−1 extra times so the reported steady wall
+        excludes jit compile."""
+        x, res, iters, t = solve(a, b, op, **kw)
+        steady = t
+        for _ in range(args.wall_repeats - 1):
+            x, res, iters, steady = solve(a, b, op, **kw)
+        return x, res, iters, t, steady
+
+    def wall_fields(t, steady):
+        out = {"time_s": t}
+        if args.wall_repeats > 1:
+            out["time_steady_s"] = steady
+        return out
+
+    x, res, iters, t, steady = timed_solve(None)
+    report["none"] = {"iterations": iters, **wall_fields(t, steady),
                       "final_residual": float(res[-1]) if len(res) else None,
                       "true_residual": true_residual(x)}
 
@@ -231,8 +255,8 @@ def main(argv=None) -> int:
     # permutation, so its L·U is a *pattern* source, not a valid solve
     # operator (see env/ilu.spilu_lu docstring)
     L, U = ilu_mod.ilu0(a)
-    x, res, iters, t = solve(a, b, ilu_solve_op(L, U), **kw)
-    report["ilu"] = {"iterations": iters, "time_s": t,
+    x, res, iters, t, steady = timed_solve(ilu_solve_op(L, U))
+    report["ilu"] = {"iterations": iters, **wall_fields(t, steady),
                      "final_residual": float(res[-1]) if len(res) else None,
                      "true_residual": true_residual(x)}
 
@@ -242,10 +266,10 @@ def main(argv=None) -> int:
     as_op = spai_op_sym if args.method == "cg" else spai_op
 
     def solve_row(op):
-        x, res, iters, t = solve(a, b, op, **kw)
+        x, res, iters, t, steady = timed_solve(op)
         fr = float(res[-1]) if len(res) else None
-        row = {"iterations": iters, "time_s": t, "final_residual": fr,
-               "method": args.method}
+        row = {"iterations": iters, **wall_fields(t, steady),
+               "final_residual": fr, "method": args.method}
         if args.method == "cg" and (fr is None or not np.isfinite(fr)):
             gkw = dict(maxiter=args.maxiter, restart=args.restart,
                        rtol=args.rtol)
