@@ -283,13 +283,22 @@ def _next_pow2(x: int) -> int:
 
 class CapLadder:
     """Adaptive t_cap schedule (decision logic only; the adapter owns the
-    recompiles).  ``observe(lengths, valid)`` returns the new smaller cap
-    once ≥95% of rollouts have terminated inside the current cap for
-    ``window`` straight epochs and ``next_pow2(margin · max-window-P95)``
-    sits strictly below it — else None.  History resets after a shrink."""
+    recompiles).  ``observe(lengths, valid)`` returns the new cap when it
+    changes, else None:
+
+    * SHRINK once ≥95% of rollouts have terminated inside the current cap
+      for ``window`` straight epochs and ``next_pow2(margin ·
+      max-window-P95)`` sits strictly below it;
+    * GROW back ×2 (never past the starting cap) when the termination
+      rate collapses at a shrunken cap — window-mean valid < 50% — so an
+      over-eager shrink can't strand training without a reward anchor
+      (the config.py t_cap_auto contract).
+
+    History resets after any change."""
 
     def __init__(self, cap: int, cap_min: int, margin: float, window: int):
         self.cap = cap
+        self.cap0 = cap
         self.cap_min = cap_min
         self.margin = margin
         self.window = window
@@ -303,6 +312,11 @@ class CapLadder:
             return None
         self._p95 = self._p95[-self.window:]
         self._term = self._term[-self.window:]
+        term_mean = float(np.mean(self._term))
+        if term_mean < 0.5 and self.cap < self.cap0:
+            self.cap = min(self.cap0, 2 * self.cap)
+            self._p95, self._term = [], []
+            return self.cap
         if min(self._term) < 0.95:
             return None
         want = max(self.cap_min,

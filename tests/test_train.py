@@ -347,3 +347,32 @@ def test_sharded_transform_adopts_shrunken_cap():
     state, m = step(state)
     assert np.isfinite(float(m["loss"]))
     assert int(m["t_cap"]) == 8
+
+
+def test_cap_ladder_shrinks_and_grows_back():
+    """CapLadder: shrinks on stable termination, GROWS back x2 when the
+    termination rate collapses at a shrunken cap (the config.py t_cap_auto
+    contract), never past the starting cap."""
+    from gflownet_spai_tpu.train.loop import CapLadder
+
+    lad = CapLadder(cap=4096, cap_min=64, margin=4.0, window=3)
+    # stable short trajectories: P95 = 20 -> next_pow2(80) = 128
+    for _ in range(2):
+        assert lad.observe([20] * 8, [True] * 8) is None
+    assert lad.observe([20] * 8, [True] * 8) == 128
+    assert lad.cap == 128
+    # termination collapses at the shrunken cap -> grow x2
+    for _ in range(2):
+        assert lad.observe([128] * 8, [False] * 8) is None
+    assert lad.observe([128] * 8, [False] * 8) == 256
+    # keeps growing toward (but never past) the starting cap
+    for _ in range(3):
+        lad.observe([256] * 8, [False] * 8)
+    assert lad.cap == 512
+    for _ in range(12):
+        lad.observe([512] * 8, [False] * 8)
+    assert lad.cap <= 4096
+    # at the starting cap, collapse no longer changes anything
+    lad.cap = 4096
+    for _ in range(6):
+        assert lad.observe([4096] * 8, [False] * 8) is None
