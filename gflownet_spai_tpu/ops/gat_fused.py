@@ -379,21 +379,40 @@ def _run_bwd(tiles: SegTiles, negative_slope, interpret,
     return dxs_out, dxd_out, dwe_tot, datt
 
 
+def _tiles_of(meta, local_dst) -> SegTiles:
+    """Rebuild the SegTiles view the kernels consume from hashable meta
+    ints + the ``local_dst`` array.  ``local_dst`` must travel in a
+    DIFFERENTIABLE argument position (None cotangent) rather than inside
+    the nondiff tiles object: under ``shard_map`` the graph is an operand,
+    so its arrays arrive as tracers — and custom_vjp rejects tracers in
+    nondiff_argnums (the round-5 c5auto 1M sharded-sampler crash).
+    ``perm`` is unused by the kernels; ``local_dst`` stands in."""
+    T, S, TN, num_nodes, num_edges = meta
+    return SegTiles(perm=local_dst, local_dst=local_dst,
+                    num_nodes=num_nodes, num_edges=num_edges,
+                    tiles=T, tile_nodes=TN, slots=S)
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
-def _gat_fused_p(tiles, negative_slope, interpret, attr, xs, xd, w_e, att):
-    return _run_fwd(tiles, negative_slope, interpret, attr, xs, xd, w_e, att)
+def _gat_fused_p(meta, negative_slope, interpret, local_dst,
+                 attr, xs, xd, w_e, att):
+    return _run_fwd(_tiles_of(meta, local_dst), negative_slope, interpret,
+                    attr, xs, xd, w_e, att)
 
 
-def _gat_fused_fwd(tiles, negative_slope, interpret, attr, xs, xd, w_e, att):
-    out = _run_fwd(tiles, negative_slope, interpret, attr, xs, xd, w_e, att)
-    return out, (attr, xs, xd, w_e, att)
+def _gat_fused_fwd(meta, negative_slope, interpret, local_dst,
+                   attr, xs, xd, w_e, att):
+    out = _run_fwd(_tiles_of(meta, local_dst), negative_slope, interpret,
+                   attr, xs, xd, w_e, att)
+    return out, (local_dst, attr, xs, xd, w_e, att)
 
 
-def _gat_fused_bwd(tiles, negative_slope, interpret, res, g):
-    attr, xs, xd, w_e, att = res
-    dxs, dxd, dwe, datt = _run_bwd(tiles, negative_slope, interpret,
+def _gat_fused_bwd(meta, negative_slope, interpret, res, g):
+    local_dst, attr, xs, xd, w_e, att = res
+    dxs, dxd, dwe, datt = _run_bwd(_tiles_of(meta, local_dst),
+                                   negative_slope, interpret,
                                    attr, xs, xd, w_e, att, g)
-    return (None, dxs, dxd, dwe, datt)
+    return (None, None, dxs, dxd, dwe, datt)
 
 
 _gat_fused_p.defvjp(_gat_fused_fwd, _gat_fused_bwd)
@@ -446,5 +465,7 @@ def gat_tile_fused(tiles: SegTiles, attr: jax.Array, xs_slot: jax.Array,
               f"{tiles.tiles} tile(s)", flush=True)
         return gat_tile_fused_jnp(tiles, attr, xs_slot, xd, w_e, att,
                                   negative_slope)
-    return _gat_fused_p(tiles, float(negative_slope), interpret,
-                        attr, xs_slot, xd, w_e, att)
+    meta = (tiles.tiles, tiles.slots, tiles.tile_nodes,
+            tiles.num_nodes, tiles.num_edges)
+    return _gat_fused_p(meta, float(negative_slope), interpret,
+                        tiles.local_dst, attr, xs_slot, xd, w_e, att)

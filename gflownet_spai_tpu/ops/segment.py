@@ -720,25 +720,42 @@ def _scatter_win_pallas(plan: SrcWindows, g, n: int, interpret: bool):
     return jnp.swapaxes(acc, 1, 2).reshape(nwin * W, D)[:n]
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(0, 3))
-def _gather_rows_p(plan: SrcWindows, src_t, vals, interpret: bool):
+def _plan_of(meta, lsrc, blk, out_slot, out_src) -> SrcWindows:
+    """Rebuild the SrcWindows view from hashable meta ints + its arrays.
+    The arrays travel in DIFFERENTIABLE argument positions (None
+    cotangents): under ``shard_map`` the graph is an operand, so plan
+    arrays arrive as tracers — and custom_vjp rejects tracers in
+    nondiff_argnums (same shape as the gat_fused ``_tiles_of`` fix)."""
+    win, rows_pad = meta
+    return SrcWindows(lsrc=lsrc, blk=blk, out_slot=out_slot,
+                      out_src=out_src, win=win, rows_pad=rows_pad)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _gather_rows_p(meta, interpret: bool, lsrc, blk, out_slot, out_src,
+                   src_t, vals):
+    plan = _plan_of(meta, lsrc, blk, out_slot, out_src)
     got = _gather_win_pallas(plan, vals, interpret)
     fix = vals[plan.out_src]
     return got.at[plan.out_slot].set(fix, mode="drop")
 
 
-def _gather_rows_fwd(plan, src_t, vals, interpret):
-    return _gather_rows_p(plan, src_t, vals, interpret), (src_t,
-                                                          vals.shape[0])
+def _gather_rows_fwd(meta, interpret, lsrc, blk, out_slot, out_src,
+                     src_t, vals):
+    out = _gather_rows_p(meta, interpret, lsrc, blk, out_slot, out_src,
+                         src_t, vals)
+    return out, (lsrc, blk, out_slot, out_src, src_t, vals.shape[0])
 
 
-def _gather_rows_bwd(plan, interpret, res, g):
-    src_t, n = res
+def _gather_rows_bwd(meta, interpret, res, g):
+    lsrc, blk, out_slot, out_src, src_t, n = res
+    nones = (None, None, None, None, None)
     if not (_use_pallas() or interpret):
         # VJP of a row gather = scatter-add by src id (XLA sorted-scatter)
         dv = jnp.zeros((n, g.shape[-1]), g.dtype).at[src_t].add(
             g, mode="drop")
-        return (None, dv)
+        return (*nones, dv)
+    plan = _plan_of(meta, lsrc, blk, out_slot, out_src)
     # windowed MXU scatter (the forward kernel's transpose).  Outlier
     # slots' lsrc is the 2·win miss marker → zero onehot column in the
     # window path, so their cotangent routes ONLY through the fixup list
@@ -749,7 +766,7 @@ def _gather_rows_bwd(plan, interpret, res, g):
     safe_slot = jnp.where(slot_ok, plan.out_slot, 0)
     fix_g = jnp.where(slot_ok[:, None], g_flat[safe_slot], 0.0)
     dv = dv.at[plan.out_src].add(fix_g, mode="drop")
-    return (None, dv)
+    return (*nones, dv)
 
 
 _gather_rows_p.defvjp(_gather_rows_fwd, _gather_rows_bwd)
@@ -767,4 +784,6 @@ def gather_rows_windows(plan: SrcWindows, tiles: SegTiles, src_t,
         ext = jnp.concatenate([vals, zero], axis=0)
         safe = jnp.where(src_t < vals.shape[0], src_t, vals.shape[0])
         return ext[safe]
-    return _gather_rows_p(plan, src_t, vals, interpret)
+    return _gather_rows_p((plan.win, plan.rows_pad), interpret,
+                          plan.lsrc, plan.blk, plan.out_slot, plan.out_src,
+                          src_t, vals)

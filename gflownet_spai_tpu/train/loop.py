@@ -112,11 +112,14 @@ def setup(cfg: TrainConfig):
         # fc action head maps to action ids, and it is edge-order-free)
         if edges.nnz >= cfg.gat_tiled_min_edges:
             bstep = cfg.gat_bucket_step or None
-            if bstep and cfg.sampler == "sharded" and cfg.rows_devices > 1:
-                # the tile-sharded GAT (parallel.gat.shard_tiled_graph)
-                # consumes only the uniform layout — skip the bucket build
-                # rather than pay it and discard it (ADVICE r4)
-                print("gat buckets: disabled under the rows-sharded GAT "
+            if bstep and cfg.sampler == "sharded":
+                # the sharded sampler's forward consumes the uniform tile
+                # layout only — at rows > 1 shard_tiled_graph would discard
+                # buckets (ADVICE r4), and at rows == 1 the graph travels
+                # as a shard_map ARGUMENT, so bucket SegTiles would reach
+                # the fused kernel's static args as tracers and fail the
+                # jit trace.  Skip the build for this sampler entirely.
+                print("gat buckets: disabled under the sharded sampler "
                       "(uniform tile layout)", flush=True)
                 bstep = None
             return pol.tiled_graph_from_seed(edges, bucket_step=bstep)

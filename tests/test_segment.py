@@ -207,7 +207,9 @@ def test_gather_rows_windows_interpret_matches_oracle():
     assert plan.win == 128
     vals = jnp.asarray(rng.standard_normal((n, 16)), jnp.float32)
     want = seg.gather_rows_windows_jnp(plan, tiles, vals)
-    got = seg._gather_rows_p(plan, jnp.asarray(src_t), vals, True)
+    got = seg._gather_rows_p((plan.win, plan.rows_pad), True,
+                             plan.lsrc, plan.blk, plan.out_slot,
+                             plan.out_src, jnp.asarray(src_t), vals)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-6, atol=1e-6)
     # real slots equal the plain gather
@@ -312,6 +314,53 @@ def test_gat_fused_kernel_interpret_fwd_and_vjp():
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-5,
                 err_msg=f"uniform={uniform} grad {name}")
+
+
+def test_pallas_gat_paths_accept_tracer_graph_arrays():
+    """Graph arrays as jit ARGUMENTS (tracers) through the Pallas fused-GAT
+    and windowed-gather custom_vjp boundaries, value + grad.  This is the
+    sharded sampler's shape: the graph travels as a shard_map operand, so
+    plan/tile arrays arrive as tracers — holding them in nondiff_argnums
+    raised UnexpectedTracerError at trace (the round-5 c5auto 1M crash)."""
+    from gflownet_spai_tpu.ops import gat_fused as gf
+
+    rng = np.random.default_rng(11)
+    n, e, H, D = 220, 1800, 4, 4
+    HD = H * D
+    dst = rng.integers(0, n, e)
+    src = np.clip(dst + rng.integers(-40, 40, e), 0, n - 1)
+    tiles = seg.build_seg_tiles(dst, n, tile_nodes=64)
+    T, S = tiles.tiles, tiles.slots
+    src_t = np.asarray(seg.to_tiles(tiles, jnp.asarray(src, jnp.int32)))
+    plan = seg.build_src_windows(tiles, src_t, n, win=128)
+    attr = jnp.asarray(rng.standard_normal(T * S), jnp.float32)
+    w_e = jnp.asarray(rng.standard_normal(HD), jnp.float32)
+    att = jnp.asarray(rng.standard_normal((H, D)), jnp.float32)
+    xs = jnp.asarray(rng.standard_normal((T * S, HD)), jnp.float32)
+    xd = jnp.asarray(rng.standard_normal((tiles.n_pad, HD)), jnp.float32)
+    vals = jnp.asarray(rng.standard_normal((n, 16)), jnp.float32)
+
+    @jax.jit  # tiles/plan/src_t enter as jit args => tracers inside
+    def run(tiles, plan, src_t, attr, xs, xd, w_e, att, vals):
+        def loss(xs, vals):
+            fused = gf.gat_tile_fused(tiles, attr, xs, xd, w_e, att,
+                                      interpret=True)
+            gathered = seg.gather_rows_windows(plan, tiles, src_t, vals,
+                                               interpret=True)
+            return jnp.sum(fused) + jnp.sum(gathered ** 2)
+
+        return jax.value_and_grad(loss, argnums=(0, 1))(xs, vals)
+
+    val, (dxs, dvals) = run(tiles, plan, jnp.asarray(src_t), attr, xs, xd,
+                            w_e, att, vals)
+    # oracle: same math with everything concrete
+    want_f = gf.gat_tile_fused_jnp(tiles, attr, xs, xd, w_e, att)
+    want_g = seg.gather_rows_windows_jnp(plan, tiles, vals)
+    np.testing.assert_allclose(float(val),
+                               float(jnp.sum(want_f)
+                                     + jnp.sum(want_g ** 2)), rtol=1e-4)
+    assert np.isfinite(np.asarray(dxs)).all()
+    assert np.isfinite(np.asarray(dvals)).all()
 
 
 def test_gat_fused_per_segment_shift_survives_wide_score_spread():

@@ -189,6 +189,23 @@ def test_train_sharded_sampler_end_to_end(tmp_path):
     assert all(r["mean_len"] >= 1.0 for r in recs)
 
 
+def test_train_sharded_sampler_tiled_bucketed_graph(tmp_path):
+    """Sharded sampler × tiled graph × --gat-bucket-step: the graph travels
+    as a shard_map ARGUMENT, so bucket SegTiles would reach the fused
+    kernel's static args as tracers — train setup must skip the bucket
+    build for this sampler at ANY rows count (the round-5 c5auto 1M-run
+    crash: rows=1 slipped past the rows>1-only skip)."""
+    cfg = TrainConfig(matrix="LF10_like", num_epochs=2, batch_size=4,
+                      backward="linear", loss="subtb",
+                      sampler="sharded", dp_devices=1, rows_devices=1,
+                      gat_tiled_min_edges=1, gat_bucket_step=1.5,
+                      t_cap=64, t_cap_auto=True, replay_size=4,
+                      replay_samples=2,
+                      out_dir=str(tmp_path / "run"))
+    state, history = train(cfg, progress=False)
+    assert len(history) == 2 and np.isfinite(history).all()
+
+
 def test_replay_seed_magnitude_thinning(tmp_path):
     """Demonstration-seeded replay: the buffer holds the magnitude-ordered
     thinning trajectories with their true rewards after setup."""
