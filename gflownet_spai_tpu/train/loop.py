@@ -268,7 +268,12 @@ def _make_dp_step_adapter(cfg: TrainConfig, env, graph, mcfg, opt):
             "loss": loss,
             "reward_mean": jnp.mean(rewards),
             "reward_max": jnp.max(rewards),
-            "alpha": jax.nn.sigmoid(params.forward.alpha),
+            # report the EFFECTIVE reward-mix α: a fixed α never reads the
+            # learned logit (gfn.gflownet loss_fn), so sigmoid(alpha) would
+            # log a constant 0.5 that the reward didn't use
+            "alpha": (jnp.asarray(mcfg.alpha_fixed, jnp.float32)
+                      if mcfg.alpha_fixed >= 0
+                      else jax.nn.sigmoid(params.forward.alpha)),
             "log_z": params.log_z,
             "mean_len": jnp.zeros(()),
             "lengths": jnp.zeros_like(rewards, dtype=jnp.int32),
@@ -435,7 +440,12 @@ def _make_sharded_sampler_adapter(cfg: TrainConfig, env, graph, mcfg, opt):
             "loss": loss,
             "reward_mean": jnp.mean(rewards),
             "reward_max": jnp.max(rewards),
-            "alpha": jax.nn.sigmoid(params.forward.alpha),
+            # report the EFFECTIVE reward-mix α: a fixed α never reads the
+            # learned logit (gfn.gflownet loss_fn), so sigmoid(alpha) would
+            # log a constant 0.5 that the reward didn't use
+            "alpha": (jnp.asarray(mcfg.alpha_fixed, jnp.float32)
+                      if mcfg.alpha_fixed >= 0
+                      else jax.nn.sigmoid(params.forward.alpha)),
             "log_z": params.log_z,
             "mean_len": jnp.mean(lengths.astype(jnp.float32)),
             "lengths": lengths,
